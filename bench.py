@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed once warm-up-free except a single trivial action to
+absorb JVM/session start (which BASELINE.md's reference numbers also exclude
+— the notebooks time operations on an already-running session).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from fts_errors_clustering_spark.plans.registry import all_queries
+from fts_errors_clustering_spark.session import get_spark
+
+#: headline set: the flagship plus one representative per operator family.
+HEADLINE = [
+    "flagship_top_error_users",
+    "count_filtered_events",
+    "describe_event_value",
+    "crosstab_priority_status",
+    "topn_semijoin_events",
+    "pricing_summary",
+    "revenue_by_region",
+    "top_customers_per_region",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    spark = get_spark("fts-spark-bench")
+    defs = all_queries()
+
+    # absorb session/JVM startup with one tiny action before timing
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in defs:
+            continue
+        t0 = time.perf_counter()
+        df = defs[name].fn(spark, sf_dir)
+        n = df.count()  # materialize the whole plan
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,516 @@
+"""Relational core: scans, predicates, aggregations, pivots, top-N, joins.
+
+Rebuilds SURVEY.md sections 2.2 (P1-P8), 2.3 (A1-A11), 2.5 (T1-T5) and the
+join layer the reference lacks (section 2.4) as declarative DataFrame plans.
+The fixture mapping is FIXTURES.md part B: ``events`` stands in for the
+Rucio raw-event stream, TPC-H-ish tables regression-test the join/agg layer.
+
+Scale notes (100 TB posture), applied throughout:
+- global top-k is ``orderBy().limit(k)`` -> Spark plans TakeOrderedAndProject
+  (per-partition partial top-k, then a k-row merge on the driver) — never a
+  single-partition global ``row_number`` window over the full set;
+- scalar totals are attached with ``crossJoin(broadcast(1-row-agg))``, not a
+  ``sum() over ()`` window that would funnel all rows into one partition;
+- small dimension tables (region/nation/top-N key lists) are broadcast so
+  the big fact side never shuffles for the join;
+- aggregates are plain ``groupBy`` (map-side partial aggregation for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import (dec_avg, dec_std, dec_sum, sql_dec_avg,
+                                 sql_dec_std, sql_dec_sum)
+from ..plans.registry import register
+from ..sources.readers import table
+
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY.md section 7 step 1): top-12 error-heavy users with their
+# share of all errors — filter (P2) -> group-count (A4/A5) -> global top-N
+# (T3) -> scalar-total share (A7). This is ``__spark_entry__.entry``.
+# ---------------------------------------------------------------------------
+
+@register(
+    "flagship_top_error_users",
+    oracle="""
+    WITH err AS (SELECT * FROM events WHERE event_type = 'error'),
+    by_user AS (SELECT user_id, COUNT(*) AS n_errors FROM err GROUP BY user_id),
+    tot AS (SELECT COUNT(*) AS total FROM err)
+    SELECT user_id, n_errors,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_errors DESC, user_id) AS BIGINT) AS rnk,
+           n_errors / (SELECT total FROM tot) AS share
+    FROM by_user
+    ORDER BY n_errors DESC, user_id
+    LIMIT 12
+    """,
+    tags=("relational", "flagship"),
+)
+def flagship_top_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analog of the reference's top-N failure-site exploration
+    (``rucio_data_exploration.ipynb:858-865`` top-N share + ``:888`` label
+    extraction), restated as one declarative plan over ``events``."""
+    ev = table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error")
+    by_user = err.groupBy("user_id").agg(F.count("*").alias("n_errors"))
+    total = err.agg(F.count("*").alias("total"))
+    top = by_user.orderBy(F.desc("n_errors"), F.asc("user_id")).limit(12)
+    w = Window.orderBy(F.desc("n_errors"), F.asc("user_id"))  # 12 rows only
+    return (top.withColumn("rnk", F.row_number().over(w).cast("long"))
+               .crossJoin(F.broadcast(total))
+               .select("user_id", "n_errors", "rnk",
+                       (F.col("n_errors") / F.col("total")).alias("share")))
+
+
+# --- A1 + P2: IN-list filter and count --------------------------------------
+
+@register(
+    "count_filtered_events",
+    oracle="""
+    SELECT COUNT(*) AS n FROM events
+    WHERE event_type IN ('error', 'purchase')
+    """,
+    tags=("relational",),
+)
+def count_filtered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+A1: ``df.filter(col.isin([...])).count()``
+    (``rucio_data_access_HDFS.ipynb:359`` and ``:390``)."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.where(F.col("event_type").isin("error", "purchase"))
+              .agg(F.count("*").alias("n")))
+
+
+# --- A4: value_counts -------------------------------------------------------
+
+@register(
+    "event_type_counts",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    tags=("relational",),
+)
+def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 ``value_counts`` (``rucio_data_exploration.ipynb:800-801``)."""
+    return (table(spark, sf_dir, "events")
+            .groupBy("event_type").agg(F.count("*").alias("n")))
+
+
+# --- A5: multi-key group size ----------------------------------------------
+
+@register(
+    "user_type_group_size",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+    tags=("relational",),
+)
+def user_type_group_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ``groupby(['src_site','dst_site']).size()``
+    (``rucio_data_exploration.ipynb:1185-1186``)."""
+    return (table(spark, sf_dir, "events")
+            .groupBy("user_id", "event_type").agg(F.count("*").alias("n")))
+
+
+# --- A6: crosstab / pivot ---------------------------------------------------
+
+@register(
+    "crosstab_priority_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational",),
+)
+def crosstab_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 ``pd.crosstab(src_site, dst_site)``
+    (``rucio_data_exploration.ipynb:1487-1488``) as groupBy+pivot with the
+    pivot values pinned (no extra distinct-scan job at scale)."""
+    orders = table(spark, sf_dir, "orders")
+    piv = (orders.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"]).count()
+           .na.fill(0, ["F", "O", "P"]))
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+    )
+
+
+# --- A2: describe() numeric -------------------------------------------------
+
+@register(
+    "describe_event_value",
+    oracle=f"""
+    SELECT COUNT(value) AS n,
+           {sql_dec_avg('value', 6)} AS mean_value,
+           {sql_dec_std('value', 6)} AS std_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    """,
+    tags=("relational",),
+)
+def describe_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 ``df.describe()`` (``rucio_data_access_HDFS.ipynb:2323``) over the
+    measure column, with exact decimal-summed mean/std (functions.numeric)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("value").alias("n"),
+        dec_avg("value", 6).alias("mean_value"),
+        dec_std("value", 6).alias("std_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# --- A3: describe() categorical: distinct / mode / mode-freq ---------------
+
+@register(
+    "describe_event_type",
+    oracle="""
+    WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+    m AS (SELECT event_type AS top, n AS top_freq FROM c
+          ORDER BY n DESC, event_type LIMIT 1)
+    SELECT (SELECT COUNT(event_type) FROM events) AS n,
+           (SELECT COUNT(DISTINCT event_type) FROM events) AS n_distinct,
+           top, top_freq
+    FROM m
+    """,
+    tags=("relational",),
+)
+def describe_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 pandas ``describe(include=['object'])``
+    (``rucio_data_exploration.ipynb:607``): count / unique / top / freq.
+    Mode = deterministic top-1 of the group-count (count desc, value asc) —
+    a TakeOrderedAndProject, not a global window."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    mode = (counts.orderBy(F.desc("cnt"), F.asc("event_type")).limit(1)
+            .select(F.col("event_type").alias("top"),
+                    F.col("cnt").alias("top_freq")))
+    overall = ev.agg(F.count("event_type").alias("n"),
+                     F.countDistinct("event_type").alias("n_distinct"))
+    return overall.crossJoin(F.broadcast(mode))
+
+
+# --- A7 + T3: top-N share of total -----------------------------------------
+
+@register(
+    "top_users_share",
+    oracle="""
+    WITH by_user AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    top AS (SELECT n FROM by_user ORDER BY n DESC, user_id LIMIT 12)
+    SELECT (SELECT SUM(n) FROM top) AS top_n_events,
+           (SELECT COUNT(*) FROM events) AS total_events,
+           (SELECT SUM(n) FROM top) / (SELECT COUNT(*) FROM events) AS top_share
+    """,
+    tags=("relational",),
+)
+def top_users_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 top-N share ratio (``rucio_data_exploration.ipynb:858-865``):
+    sum(value_counts()[:12]) / sum(value_counts())."""
+    ev = table(spark, sf_dir, "events")
+    by_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    top = (by_user.orderBy(F.desc("n"), F.asc("user_id")).limit(12)
+           .agg(F.sum("n").alias("top_n_events")))
+    total = ev.agg(F.count("*").alias("total_events"))
+    return (top.crossJoin(F.broadcast(total))
+            .withColumn("top_share",
+                        F.col("top_n_events") / F.col("total_events")))
+
+
+# --- A8: distinct counts ----------------------------------------------------
+
+@register(
+    "distinct_documents",
+    oracle="""
+    SELECT COUNT(*) AS n, COUNT(DISTINCT text) AS n_distinct_text,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    """,
+    tags=("relational", "text"),
+)
+def distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 ``len(errors.message.unique())``
+    (``word2vec_dbscan_approach.ipynb:351``). Exact countDistinct here;
+    ``approx_count_distinct`` is the 100 TB variant (see bench notes)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.agg(F.count("*").alias("n"),
+                    F.countDistinct("text").alias("n_distinct_text"),
+                    F.countDistinct("lang").alias("n_langs"))
+
+
+# --- P5: null scan + imputation --------------------------------------------
+
+@register(
+    "null_scan_fill",
+    oracle="""
+    SELECT event_id,
+           COALESCE(CASE WHEN value < 10 THEN NULL ELSE value END, -1.0) AS v_filled
+    FROM events
+    """,
+    tags=("relational",),
+)
+def null_scan_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 null-row scan + the tip-cell ``fillna`` imputation
+    (``rucio_data_exploration.ipynb:727`` and cell 22): the fixtures carry no
+    nulls, so a deterministic mask (value<10 -> NULL) synthesizes them, then
+    ``df.na.fill`` imputes — the pattern under test is NULL propagation."""
+    ev = table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        F.when(F.col("value") < 10, F.lit(None).cast("double"))
+         .otherwise(F.col("value")).alias("v_filled"))
+    return masked.na.fill({"v_filled": -1.0})
+
+
+# --- P1 + JSON scalars: nested flatten --------------------------------------
+
+@register(
+    "json_props_flatten",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    tags=("relational", "json"),
+)
+def json_props_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 nested-struct flatten (``select('data.*')``,
+    ``rucio_data_access_HDFS.ipynb:632``): the fixture's nested payload is a
+    JSON string, so ``from_json`` -> struct -> ``select(s.*)`` is the same
+    shape; grouped to exercise the flattened column downstream."""
+    ev = table(spark, sf_dir, "events")
+    flat = (ev.withColumn("s", F.from_json("props", "k INT"))
+              .select("event_id", "s.*"))
+    return flat.groupBy("k").agg(F.count("*").alias("n"))
+
+
+@register(
+    "json_sum_by_type",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational", "json"),
+)
+def json_sum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (SURVEY.md section 2.6 JSON functions):
+    ``get_json_object`` stays JVM-side; integer sums are exact."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+              .groupBy("event_type")
+              .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n")))
+
+
+# --- P4 as a real semi-join -------------------------------------------------
+
+@register(
+    "topn_semijoin_events",
+    oracle="""
+    WITH by_user AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    top AS (SELECT user_id FROM by_user ORDER BY n DESC, user_id LIMIT 20)
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE user_id IN (SELECT user_id FROM top)
+    GROUP BY event_type
+    """,
+    tags=("relational", "join"),
+)
+def topn_semijoin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 compound membership filter (``errors.query("src_site in @top ...")``,
+    ``rucio_data_exploration.ipynb:1057``) in its scale-out form: compute the
+    top-N key table, BROADCAST it, left-semi join the fact side (SURVEY.md
+    section 2.4) — the fact table never shuffles."""
+    ev = table(spark, sf_dir, "events")
+    top = (ev.groupBy("user_id").agg(F.count("*").alias("n"))
+             .orderBy(F.desc("n"), F.asc("user_id")).limit(20)
+             .select("user_id"))
+    kept = ev.join(F.broadcast(top), "user_id", "left_semi")
+    return kept.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# --- P7: cast ---------------------------------------------------------------
+
+@register(
+    "cast_label_counts",
+    oracle="""
+    SELECT CAST(label AS VARCHAR) AS label_str, COUNT(*) AS n
+    FROM embeddings GROUP BY 1
+    """,
+    tags=("relational",),
+)
+def cast_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 ``astype({'category':'object'})``
+    (``rucio_data_exploration.ipynb:374``): int label -> categorical string."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (emb.select(F.col("label").cast("string").alias("label_str"))
+               .groupBy("label_str").agg(F.count("*").alias("n")))
+
+
+# --- T1/T3: deterministic top-k ---------------------------------------------
+
+@register(
+    "top_events_by_value",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    ORDER BY value DESC, event_id LIMIT 15
+    """,
+    tags=("relational",),
+)
+def top_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 head/limit + T3 sort-desc-slice (``showDf``,
+    ``rucio_data_access_HDFS.ipynb:1262-1286``) — as TakeOrderedAndProject
+    with a total tie-break order."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.select("event_id", "event_type", "value")
+              .orderBy(F.desc("value"), F.asc("event_id")).limit(15))
+
+
+# --- T2: seeded Bernoulli sample (rows-only: engines' RNGs differ) ----------
+
+@register("sample_events", oracle=None, tags=("relational",))
+def sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 ``df.sample(False, fraction)`` (``rucio_data_access_HDFS.ipynb:1288``).
+    Sampling RNGs are engine-specific, so this is a rows-only check; the
+    statistical bounds are asserted in tests/test_relational.py."""
+    ev = table(spark, sf_dir, "events")
+    return ev.sample(fraction=0.1, seed=42).select("event_id", "event_type")
+
+
+# --- TPC-H-style regression: Q1 pricing summary (A2-class aggregate) --------
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dec_sum('l_quantity', 2)} AS sum_qty,
+           {sql_dec_sum('l_extendedprice', 2)} AS sum_base_price,
+           {sql_dec_sum('l_extendedprice * (1.0 - l_discount)', 6)} AS sum_disc_price,
+           {sql_dec_sum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)', 8)} AS sum_charge,
+           {sql_dec_avg('l_quantity', 2)} AS avg_qty,
+           {sql_dec_avg('l_extendedprice', 2)} AS avg_price,
+           {sql_dec_avg('l_discount', 2)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "tpch"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the regression anchor for the
+    describe/aggregate layer (FIXTURES.md B4). One scan, map-side partial
+    aggregation, 4-group output."""
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc * (F.lit(1.0) + F.col("l_tax"))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(dec_sum("l_quantity", 2).alias("sum_qty"),
+                   dec_sum("l_extendedprice", 2).alias("sum_base_price"),
+                   dec_sum(disc, 6).alias("sum_disc_price"),
+                   dec_sum(charge, 8).alias("sum_charge"),
+                   dec_avg("l_quantity", 2).alias("avg_qty"),
+                   dec_avg("l_extendedprice", 2).alias("avg_price"),
+                   dec_avg("l_discount", 2).alias("avg_disc"),
+                   F.count("*").alias("count_order")))
+
+
+# --- joins + window top-N per group ----------------------------------------
+
+@register(
+    "top_customers_per_region",
+    oracle="""
+    SELECT r_name, c_name, c_acctbal,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT r.r_name, c.c_name, c.c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY r.r_name
+                                ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ) WHERE rnk <= 3
+    """,
+    tags=("relational", "join", "window"),
+)
+def top_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group (SURVEY.md section 2.8 window rebuild of T3): fact
+    side joins BROADCAST dims (nation: 25 rows, region: 5), then a
+    partitioned row_number — the per-group form that scales, unlike a global
+    sort."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    w = (Window.partitionBy("r_name")
+         .orderBy(F.desc("c_acctbal"), F.asc("c_custkey")))
+    return (joined.withColumn("rnk", F.row_number().over(w).cast("long"))
+                  .where(F.col("rnk") <= 3)
+                  .select("r_name", "c_name", "c_acctbal", "rnk"))
+
+
+@register(
+    "revenue_by_region",
+    oracle=f"""
+    SELECT r.r_name,
+           {sql_dec_sum('l.l_extendedprice * (1.0 - l.l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join aggregate: lineitem |> orders (shuffle or
+    broadcast by AQE stats) |> customer |> broadcast nation |> broadcast
+    region. The SURVEY.md section 2.4 join layer, end to end."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .groupBy("r_name")
+              .agg(dec_sum(rev, 6).alias("revenue"),
+                   F.count("*").alias("n_lineitems")))
+
+
+@register(
+    "late_shipment_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS as a left-semi join with a non-equi residual
+    (ship > order date + 90d): the declarative form Catalyst turns into a
+    semi-join, no manual dedup."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = ((li.l_orderkey == o.o_orderkey) &
+            (li.l_shipdate > F.date_add(o.o_orderdate, 90)))
+    return (o.join(li, cond, "left_semi")
+             .groupBy("o_orderpriority").agg(F.count("*").alias("n_orders")))

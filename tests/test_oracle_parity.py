@@ -1,0 +1,36 @@
+"""The t2 gate, locally: every registered query with an oracle must match
+DuckDB exactly at sf0.001 (fast loop) — mirroring the driver's comparison
+at sf0.01. Queries without an oracle are smoke-checked (runs, sane schema).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fts_errors_clustering_spark.plans.registry import all_queries
+
+from .conftest import SF_SMALL, duck_for, oracle_compare
+
+_DEFS = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(_DEFS))
+def test_query_matches_oracle(spark, duck, name):
+    qd = _DEFS[name]
+    df = qd.fn(spark, SF_SMALL)
+    if qd.oracle is None:
+        rows = df.limit(1000).collect()
+        assert rows is not None and len(df.columns) > 0
+        return
+    oracle_compare(df, duck_for(duck, SF_SMALL), qd.oracle, name=name)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert "flagship_top_error_users" in q
