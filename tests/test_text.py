@@ -1,0 +1,65 @@
+"""Golden semantics tests for the M1 masking chain and text helpers
+(regression anchors for the reference defects in SURVEY.md 2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fts_errors_clustering_spark.functions.text import (fuzz_ratio,
+                                                        mask_error_text,
+                                                        whitespace_tokens)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_mask_uuid_before_uid(spark):
+    """2.9.4 fixed: hyphenated UUIDs become one UUID token, not UID-UID-..."""
+    s = "xfer 123e4567-e89b-42d3-a456-426614174000 failed"
+    out = _one(spark, mask_error_text(F.lit(s)))
+    assert out == "xfer UUID failed"
+
+
+def test_mask_uid_runs(spark):
+    s = "SOURCE [70] globus_xio: token abcdef123456789012 refused"
+    out = _one(spark, mask_error_text(F.lit(s)))
+    assert out == "SOURCE [70] globus_xio: token UID refused"
+
+
+def test_mask_line_number_and_whitespace(spark):
+    s = "syntax error at line:  42  \t near token"
+    out = _one(spark, mask_error_text(F.lit(s)))
+    assert out == "syntax error at line LINE_NUMBER near token"
+
+
+def test_mask_short_hex_untouched(spark):
+    # 11 chars: below the 12-char UID threshold
+    s = "code abcdef12345 ok"
+    assert _one(spark, mask_error_text(F.lit(s))) == s
+
+
+def test_whitespace_tokens_drop_empties(spark):
+    out = _one(spark, whitespace_tokens(F.lit("  A  b\tC ")))
+    assert out == ["a", "b", "c"]
+
+
+def test_whitespace_tokens_empty_string(spark):
+    assert _one(spark, whitespace_tokens(F.lit("   "))) == []
+
+
+def test_fuzz_ratio_bounds(spark):
+    assert _one(spark, fuzz_ratio(F.lit("abc"), F.lit("abc"))) == 100.0
+    assert _one(spark, fuzz_ratio(F.lit("abc"), F.lit("xyz"))) == 0.0
+    mid = _one(spark, fuzz_ratio(F.lit("kitten"), F.lit("sitting")))
+    assert 0.0 < mid < 100.0
+
+
+def test_treebank_tokenizer_rules():
+    import pandas as pd
+
+    from fts_errors_clustering_spark.operators.textprep import \
+        treebank_tokenize_series
+    toks = treebank_tokenize_series(pd.Series(["Can't open file, retry."]))[0]
+    assert "n't" in toks and "," in toks and "." in toks
+    assert "Ca" in toks
