@@ -1,1 +1,233 @@
-"""(stub — filled in later this round)"""
+"""Clustering: K-Means (M12), external cluster-quality metrics (M13), and
+the word2vec document-embedding path (M14/M15) — SURVEY.md section 2.7.
+
+M13 is the showcase: homogeneity / completeness / V-measure / adjusted Rand
+(the sklearn metrics the reference calls at
+``/root/reference/notebooks/TF-IDF_K-Means_approach.ipynb:8163-8171``)
+rebuilt as pure contingency-table aggregations — groupBy + entropy algebra —
+so they are DuckDB-oracle-checkable AND run distributed at any scale.
+
+M12/M14 are model-backed (MLlib) and get rows-only checks plus invariants in
+tests: MLlib KMeans has no sklearn ``n_init``, so we loop seeds and keep the
+min-cost model; MLlib Word2Vec is skip-gram/HS vs gensim's CBOW/negative
+(numerically different embeddings — golden tests assert cluster-level
+invariants, not raw vectors; SURVEY.md M14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.readers import table
+
+
+def _dec_term_sum(c: Column, scale: int = 18) -> Column:
+    """Order-independent sum of double terms: round each term to a decimal,
+    sum exactly, parse back (see functions/numeric.py rationale)."""
+    return F.sum(c.cast(f"decimal(27,{scale})")).cast("string").cast("double")
+
+
+# ---------------------------------------------------------------------------
+# M13: external metrics as contingency-table algebra
+# ---------------------------------------------------------------------------
+
+def external_cluster_metrics(assigned: DataFrame, label_col: str,
+                             pred_col: str) -> DataFrame:
+    """Homogeneity, completeness, V-measure, ARI of ``pred_col`` against
+    ``label_col`` — one output row.
+
+    Entropy sums run over the contingency cells (tiny after aggregation);
+    every ln-term is decimal-rounded before summing so the result is exactly
+    reproducible cross-engine. ARI's pair counts are pure integer sums
+    (n*(n-1) in BIGINT), exact by construction.
+    """
+    pts = assigned.select(F.col(label_col).alias("c"), F.col(pred_col).alias("k"))
+    n = pts.agg(F.count("*").alias("n"))
+    cont = pts.groupBy("c", "k").agg(F.count("*").alias("nij"))
+    a = pts.groupBy("c").agg(F.count("*").alias("ai"))
+    b = pts.groupBy("k").agg(F.count("*").alias("bj"))
+
+    hc = (a.crossJoin(F.broadcast(n))
+          .agg((-_dec_term_sum((F.col("ai") / F.col("n")) *
+                               F.log(F.col("ai") / F.col("n")))).alias("hc")))
+    hk = (b.crossJoin(F.broadcast(n))
+          .agg((-_dec_term_sum((F.col("bj") / F.col("n")) *
+                               F.log(F.col("bj") / F.col("n")))).alias("hk")))
+    hck = (cont.join(F.broadcast(b), "k").crossJoin(F.broadcast(n))
+           .agg((-_dec_term_sum((F.col("nij") / F.col("n")) *
+                                F.log(F.col("nij") / F.col("bj")))).alias("hck")))
+    hkc = (cont.join(F.broadcast(a), "c").crossJoin(F.broadcast(n))
+           .agg((-_dec_term_sum((F.col("nij") / F.col("n")) *
+                                F.log(F.col("nij") / F.col("ai")))).alias("hkc")))
+
+    comb = lambda c: (c * (c - F.lit(1))).cast("long")  # 2*C(c,2), exact
+    sij = cont.agg(F.sum(comb(F.col("nij"))).alias("sij"))
+    sa = a.agg(F.sum(comb(F.col("ai"))).alias("sa"))
+    sb = b.agg(F.sum(comb(F.col("bj"))).alias("sb"))
+    sn = n.select(comb(F.col("n")).alias("sn"))
+
+    row = (hc.crossJoin(F.broadcast(hk)).crossJoin(F.broadcast(hck))
+             .crossJoin(F.broadcast(hkc)).crossJoin(F.broadcast(sij))
+             .crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+             .crossJoin(F.broadcast(sn)))
+
+    h = F.when(F.col("hc") > 0, F.lit(1.0) - F.col("hck") / F.col("hc")).otherwise(F.lit(1.0))
+    c = F.when(F.col("hk") > 0, F.lit(1.0) - F.col("hkc") / F.col("hk")).otherwise(F.lit(1.0))
+    v = F.when((h + c) > 0, F.lit(2.0) * h * c / (h + c)).otherwise(F.lit(0.0))
+    expected = F.col("sa").cast("double") * F.col("sb") / F.col("sn")
+    maxi = (F.col("sa") + F.col("sb")) / F.lit(2.0)
+    ari = (F.col("sij") - expected) / (maxi - expected)
+
+    return row.select(F.round(h, 6).alias("homogeneity"),
+                      F.round(c, 6).alias("completeness"),
+                      F.round(v, 6).alias("v_measure"),
+                      F.round(ari, 6).alias("ari"))
+
+
+_METRICS_ORACLE = """
+    WITH pts AS (SELECT label AS c, vec_id % 7 AS k FROM embeddings),
+    n AS (SELECT COUNT(*) AS n FROM pts),
+    cont AS (SELECT c, k, COUNT(*) AS nij FROM pts GROUP BY c, k),
+    a AS (SELECT c, COUNT(*) AS ai FROM pts GROUP BY c),
+    b AS (SELECT k, COUNT(*) AS bj FROM pts GROUP BY k),
+    hc AS (SELECT -CAST(CAST(SUM(CAST((ai / n.n) * LN(ai / n.n) AS DECIMAL(27,18)))
+                  AS VARCHAR) AS DOUBLE) AS hc FROM a, n),
+    hk AS (SELECT -CAST(CAST(SUM(CAST((bj / n.n) * LN(bj / n.n) AS DECIMAL(27,18)))
+                  AS VARCHAR) AS DOUBLE) AS hk FROM b, n),
+    hck AS (SELECT -CAST(CAST(SUM(CAST((nij / n.n) * LN(nij / bj) AS DECIMAL(27,18)))
+                   AS VARCHAR) AS DOUBLE) AS hck
+            FROM cont JOIN b USING (k), n),
+    hkc AS (SELECT -CAST(CAST(SUM(CAST((nij / n.n) * LN(nij / ai) AS DECIMAL(27,18)))
+                   AS VARCHAR) AS DOUBLE) AS hkc
+            FROM cont JOIN a USING (c), n),
+    pairs AS (SELECT
+        (SELECT CAST(SUM(nij * (nij - 1)) AS BIGINT) FROM cont) AS sij,
+        (SELECT CAST(SUM(ai * (ai - 1)) AS BIGINT) FROM a) AS sa,
+        (SELECT CAST(SUM(bj * (bj - 1)) AS BIGINT) FROM b) AS sb,
+        (SELECT CAST(n * (n - 1) AS BIGINT) FROM n) AS sn),
+    hcv AS (SELECT
+        CASE WHEN hc > 0 THEN 1.0 - hck / hc ELSE 1.0 END AS h,
+        CASE WHEN hk > 0 THEN 1.0 - hkc / hk ELSE 1.0 END AS c
+        FROM hc, hk, hck, hkc)
+    SELECT ROUND(h, 6) AS homogeneity,
+           ROUND(c, 6) AS completeness,
+           ROUND(CASE WHEN h + c > 0 THEN 2.0 * h * c / (h + c) ELSE 0.0 END, 6) AS v_measure,
+           ROUND((sij - CAST(sa AS DOUBLE) * sb / sn) /
+                 ((sa + sb) / 2.0 - CAST(sa AS DOUBLE) * sb / sn), 6) AS ari
+    FROM hcv, pairs
+"""
+
+
+@register("external_metrics_pseudo", oracle=_METRICS_ORACLE,
+          tags=("clustering", "metrics"))
+def external_metrics_pseudo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 against a DETERMINISTIC pseudo-prediction (vec_id % 7) so the
+    whole metric stack is value-checkable in SQL; the same function scores
+    real KMeans/DBSCAN output in the rows-only queries below."""
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = emb.select("label", (F.col("vec_id") % 7).alias("pred"))
+    return external_cluster_metrics(assigned, "label", "pred")
+
+
+# ---------------------------------------------------------------------------
+# M12: K-Means with n_init emulation
+# ---------------------------------------------------------------------------
+
+def fit_kmeans_best(df: DataFrame, k: int = 10, n_init: int = 3,
+                    max_iter: int = 50, features_col: str = "features",
+                    base_seed: int = 42):
+    """``KMeans(n_clusters, init='k-means++', n_init=100)``
+    (``TF-IDF_K-Means_approach.ipynb:7897-7902``) -> MLlib ``k-means||``
+    with a seed loop keeping the min-cost model (MLlib has no n_init;
+    SURVEY.md M12). n_init defaults low here — each fit is a full
+    distributed job; the reference's 100 restarts on 2.8k rows do not
+    transfer to cluster scale."""
+    from pyspark.ml.clustering import KMeans
+    best = None, float("inf")
+    for i in range(n_init):
+        km = KMeans(k=k, maxIter=max_iter, seed=base_seed + i,
+                    featuresCol=features_col, predictionCol="prediction")
+        model = km.fit(df)
+        cost = model.summary.trainingCost
+        if cost < best[1]:
+            best = model, cost
+    return best[0]
+
+
+def _embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label",
+                      array_to_vector("embedding").alias("features"))
+
+
+@register("kmeans_cluster_sizes", oracle=None, tags=("clustering", "ml"))
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 + A9 ``Counter(km.labels_)``
+    (``TF-IDF_K-Means_approach.ipynb:7991``): cluster sizes of the best-of-
+    n_init KMeans on the fixture embeddings, reported by size rank (cluster
+    ids are not stable across implementations; sizes are the invariant)."""
+    feats = _embedding_features(spark, sf_dir)
+    model = fit_kmeans_best(feats, k=10, n_init=3)
+    out = model.transform(feats)
+    sizes = out.groupBy("prediction").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("n"), F.asc("prediction"))
+    return (sizes.withColumn("size_rank", F.row_number().over(w).cast("long"))
+                 .select("size_rank", "n"))
+
+
+@register("kmeans_quality", oracle=None, tags=("clustering", "ml", "metrics"))
+def kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 on real KMeans output: homogeneity/completeness/V/ARI vs the
+    fixture's ground-truth ``label`` plus MLlib silhouette — the rebuild of
+    the reference's evaluation cell (``TF-IDF…:8163-8171``)."""
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    feats = _embedding_features(spark, sf_dir)
+    model = fit_kmeans_best(feats, k=10, n_init=3)
+    out = model.transform(feats).cache()
+    sil = ClusteringEvaluator(featuresCol="features",
+                              predictionCol="prediction",
+                              metricName="silhouette").evaluate(out)
+    metrics = external_cluster_metrics(out, "label", "prediction")
+    return metrics.withColumn("silhouette", F.round(F.lit(sil), 6))
+
+
+# ---------------------------------------------------------------------------
+# M14/M15: word2vec document vectors
+# ---------------------------------------------------------------------------
+
+def fit_word2vec(docs_tokens: DataFrame, vector_size: int = 32,
+                 window: int = 5, min_count: int = 1, max_iter: int = 8,
+                 seed: int = 42, tokens_col: str = "tokens"):
+    """M14 ``train_word2vec`` (gensim CBOW, size=200/window=5/min_count=1/
+    iter=1000 — ``word2vec_dbscan_approach.ipynb:133-145``) as
+    ``ml.feature.Word2Vec``. The transform IS M15 sentence2vec: Spark
+    averages in-vocab word vectors per document, and returns a ZERO vector
+    for empty docs — exactly the mean-pool semantics minus the reference's
+    ragged-empty bug (SURVEY.md M15, 2.9.2)."""
+    from pyspark.ml.feature import Word2Vec
+    w2v = Word2Vec(vectorSize=vector_size, windowSize=window,
+                   minCount=min_count, maxIter=max_iter, seed=seed,
+                   inputCol=tokens_col, outputCol="doc_vec")
+    return w2v.fit(docs_tokens)
+
+
+@register("word2vec_doc_vectors", oracle=None, tags=("clustering", "ml"))
+def word2vec_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14+M15 surface (rows-only): per-doc embedding norm and dimension
+    from the word2vec path (masked -> tokenized -> trained -> mean-pooled)."""
+    from ..functions.text import mask_error_text, whitespace_tokens
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.where(F.length(F.trim("text")) > 0)
+                .select("doc_id",
+                        whitespace_tokens(mask_error_text("text")).alias("tokens")))
+    model = fit_word2vec(toks)
+    out = model.transform(toks)
+    from pyspark.ml.functions import vector_to_array
+    arr = vector_to_array("doc_vec")
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    return out.select("doc_id", F.size(arr).cast("long").alias("dim"),
+                      F.round(norm, 6).alias("l2_norm"))

@@ -1,1 +1,176 @@
-"""(stub — filled in later this round)"""
+"""Distributed DBSCAN (M18) — the reference's hardest operator, rebuilt as
+DataFrame algebra (SURVEY.md sections 2.7 M18, 7 step 6).
+
+Reference: ``daal4py.dbscan(minObservations, epsilon)`` on the collected
+2,888 x 200 embedding matrix (``/root/reference/notebooks/
+word2vec_dbscan_approach.ipynb:223-233``, run at ``:30082`` with eps=20,
+minPts=5 — the notebook flags its computed eps as broken, SURVEY.md 2.9.3).
+
+Spark-first decomposition (no single-node collect):
+1. eps-neighbor pairs: self-join with distance <= eps. Exact cross-join here
+   (oracle-checkable, right up to ~10^5 points); at 100 TB swap in the LSH
+   candidate generator (``operators/similarity.py``) or a grid-cell
+   pre-partition — the downstream plan is unchanged.
+2. core points: neighborhood size (incl. self) >= min_pts — one groupBy.
+3. components: iterative min-label propagation over core-core edges to a
+   fixed point (labels only decrease; the label sum is a convergence
+   certificate). Iterations ~ graph diameter; each step localCheckpoints to
+   truncate lineage. (The two-phase large-star/small-star variant of
+   connected components is the drop-in for adversarially deep graphs.)
+4. borders: non-core points adopt the MINIMUM component label among their
+   core neighbors — deterministic, unlike sklearn's insertion-order
+   assignment (documented delta, asserted in tests).
+5. noise: everything else, labeled -1.
+
+Cluster ids are min-member vec_ids -> fully deterministic, which makes the
+whole operator value-checkable against a DuckDB recursive-CTE oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import sql_sq_dist, sq_dist
+from ..plans.registry import register
+from ..sources.readers import table
+
+DIM = 64
+EPS = 1.18          # fixture-calibrated: yields a core/border/noise mix
+MIN_PTS = 5         # the reference's min_samples (word2vec…:30082)
+
+
+def eps_pairs_exact(emb: DataFrame, id_col: str, vec_col: str,
+                    dim: int, eps: float) -> DataFrame:
+    """Directed eps-neighbor pairs (a, b), a != b, ||va - vb|| <= eps.
+    Squared-distance comparison (no sqrt) keeps the filter cheap."""
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (a.join(b, F.col("a") != F.col("b"))
+             .where(sq_dist("va", "vb", dim) <= F.lit(eps * eps))
+             .select("a", "b"))
+
+
+def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", dim: int = DIM,
+                  eps: float = EPS, min_pts: int = MIN_PTS,
+                  pairs: DataFrame | None = None,
+                  max_iter: int = 50) -> DataFrame:
+    """Full DBSCAN; returns (id_col, cluster) with cluster = min member id
+    of the density-connected component, or -1 for noise."""
+    ids = emb.select(F.col(id_col).alias("id"))
+    if pairs is None:
+        pairs = eps_pairs_exact(emb, id_col, vec_col, dim, eps)
+    pairs = pairs.cache()
+
+    nbc = pairs.groupBy("a").agg((F.count("*") + 1).alias("cnt"))
+    core = (ids.join(nbc, ids.id == nbc.a, "left")
+            .where(F.coalesce(F.col("cnt"), F.lit(1)) >= min_pts)
+            .select("id").cache())
+
+    core_a = core.select(F.col("id").alias("a"))
+    core_b = core.select(F.col("id").alias("b"))
+    edges = (pairs.join(core_a, "a", "left_semi")
+                  .join(core_b, "b", "left_semi").cache())
+
+    labels = core.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges.b == labels.id)
+                   .groupBy("a").agg(F.min("lbl").alias("nlbl")))
+        labels = (labels.join(nbr_min, labels.id == nbr_min.a, "left")
+                  .select(labels.id,
+                          F.least(F.col("lbl"),
+                                  F.coalesce(F.col("nlbl"), F.col("lbl")))
+                           .alias("lbl"))
+                  .localCheckpoint())
+        cur = labels.agg(F.sum("lbl")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    comp = labels.select("id", F.col("lbl").alias("cluster"))
+    border = (pairs.join(core.select(F.col("id").alias("b")), "b", "left_semi")
+              .join(core.select(F.col("id").alias("a")), "a", "left_anti")
+              .join(comp.select(F.col("id").alias("b"), "cluster"), "b")
+              .groupBy("a").agg(F.min("cluster").alias("cluster"))
+              .select(F.col("a").alias("id"), "cluster"))
+    assigned = comp.unionByName(border)
+    noise = (ids.join(assigned.select("id"), "id", "left_anti")
+             .select("id", F.lit(-1).cast("long").alias("cluster")))
+    return (assigned.unionByName(noise)
+            .select(F.col("id").alias(id_col), F.col("cluster")))
+
+
+def _dbscan_oracle(eps: float, min_pts: int) -> str:
+    """DuckDB recursive-CTE oracle of the same semantics."""
+    d2 = sql_sq_dist("a.embedding", "b.embedding", DIM)
+    return f"""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE {d2} <= {eps * eps!r}
+    ),
+    nbc AS (SELECT a AS id, COUNT(*) + 1 AS cnt FROM pairs GROUP BY a),
+    core AS (SELECT e.vec_id AS id FROM embeddings e
+             LEFT JOIN nbc ON nbc.id = e.vec_id
+             WHERE COALESCE(nbc.cnt, 1) >= {min_pts}),
+    cedge AS (SELECT p.a, p.b FROM pairs p
+              JOIN core c1 ON p.a = c1.id JOIN core c2 ON p.b = c2.id),
+    reach(src, dst) AS (
+      SELECT a, b FROM cedge
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN cedge e ON r.dst = e.a
+    ),
+    comp AS (SELECT c.id, LEAST(c.id, COALESCE(MIN(r.dst), c.id)) AS cluster
+             FROM core c LEFT JOIN reach r ON r.src = c.id GROUP BY c.id),
+    border AS (SELECT p.a AS id, MIN(m.cluster) AS cluster
+               FROM pairs p
+               JOIN comp m ON p.b = m.id
+               WHERE p.a NOT IN (SELECT id FROM core)
+               GROUP BY p.a),
+    labs AS (
+      SELECT id, cluster FROM comp
+      UNION ALL SELECT id, cluster FROM border
+      UNION ALL
+      SELECT e.vec_id, CAST(-1 AS BIGINT) FROM embeddings e
+      WHERE e.vec_id NOT IN (SELECT id FROM comp)
+        AND e.vec_id NOT IN (SELECT id FROM border)
+    )
+    """
+
+
+@register(
+    "dbscan_labels",
+    oracle=_dbscan_oracle(EPS, MIN_PTS) +
+           "SELECT id AS vec_id, cluster FROM labs",
+    tags=("clustering", "dbscan"),
+)
+def dbscan_labels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18: DBSCAN cluster label per point (min-member-id labeling, -1 =
+    noise) on the fixture embeddings at (eps, minPts) = ({EPS}, {MIN_PTS})."""
+    emb = table(spark, sf_dir, "embeddings")
+    return dbscan_labels(spark, emb)
+
+
+@register(
+    "dbscan_summary",
+    oracle=_dbscan_oracle(EPS, MIN_PTS) + """
+    SELECT COUNT(DISTINCT CASE WHEN cluster >= 0 THEN cluster END) AS n_clusters,
+           COUNT(*) FILTER (WHERE cluster = -1) AS n_noise,
+           COUNT(*) AS n_points
+    FROM labs
+    """,
+    tags=("clustering", "dbscan"),
+)
+def dbscan_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18 + A9 rollup: cluster count / noise count / total, the shape the
+    reference eyeballs via ``Counter`` after its DBSCAN run."""
+    emb = table(spark, sf_dir, "embeddings")
+    labs = dbscan_labels(spark, emb)
+    return labs.agg(
+        F.countDistinct(F.when(F.col("cluster") >= 0, F.col("cluster")))
+         .alias("n_clusters"),
+        F.count(F.when(F.col("cluster") == -1, 1)).alias("n_noise"),
+        F.count("*").alias("n_points"))

@@ -1,1 +1,353 @@
-"""(stub — filled in later this round)"""
+"""Deduplication suite — the training-data-pipeline extension family
+(BASELINE.json north star): exact, MinHash-LSH, SimHash, and n-gram-Jaccard
+near-dup detection over the ``documents`` corpus.
+
+The fixture corpus has no duplicates, so every query here first PLANTS
+deterministic near-duplicates (docs with doc_id < 20 re-appended under
+doc_id+100000 with one extra token) — identically in the Spark plan and the
+DuckDB oracle — so the candidate-generation machinery produces non-trivial,
+value-checkable output.
+
+Everything is oracle-checkable because hashing goes through the shared
+md5-hex scheme (functions/text.py hash32): Spark's murmur F.hash and
+DuckDB's hash() disagree, md5 doesn't.
+
+Scale posture: exact dedup is a hash-groupBy (shuffle on a 16-byte key);
+MinHash banding turns all-pairs O(n^2) into per-bucket candidate joins;
+the rare-shingle block in the Jaccard query caps per-shingle fanout (df <=
+50) exactly like production near-dup pipelines cap posting-list length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (sql_whitespace_tokens, whitespace_tokens)
+from ..plans.registry import register
+from ..sources.readers import table
+
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands x 4 rows
+
+# --- planted near-dup corpus (identical in Spark and SQL) -------------------
+
+_AUG_SQL = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' xdup' AS text
+      FROM documents WHERE doc_id < 20
+    )
+"""
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (docs.where(F.col("doc_id") < 20)
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" xdup")).alias("text")))
+    return docs.unionByName(dups)
+
+
+def _tok_sql(rel: str = "corpus") -> str:
+    return (f"SELECT doc_id, unnest({sql_whitespace_tokens('text')}) AS token "
+            f"FROM {rel} WHERE length(trim(text)) > 0")
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return (df.where(F.length(F.trim("text")) > 0)
+              .select("doc_id", F.explode(whitespace_tokens("text")).alias("token")))
+
+
+# --- exact dedup ------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    h AS (SELECT doc_id, md5(text) AS text_hash FROM corpus)
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT text_hash) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT text_hash) AS n_dup_rows
+    FROM h
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text). At 100 TB this is the
+    cheapest pass (shuffle on the digest, not the document)."""
+    aug = _augmented(spark, sf_dir)
+    h = aug.select("doc_id", F.md5("text").alias("text_hash"))
+    return h.agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("text_hash").alias("n_distinct"),
+                 (F.count("*") - F.countDistinct("text_hash")).alias("n_dup_rows"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+                {sql_whitespace_tokens('text')})), ' ')) AS fingerprint
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+    tags=("dedup", "text"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set —
+    order/duplication-insensitive content identity (bag-of-words
+    fingerprint; byte-level md5 is ``dedup_exact``)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = whitespace_tokens("text")
+    return (docs.where(F.length(F.trim("text")) > 0)
+            .select("doc_id",
+                    F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+                     .alias("fingerprint")))
+
+
+# --- MinHash ----------------------------------------------------------------
+
+_MINHASH_SQL = f"""
+    toks AS ({_tok_sql()}),
+    dtoks AS (SELECT DISTINCT doc_id, token FROM toks),
+    seeds AS (SELECT CAST(s.range AS BIGINT) AS seed FROM range(0, {N_HASHES}) s),
+    hashed AS (
+      SELECT d.doc_id, s.seed,
+             CAST(('0x' || substr(md5('s' || CAST(s.seed AS VARCHAR) || '|' || d.token), 1, 8)) AS BIGINT) AS h
+      FROM dtoks d CROSS JOIN seeds s
+    ),
+    sigs AS (SELECT doc_id, seed, MIN(h) AS minhash
+             FROM hashed GROUP BY doc_id, seed)
+"""
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_MINHASH_SQL}
+    SELECT doc_id, seed, minhash FROM sigs
+    """,
+    tags=("dedup", "minhash"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: one (doc, seed) row with the min salted-md5 hash
+    over the doc's distinct tokens. Pure explode + groupBy-min — map-side
+    combinable, no driver state."""
+    aug = _augmented(spark, sf_dir)
+    dtoks = _tokens(aug).distinct()
+    seeds = spark.range(N_HASHES).select(F.col("id").alias("seed"))
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("s"), F.col("seed").cast("string"),
+                                          F.lit("|"), F.col("token"))), 1, 8),
+               16, 10).cast("long")
+    hashed = dtoks.crossJoin(F.broadcast(seeds)).select("doc_id", "seed", h.alias("h"))
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+@register(
+    "minhash_near_dups",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_MINHASH_SQL},
+    bands AS (
+      SELECT doc_id, seed // {BAND_SIZE} AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bucket
+      FROM sigs GROUP BY doc_id, seed // {BAND_SIZE}
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+      FROM bands b1 JOIN bands b2
+        ON b1.band = b2.band AND b1.bucket = b2.bucket AND b1.doc_id < b2.doc_id
+    ),
+    est AS (
+      SELECT c.a, c.b,
+             SUM(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END)
+               / CAST({N_HASHES} AS DOUBLE) AS est_jaccard
+      FROM cand c
+      JOIN sigs s1 ON s1.doc_id = c.a
+      JOIN sigs s2 ON s2.doc_id = c.b AND s1.seed = s2.seed
+      GROUP BY c.a, c.b
+    )
+    SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """,
+    tags=("dedup", "minhash"),
+)
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band the signatures ({N_HASHES} hashes,
+    bands of {BAND_SIZE}), bucket-join per band (the O(n^2) -> O(candidates)
+    step), then estimate Jaccard by signature agreement and keep pairs
+    >= 0.5. Shingle->minhash->band->bucket-join, the canonical LLM-corpus
+    dedup shape."""
+    sigs = minhash_signatures(spark, sf_dir).cache()
+    bands = (sigs.withColumn("band", (F.col("seed") / BAND_SIZE).cast("long"))
+             .groupBy("doc_id", "band")
+             .agg(F.md5(F.concat_ws(",", F.transform(
+                 F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                 lambda s: s.getField("minhash").cast("string"))))
+                  .alias("bucket")))
+    b1 = bands.select(F.col("doc_id").alias("a"), "band", "bucket")
+    b2 = bands.select(F.col("doc_id").alias("b"), "band", "bucket")
+    cand = (b1.join(b2, ["band", "bucket"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    s1 = sigs.select(F.col("doc_id").alias("a"), "seed",
+                     F.col("minhash").alias("m1"))
+    s2 = sigs.select(F.col("doc_id").alias("b"), "seed",
+                     F.col("minhash").alias("m2"))
+    est = (cand.join(s1, "a").join(s2, ["b", "seed"])
+           .groupBy("a", "b")
+           .agg((F.sum(F.when(F.col("m1") == F.col("m2"), 1).otherwise(0))
+                 / F.lit(float(N_HASHES))).alias("est_jaccard")))
+    return est.where(F.col("est_jaccard") >= 0.5)
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    toks AS (
+      SELECT doc_id, {sql_whitespace_tokens('text')} AS ts
+      FROM corpus WHERE length(trim(text)) > 0
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+      FROM toks WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    blocked AS (
+      SELECT sh FROM shingles GROUP BY sh
+      HAVING COUNT(*) BETWEEN 2 AND 50
+    ),
+    inter AS (
+      SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS n_inter
+      FROM shingles s1
+      JOIN blocked bl ON s1.sh = bl.sh
+      JOIN shingles s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+      GROUP BY s1.doc_id, s2.doc_id
+    )
+    SELECT i.a, i.b,
+           ROUND(CAST(i.n_inter AS DOUBLE) /
+                 (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= 0.6
+    """,
+    tags=("dedup", "ngram"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-token shingle) Jaccard near-dup pairs with
+    rare-shingle blocking: only shingles appearing in 2..50 docs generate
+    candidates (caps the posting-list fanout that kills all-pairs joins at
+    scale), then |intersection| / |union| >= 0.6 on the candidate set."""
+    aug = _augmented(spark, sf_dir)
+    toks = (aug.where(F.length(F.trim("text")) > 0)
+            .select("doc_id", whitespace_tokens("text").alias("ts")))
+    n = F.size("ts")
+    idx = F.sequence(F.lit(0), n - 3)
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.col("ts").getItem(i), F.col("ts").getItem(i + 1),
+        F.col("ts").getItem(i + 2)))
+    shingles = (toks.where(n >= 3)
+                .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh")))
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    blocked = (shingles.groupBy("sh").agg(F.count("*").alias("df"))
+               .where((F.col("df") >= 2) & (F.col("df") <= 50))
+               .select("sh"))
+    s1 = shingles.select(F.col("doc_id").alias("a"), "sh")
+    s2 = shingles.select(F.col("doc_id").alias("b"), "sh")
+    inter = (s1.join(F.broadcast(blocked), "sh")
+             .join(s2, "sh")
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("n_inter")))
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    jac = (F.col("n_inter").cast("double") /
+           (F.col("sza") + F.col("szb") - F.col("n_inter")))
+    return (inter.join(za, "a").join(zb, "b")
+            .where(jac >= 0.6)
+            .select("a", "b", F.round(jac, 6).alias("jaccard")))
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def _simhash_half(hcol: str, bits: int = 32):
+    """Spark: assemble a 32-bit simhash from per-(doc,token) hash column."""
+    terms = []
+    for b in range(bits):
+        bit = F.shiftright(F.col(hcol), b).bitwiseAND(F.lit(1))
+        terms.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}"))
+    return terms
+
+
+def _simhash_assemble(prefix: str, bits: int = 32):
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(F.col(f"{prefix}{b}") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def _sql_simhash_half(hexpr: str, bits: int = 32) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (({hexpr} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits))
+    return sums
+
+
+def _sql_simhash_assemble(bits: int = 32) -> str:
+    return " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits))
+
+
+@register(
+    "simhash_signatures",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    toks AS ({_tok_sql()}),
+    dtoks AS (SELECT DISTINCT doc_id, token FROM toks),
+    hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS h2
+      FROM dtoks
+    ),
+    sums AS (
+      SELECT doc_id,
+             {_sql_simhash_half('h1')},
+             {', '.join(f"SUM(CASE WHEN ((h2 >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS t{b}" for b in range(32))}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {_sql_simhash_assemble()} AS simhash_lo,
+           {' + '.join(f"(CASE WHEN t{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(32))} AS simhash_hi
+    FROM sums
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (two 32-bit halves from the shared md5
+    hash): per bit, sum +-1 over the doc's distinct token hashes, sign ->
+    bit. One explode + one groupBy with 64 conditional sums — fully
+    aggregate-pushable, and exact integers so the oracle is bit-for-bit."""
+    aug = _augmented(spark, sf_dir)
+    dtoks = _tokens(aug).distinct()
+    hashed = dtoks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long").alias("h2"))
+    lo_sums = _simhash_half("h1")
+    hi_sums = [F.sum(F.when(F.shiftright(F.col("h2"), b).bitwiseAND(F.lit(1)) == 1,
+                            1).otherwise(-1)).alias(f"t{b}") for b in range(32)]
+    sums = hashed.groupBy("doc_id").agg(*(lo_sums + hi_sums))
+    hi = F.lit(0).cast("long")
+    for b in range(32):
+        hi = hi + F.when(F.col(f"t{b}") > 0,
+                         F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id",
+                       _simhash_assemble("s").alias("simhash_lo"),
+                       hi.alias("simhash_hi"))

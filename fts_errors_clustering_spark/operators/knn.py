@@ -1,1 +1,137 @@
-"""(stub — filled in later this round)"""
+"""kNN average-distance curve (M16) and the knee/epsilon search (M17) —
+the DBSCAN-parameter stage of the reference's word2vec path
+(``/root/reference/notebooks/word2vec_dbscan_approach.ipynb:172-189`` kNN,
+``:191-221`` knee), SURVEY.md section 2.7.
+
+The reference fits ``sklearn.NearestNeighbors`` on the dense embedding
+matrix, column-sorts the distance matrix and takes per-row means, then runs
+``kneed.KneeLocator``. Here:
+
+- M16 = self-join within ``embeddings`` + per-point window top-k + exact
+  decimal mean. Exact O(n^2) is right for the fixture scale and is
+  oracle-checkable; the 100 TB path swaps the cross-join for
+  ``BucketedRandomProjectionLSH.approxSimilarityJoin`` (see
+  operators/similarity.py) with the SAME downstream window/mean plan.
+- M17 = the Kneedle difference-curve on the sorted means, restated as pure
+  window algebra: normalize x and y to [0,1], knee = argmax(x_hat - y_hat)
+  (the convex-increasing case of Kneedle; the reference's sensitivity sweep
+  and max-of-elbows selection documented as a delta). The curve has n rows
+  (one per point) — driver-scale data, so a global window here is fine even
+  at 100 TB corpus scale (n = number of points, aggregated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import euclidean, sql_euclidean
+from ..plans.registry import register
+from ..sources.readers import table
+
+DIM = 64  # fixture embedding dimension (FIXTURES.md B3)
+
+_KNN_CTE = f"""
+    k AS (SELECT CAST(round(sqrt(COUNT(*)), 0) AS BIGINT) AS k FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
+             {sql_euclidean('a.embedding', 'b.embedding', DIM)} AS dist
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, other_id) AS rn
+      FROM pairs
+    ),
+    knn AS (
+      SELECT vec_id,
+             CAST(CAST(SUM(CAST(dist AS DECIMAL(27,18))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS mean_dist
+      FROM ranked WHERE rn <= (SELECT k FROM k)
+      GROUP BY vec_id
+    )
+"""
+
+
+def knn_mean_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared plan: per-point mean distance to its k=round(sqrt(n)) nearest
+    neighbors (the reference's ``kneighbors`` with k=sqrt(n), ``:178``)."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = int(round(n ** 0.5))
+    a = emb.select(F.col("vec_id").alias("vec_id"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("other_id"),
+                   F.col("embedding").alias("eb"))
+    pairs = (a.join(b, F.col("vec_id") != F.col("other_id"))
+             .select("vec_id", "other_id",
+                     euclidean("ea", "eb", DIM).alias("dist")))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("other_id"))
+    topk = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return (topk.groupBy("vec_id")
+            .agg((F.sum(F.col("dist").cast("decimal(27,18)"))
+                   .cast("string").cast("double") / F.count("*"))
+                 .alias("mean_dist")))
+
+
+@register(
+    "knn_mean_distance",
+    oracle=f"""
+    WITH {_KNN_CTE}
+    SELECT vec_id, ROUND(mean_dist, 6) AS mean_knn_dist FROM knn
+    """,
+    tags=("knn", "vectors"),
+)
+def knn_mean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16: exact kNN mean-distance per point, oracle-checked."""
+    return (knn_mean_distances(spark, sf_dir)
+            .select("vec_id", F.round("mean_dist", 6).alias("mean_knn_dist")))
+
+
+@register(
+    "knn_knee_epsilon",
+    oracle=f"""
+    WITH {_KNN_CTE},
+    curve AS (
+      SELECT mean_dist,
+             ROW_NUMBER() OVER (ORDER BY mean_dist, vec_id) - 1 AS idx,
+             COUNT(*) OVER () AS n,
+             MIN(mean_dist) OVER () AS ymin,
+             MAX(mean_dist) OVER () AS ymax
+      FROM knn
+    ),
+    diffs AS (
+      SELECT idx, mean_dist,
+             (CAST(idx AS DOUBLE) / (n - 1)) -
+             ((mean_dist - ymin) / (ymax - ymin)) AS d
+      FROM curve
+    )
+    SELECT CAST(idx AS BIGINT) AS knee_idx,
+           ROUND(mean_dist, 6) AS epsilon,
+           ROUND(d, 6) AS max_diff
+    FROM diffs ORDER BY d DESC, idx LIMIT 1
+    """,
+    tags=("knn", "vectors", "window"),
+)
+def knn_knee_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17: Kneedle-style knee of the sorted kNN-mean curve -> the DBSCAN
+    epsilon candidate (``epsilon_search``, ``:191-198``). The reference's
+    run rejected its computed eps=7.55 and hand-set 20 (SURVEY.md 2.9.3);
+    we keep the op deterministic and test eps-monotonicity instead."""
+    knn = knn_mean_distances(spark, sf_dir)
+    wall = Window.orderBy(F.asc("mean_dist"), F.asc("vec_id"))
+    curve = (knn.select("vec_id", "mean_dist")
+             .withColumn("idx", F.row_number().over(wall) - 1)
+             .withColumn("n", F.count("*").over(Window.partitionBy()))
+             .withColumn("ymin", F.min("mean_dist").over(Window.partitionBy()))
+             .withColumn("ymax", F.max("mean_dist").over(Window.partitionBy())))
+    diffs = curve.select(
+        "idx", "mean_dist",
+        ((F.col("idx").cast("double") / (F.col("n") - 1)) -
+         ((F.col("mean_dist") - F.col("ymin")) / (F.col("ymax") - F.col("ymin"))))
+        .alias("d"))
+    return (diffs.orderBy(F.desc("d"), F.asc("idx")).limit(1)
+            .select(F.col("idx").cast("long").alias("knee_idx"),
+                    F.round("mean_dist", 6).alias("epsilon"),
+                    F.round("d", 6).alias("max_diff")))

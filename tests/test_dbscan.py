@@ -1,0 +1,111 @@
+"""DBSCAN property tests (SURVEY.md section 5): agreement with an
+independent brute-force implementation, semantics of core/border/noise,
+and eps-monotonicity. sklearn is not available here, so the reference
+implementation is a small numpy union-find with the SAME deterministic
+semantics (min-member-id labels, min-label border adoption)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fts_errors_clustering_spark.operators.dbscan import (EPS, MIN_PTS,
+                                                          dbscan_labels)
+from fts_errors_clustering_spark.sources.readers import table
+
+from .conftest import SF_SMALL
+
+
+def numpy_dbscan(X: np.ndarray, ids: np.ndarray, eps: float, min_pts: int):
+    """Brute-force DBSCAN with min-member-id cluster labels."""
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    nb = d2 <= eps * eps  # includes self (diagonal 0)
+    core = nb.sum(1) >= min_pts
+    n = len(X)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i, j):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+
+    for i in range(n):
+        if not core[i]:
+            continue
+        for j in range(i + 1, n):
+            if core[j] and nb[i, j]:
+                union(i, j)
+
+    labels = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        if core[i]:
+            comp = [j for j in range(n) if core[j] and find(j) == find(i)]
+            labels[i] = ids[comp].min()
+    for i in range(n):
+        if not core[i]:
+            cn = [j for j in range(n) if core[j] and nb[i, j]]
+            if cn:
+                labels[i] = labels[cn].min()
+    return labels
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark):
+    rows = (table(spark, SF_SMALL, "embeddings")
+            .select("vec_id", "embedding").orderBy("vec_id").collect())
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def test_matches_bruteforce(spark, emb_np):
+    ids, X = emb_np
+    expect = numpy_dbscan(X, ids, EPS, MIN_PTS)
+    got_rows = dbscan_labels(spark, table(spark, SF_SMALL, "embeddings")).collect()
+    got = {r.vec_id: r.cluster for r in got_rows}
+    mismatches = [(i, got[i], e) for i, e in zip(ids, expect) if got[i] != e]
+    assert not mismatches, mismatches[:10]
+
+
+def test_noise_is_minus_one_and_total(spark):
+    labs = dbscan_labels(spark, table(spark, SF_SMALL, "embeddings"))
+    rows = labs.collect()
+    assert len(rows) == 500
+    assert all(r.cluster == -1 or r.cluster >= 0 for r in rows)
+
+
+def test_eps_monotonicity(spark, emb_np):
+    """Larger eps => every pair clustered together stays together (the
+    density-connected relation only grows); noise count never increases."""
+    emb = table(spark, SF_SMALL, "embeddings")
+    small = {r.vec_id: r.cluster
+             for r in dbscan_labels(spark, emb, eps=1.15).collect()}
+    big = {r.vec_id: r.cluster
+           for r in dbscan_labels(spark, emb, eps=1.25).collect()}
+    n_noise_small = sum(1 for v in small.values() if v == -1)
+    n_noise_big = sum(1 for v in big.values() if v == -1)
+    assert n_noise_big <= n_noise_small
+    by_cluster: dict[int, list[int]] = {}
+    for i, c in small.items():
+        if c >= 0:
+            by_cluster.setdefault(c, []).append(i)
+    for c, members in by_cluster.items():
+        big_labels = {big[i] for i in members}
+        assert len(big_labels) == 1 and -1 not in big_labels, (c, big_labels)
+
+
+def test_shuffled_input_same_labels(spark):
+    """FIXTURES.md C.3: labels attach by key, so an arbitrarily repartitioned
+    input must yield the identical (id -> label) mapping."""
+    emb = table(spark, SF_SMALL, "embeddings")
+    base = {r.vec_id: r.cluster for r in dbscan_labels(spark, emb).collect()}
+    shuffled = emb.repartition(13).sortWithinPartitions(F.desc("label"))
+    again = {r.vec_id: r.cluster for r in dbscan_labels(spark, shuffled).collect()}
+    assert base == again
