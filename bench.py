@@ -28,6 +28,19 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_region",
     "top_customers_per_region",
+    "cluster_stats_by_source",
+    "tfidf_top_terms",
+    "external_metrics_pseudo",
+    "knn_mean_distance",
+    "dbscan_labels",
+    "minhash_near_dups",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "ann_bruteforce_topk",
+    "doc_quality_scores",
+    "lang_id_confusion",
+    "tumbling_hourly_by_type",
+    "session_windows_6h",
 ]
 
 

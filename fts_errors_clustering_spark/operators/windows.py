@@ -1,1 +1,103 @@
-"""(stub — filled in later this round)"""
+"""Time-window operators over ``events`` — batch forms of the streaming
+extension (SURVEY.md section 2.8: the reference is daily-batch only; the
+rebuild adds tumbling/sliding/session windows). The Structured Streaming
+executions of the same plans live in ``streaming/jobs.py``; these batch
+forms are the DuckDB-oracle-checkable semantics anchor, and Spark guarantees
+``window()``/``session_window()`` behave identically in both modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec_sum, sql_dec_sum
+from ..plans.registry import register
+from ..sources.readers import table
+
+
+@register(
+    "tumbling_hourly_by_type",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, {sql_dec_sum('value', 6)} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("windows", "streaming"),
+)
+def tumbling_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows x event_type: ``F.window`` in batch mode; the
+    window struct's ``start`` equals ``date_trunc('hour')`` for
+    epoch-aligned windows (UTC session tz pinned by the reader)."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), dec_sum("value", 6).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "sum_value"))
+
+
+@register(
+    "sliding_2h_windows",
+    oracle=f"""
+    WITH slid AS (
+      SELECT date_trunc('hour', ts) - INTERVAL (o.off) HOUR AS window_start,
+             value
+      FROM events, (SELECT unnest([0, 1]) AS off) o
+    )
+    SELECT window_start, COUNT(*) AS n, {sql_dec_sum('value', 6)} AS sum_value
+    FROM slid GROUP BY window_start
+    """,
+    tags=("windows", "streaming"),
+)
+def sliding_2h_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): every event lands in exactly
+    two windows; ``F.window(ts, '2 hours', '1 hour')`` plans the expansion
+    natively (the oracle replays it as an explicit 2-offset union)."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"), dec_sum("value", 6).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "n", "sum_value"))
+
+
+@register(
+    "session_windows_6h",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 6 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    tags=("windows", "streaming"),
+)
+def session_windows_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (6h inactivity gap) per user via
+    ``F.session_window`` — batch mode; the oracle replays the classic
+    gaps-and-islands (lag + running sum) formulation. Session start = first
+    event ts; events merge while consecutive gaps are < 6h."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events"))
+
+
+@register("streaming_tumbling_hourly", oracle=None, tags=("windows", "streaming"))
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation executed as a REAL Structured Streaming
+    query (file source -> watermark -> windowed agg -> memory sink,
+    processAllAvailable). Rows-only in the driver; equality with the batch
+    plan is asserted in tests/test_streaming.py."""
+    from ..streaming.jobs import run_tumbling_stream
+    return run_tumbling_stream(spark, sf_dir)

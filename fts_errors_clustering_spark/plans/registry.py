@@ -49,6 +49,7 @@ _MODULES = (
     "fts_errors_clustering_spark.operators.textstats",
     "fts_errors_clustering_spark.operators.multimodal",
     "fts_errors_clustering_spark.operators.windows",
+    "fts_errors_clustering_spark.operators.pipelines",
 )
 
 

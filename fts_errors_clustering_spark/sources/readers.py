@@ -134,8 +134,11 @@ def read_events_json(spark: SparkSession, path: str) -> DataFrame:
 
 def read_text_log(spark: SparkSession, path: str) -> DataFrame:
     """S7 rebuild of ``reader()`` (``word2vec_dbscan_approach.ipynb:68-76``):
-    readlines + rstrip as a distributed text scan."""
-    return spark.read.text(path).select(F.rtrim(F.col("value")).alias("line"))
+    readlines + rstrip as a distributed text scan. Python ``rstrip()`` strips
+    ALL trailing whitespace (Spark's rtrim only strips spaces), hence the
+    regexp form."""
+    return spark.read.text(path).select(
+        F.regexp_replace(F.col("value"), r"\s+$", "").alias("line"))
 
 
 def fetch_pages(get_page, start: int = 1) -> Iterator[list[dict]]:

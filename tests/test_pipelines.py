@@ -1,0 +1,36 @@
+"""End-to-end pipeline invariants (the reference's flagship flows) plus the
+S5/S6 listing utilities."""
+
+from __future__ import annotations
+
+from fts_errors_clustering_spark.operators.pipelines import (
+    list_catalog_tables, list_files, pipeline_tfidf_kmeans,
+    pipeline_word2vec_dbscan)
+
+from .conftest import SF_SMALL
+
+
+def test_tfidf_kmeans_pipeline(spark):
+    row = pipeline_tfidf_kmeans(spark, SF_SMALL).collect()[0]
+    assert 1 <= row.n_clusters <= 10
+    for m in ("homogeneity", "completeness", "v_measure"):
+        assert 0.0 <= getattr(row, m) <= 1.0, (m, row)
+    assert -1.0 <= row.ari <= 1.0
+
+
+def test_word2vec_dbscan_pipeline(spark):
+    rows = pipeline_word2vec_dbscan(spark, SF_SMALL).collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == 500  # row-count stability end to end (2.9.1 regression)
+    clusters = {r.cluster for r in rows}
+    assert all(c == -1 or c >= 0 for c in clusters)
+    for r in rows:
+        if r.n_docs > 1:
+            assert 0.0 <= r.mean_similarity <= 100.0
+
+
+def test_list_files_and_catalog(spark):
+    files = list_files(spark, SF_SMALL)
+    assert any(f.endswith("events.parquet") for f in files)
+    spark.range(1).createOrReplaceTempView("t_listing_probe")
+    assert "t_listing_probe" in list_catalog_tables(spark)

@@ -1,0 +1,83 @@
+"""Source-layer tests (SURVEY.md S1-S7): REST page loop, landed-JSON scan
+with explicit schema (no inference), nested raw-event JSON, text logs."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from fts_errors_clustering_spark.sources.readers import (fetch_pages,
+                                                         land_pages,
+                                                         read_events_json,
+                                                         read_issues_json,
+                                                         read_text_log)
+
+TMP = "/root/repo/.tmp"
+
+
+def test_fetch_pages_pagination():
+    pages = {
+        1: {"results": [{"id": 1}, {"id": 2}], "next": "page2"},
+        2: {"results": [{"id": 3}], "next": None},
+    }
+    got = list(fetch_pages(lambda n: pages[n]))
+    assert got == [[{"id": 1}, {"id": 2}], [{"id": 3}]]
+
+
+def test_issues_roundtrip(spark):
+    """S1->S2->S3: land pages, scan back via explode — one row per issue,
+    no pandas append loop, no schema inference."""
+    os.makedirs(TMP, exist_ok=True)
+    path = os.path.join(TMP, "issues.json")
+    recs = [
+        {"id": 1, "message": "SOURCE [70] refused", "src_site": "A",
+         "dst_site": "B", "category": "12", "amount": 5,
+         "type": "transfer-failure", "status": "New",
+         "last_modified": "2019-08-15T01:00:05.755828+02:00"},
+        {"id": 2, "message": "", "src_site": "A", "dst_site": "C",
+         "category": "13", "amount": 1, "type": "deletion-failure",
+         "status": "New", "last_modified": "2019-08-15T02:00:00+02:00"},
+    ]
+    land_pages([recs[:1], recs[1:]], path)
+    df = read_issues_json(spark, path)
+    rows = {r.id: r for r in df.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].message.startswith("SOURCE")
+    # last_modified parsed to a real (UTC) timestamp, not kept as string
+    assert rows[1].last_modified.hour == 23  # 01:00+02:00 -> 23:00 UTC
+
+
+def test_raw_events_nested_and_partial(spark):
+    """S4 + the partial-file case (only a column subset present) — the
+    explicit nullable schema absorbs missing fields without inference."""
+    os.makedirs(TMP, exist_ok=True)
+    path = os.path.join(TMP, "raw_events.json.gz")
+    full = {"data": {"event_type": "transfer-failed", "reason": "timeout",
+                     "src_rse": "X", "dst_rse": "Y", "bytes": 10,
+                     "created_at": "2019-08-15 01:00:00"},
+            "metadata": {"timestamp": 1565830800}}
+    partial = {"data": {"event_type": "deletion-failed"}}
+    with gzip.open(path, "wt") as fh:
+        fh.write(json.dumps(full) + "\n")
+        fh.write(json.dumps(partial) + "\n")
+    df = read_events_json(spark, path)
+    flat = df.select("data.*")  # P1 flatten
+    rows = flat.collect()
+    assert len(rows) == 2
+    failed = (flat.where(F.col("event_type")
+                         .isin(["transfer-failed", "deletion-failed"]))
+              .count())
+    assert failed == 2
+    assert {r.reason for r in rows} == {"timeout", None}
+
+
+def test_text_log_reader(spark):
+    os.makedirs(TMP, exist_ok=True)
+    path = os.path.join(TMP, "log.txt")
+    with open(path, "w") as fh:
+        fh.write("line one   \nline two\t\n")
+    rows = [r.line for r in read_text_log(spark, path).collect()]
+    assert rows == ["line one", "line two"]
