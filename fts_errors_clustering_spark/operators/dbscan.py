@@ -6,11 +6,14 @@ Reference: ``daal4py.dbscan(minObservations, epsilon)`` on the collected
 word2vec_dbscan_approach.ipynb:223-233``, run at ``:30082`` with eps=20,
 minPts=5 — the notebook flags its computed eps as broken, SURVEY.md 2.9.3).
 
-Spark-first decomposition (no single-node collect):
-1. eps-neighbor pairs: self-join with distance <= eps. Exact cross-join here
-   (oracle-checkable, right up to ~10^5 points); at 100 TB swap in the LSH
-   candidate generator (``operators/similarity.py``) or a grid-cell
-   pre-partition — the downstream plan is unchanged.
+Spark-first decomposition (no single-node collect of the *graph*):
+1. eps-neighbor pairs: exact, via the broadcast-matrix numpy kernel
+   (``operators/pairwise.py`` — GEMM prune + difference-form recheck;
+   ~40x faster than the per-pair-expression cross join, whose generated
+   code trips the 64 KB JIT limit at dim=64). ``eps_pairs_exact`` below is
+   the pure-Catalyst reference form, kept for tests/small data. At 100 TB
+   swap in the LSH candidate generator (``operators/similarity.py``) —
+   the downstream plan is unchanged.
 2. core points: neighborhood size (incl. self) >= min_pts — one groupBy.
 3. components: iterative min-label propagation over core-core edges to a
    fixed point (labels only decrease; the label sum is a convergence
@@ -34,6 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import sql_sq_dist, sq_dist
 from ..plans.registry import register
 from ..sources.readers import table
+from .pairwise import eps_pairs_broadcast
 
 DIM = 64
 EPS = 1.18          # fixture-calibrated: yields a core/border/noise mix
@@ -60,7 +64,7 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
     of the density-connected component, or -1 for noise."""
     ids = emb.select(F.col(id_col).alias("id"))
     if pairs is None:
-        pairs = eps_pairs_exact(emb, id_col, vec_col, dim, eps)
+        pairs = eps_pairs_broadcast(emb, id_col, vec_col, eps)
     pairs = pairs.cache()
 
     nbc = pairs.groupBy("a").agg((F.count("*") + 1).alias("cnt"))

@@ -7,11 +7,14 @@ The reference fits ``sklearn.NearestNeighbors`` on the dense embedding
 matrix, column-sorts the distance matrix and takes per-row means, then runs
 ``kneed.KneeLocator``. Here:
 
-- M16 = self-join within ``embeddings`` + per-point window top-k + exact
-  decimal mean. Exact O(n^2) is right for the fixture scale and is
-  oracle-checkable; the 100 TB path swaps the cross-join for
+- M16 = numpy-kernel candidate pruning (``operators/pairwise.py``: n-1
+  candidates per point -> ~k, at BLAS speed) + exact re-rank of the pruned
+  pairs with the oracle-exact column expression + per-point window top-k +
+  exact decimal mean. The distance values that reach the (value-hashed)
+  output are computed by the SAME IEEE operation sequence as the DuckDB
+  oracle; the kernel only prunes. The 100 TB path swaps the kernel for
   ``BucketedRandomProjectionLSH.approxSimilarityJoin`` (see
-  operators/similarity.py) with the SAME downstream window/mean plan.
+  operators/similarity.py) with the SAME downstream re-rank/window plan.
 - M17 = the Kneedle difference-curve on the sorted means, restated as pure
   window algebra: normalize x and y to [0,1], knee = argmax(x_hat - y_hat)
   (the convex-increasing case of Kneedle; the reference's sensitivity sweep
@@ -28,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import euclidean, sql_euclidean
 from ..plans.registry import register
 from ..sources.readers import table
+from .pairwise import topk_candidate_pairs
 
 DIM = 64  # fixture embedding dimension (FIXTURES.md B3)
 
@@ -60,11 +64,13 @@ def knn_mean_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     n = emb.count()
     k = int(round(n ** 0.5))
+    cand = topk_candidate_pairs(emb, "vec_id", "embedding", k)
     a = emb.select(F.col("vec_id").alias("vec_id"),
                    F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("other_id"),
                    F.col("embedding").alias("eb"))
-    pairs = (a.join(b, F.col("vec_id") != F.col("other_id"))
+    pairs = (cand.join(F.broadcast(a), cand.a == a.vec_id)
+             .join(F.broadcast(b), cand.b == b.other_id)
              .select("vec_id", "other_id",
                      euclidean("ea", "eb", DIM).alias("dist")))
     w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("other_id"))

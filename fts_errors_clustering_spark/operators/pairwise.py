@@ -1,0 +1,128 @@
+"""Broadcast-matrix pairwise-distance kernels (Arrow-batched numpy).
+
+The naive exact form of the eps-join (M18 step 1) and kNN (M16) is a
+self-cross-join with a per-pair distance *expression*; at 64 dims the
+generated Java for that expression blows the 64 KB JIT method limit
+(whole-stage codegen falls back to interpreted mode) and the join becomes
+the whole runtime — ~134 s of a 135 s DBSCAN run at sf0.1. The reference
+pays nothing here because it holds a dense numpy matrix on one node
+(``/root/reference/notebooks/word2vec_dbscan_approach.ipynb:172-189``).
+
+This module is the Spark-shaped equivalent of that dense-matrix speed:
+
+- one side of the pair space is collected once, broadcast to executors as a
+  numpy matrix (same budget class as a broadcast-hash join build side —
+  fine to ~10^6 x 64 f32; beyond that, the LSH generator in
+  ``operators/similarity.py`` is the candidate source and this kernel
+  re-ranks per bucket);
+- the streaming side flows through ``mapInPandas`` in Arrow batches, so the
+  distance math is BLAS (one GEMM per batch-chunk), never per-row Python;
+- GEMM computes ``||a||^2 + ||b||^2 - 2ab`` which loses a few low bits to
+  cancellation, so every candidate that matters is RE-CHECKED with the
+  difference form ``sum((a-b)^2)`` before it can cross a threshold — the
+  GEMM is only ever a pruner, with a relative guard band wide enough
+  (1e-6) to cover its error (~1e-12).
+
+Exactness contract: emitted *memberships* (eps-pairs, top-k candidate sets)
+are exact w.r.t. real-number semantics up to float summation order — the
+difference-form numpy sum can disagree with a strictly left-to-right SQL
+sum in the last bits, which flips a comparison only if a pair sits within
+~1e-12 of the threshold (asserted not to happen on the fixtures in
+tests/test_dbscan.py). Distance *values* that feed value-hashed query
+output are NOT taken from this kernel — callers re-compute them with the
+oracle-exact column expressions of ``functions/vectors.py`` on the pruned
+candidate set (see operators/knn.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = ["eps_pairs_broadcast", "topk_candidate_pairs"]
+
+#: cap on floats per GEMM output chunk (rows_in_batch x chunk) ~ 64 MB
+_CHUNK_BUDGET = 8 * 1024 * 1024
+
+
+def _collect_matrix(emb: DataFrame, id_col: str, vec_col: str):
+    pdf = emb.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+    return ids, mat
+
+
+def eps_pairs_broadcast(emb: DataFrame, id_col: str, vec_col: str,
+                        eps: float) -> DataFrame:
+    """Directed exact eps-neighbor pairs (a, b), a != b,
+    ||va - vb||^2 <= eps^2. Same output as the cross-join form, at
+    dense-BLAS speed."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(_collect_matrix(emb, id_col, vec_col))
+    eps2 = float(eps) * float(eps)
+    guard = eps2 + 1e-6 * max(eps2, 1.0)
+
+    def gen(batches):
+        b_ids, B = bc.value
+        nb2 = np.einsum("ij,ij->i", B, B)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            na2 = np.einsum("ij,ij->i", A, A)
+            out_a, out_b = [], []
+            step = max(1, _CHUNK_BUDGET // max(len(A), 1))
+            for s in range(0, len(B), step):
+                Bc, bc_ids = B[s:s + step], b_ids[s:s + step]
+                g = na2[:, None] + nb2[s:s + step][None, :] - 2.0 * (A @ Bc.T)
+                ai, bi = np.nonzero(g <= guard)
+                if ai.size:
+                    d2 = np.einsum("ij,ij->i", A[ai] - Bc[bi], A[ai] - Bc[bi])
+                    keep = (d2 <= eps2) & (a_ids[ai] != bc_ids[bi])
+                    out_a.append(a_ids[ai[keep]])
+                    out_b.append(bc_ids[bi[keep]])
+            if out_a:
+                yield pd.DataFrame({
+                    "a": np.concatenate(out_a),
+                    "b": np.concatenate(out_b)})
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, "a long, b long")
+
+
+def topk_candidate_pairs(emb: DataFrame, id_col: str, vec_col: str,
+                         k: int) -> DataFrame:
+    """Candidate (a, b) pairs per point a: a SUPERSET of a's exact k nearest
+    neighbors (self excluded), pruned from n-1 to ~k by numpy distance with
+    a slack band covering GEMM error and exact-vs-numpy summation-order
+    skew. Callers re-rank with the oracle-exact distance expression."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(_collect_matrix(emb, id_col, vec_col))
+    k = int(k)
+
+    def gen(batches):
+        b_ids, B = bc.value
+        nb2 = np.einsum("ij,ij->i", B, B)
+        col_of = {int(v): i for i, v in enumerate(b_ids)}
+        step = max(1, _CHUNK_BUDGET // max(len(b_ids), 1))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A_full = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            ids_full = pdf[id_col].to_numpy(dtype=np.int64)
+            for s in range(0, len(A_full), step):
+                A, a_ids = A_full[s:s + step], ids_full[s:s + step]
+                na2 = np.einsum("ij,ij->i", A, A)
+                g = na2[:, None] + nb2[None, :] - 2.0 * (A @ B.T)
+                for i, aid in enumerate(a_ids):
+                    j = col_of.get(int(aid))
+                    if j is not None:
+                        g[i, j] = np.inf
+                kk = min(k, g.shape[1] - 1)
+                kth = np.partition(g, kk - 1, axis=1)[:, kk - 1]
+                thresh = kth * (1.0 + 1e-9) + 1e-9
+                ai, bi = np.nonzero(g <= thresh[:, None])
+                yield pd.DataFrame({"a": a_ids[ai], "b": b_ids[bi]})
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, "a long, b long")

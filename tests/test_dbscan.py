@@ -109,3 +109,30 @@ def test_shuffled_input_same_labels(spark):
     shuffled = emb.repartition(13).sortWithinPartitions(F.desc("label"))
     again = {r.vec_id: r.cluster for r in dbscan_labels(spark, shuffled).collect()}
     assert base == again
+
+
+def test_kernel_matches_catalyst_pairs(spark):
+    """The numpy broadcast kernel and the pure-Catalyst cross-join form must
+    emit the identical eps-pair set (operators/pairwise.py exactness
+    contract)."""
+    from fts_errors_clustering_spark.operators.dbscan import (DIM,
+                                                              eps_pairs_exact)
+    from fts_errors_clustering_spark.operators.pairwise import (
+        eps_pairs_broadcast)
+    emb = table(spark, SF_SMALL, "embeddings")
+    a = set(map(tuple, eps_pairs_exact(emb, "vec_id", "embedding",
+                                       DIM, EPS).collect()))
+    b = set(map(tuple, eps_pairs_broadcast(emb, "vec_id", "embedding",
+                                           EPS).collect()))
+    assert a == b
+
+
+def test_eps_boundary_margin(emb_np):
+    """No fixture pair may sit so close to the eps^2 threshold that float
+    summation order could flip its membership (pairwise.py guard-band
+    soundness: GEMM error ~1e-12 << observed margin)."""
+    ids, X = emb_np
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    off = d2[~np.eye(len(X), dtype=bool)]
+    margin = np.abs(off - EPS * EPS).min()
+    assert margin > 1e-6
