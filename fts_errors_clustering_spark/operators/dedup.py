@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import (sql_whitespace_tokens, whitespace_tokens)
+from ..functions.text import (hash32, hash32_hi, sql_hash32, sql_hash32_hi,
+                              sql_whitespace_tokens, whitespace_tokens)
 from ..plans.registry import register
 from ..sources.readers import table
 
@@ -58,6 +59,31 @@ def _tok_sql(rel: str = "corpus") -> str:
 def _tokens(df: DataFrame) -> DataFrame:
     return (df.where(F.length(F.trim("text")) > 0)
               .select("doc_id", F.explode(whitespace_tokens("text")).alias("token")))
+
+
+def _shingle_sql(rel: str = "corpus") -> str:
+    """3-token shingles per doc, distinct (DuckDB)."""
+    return f"""
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+      FROM (SELECT doc_id, {sql_whitespace_tokens('text')} AS ts
+            FROM {rel} WHERE length(trim(text)) > 0)
+      WHERE len(ts) >= 3
+    """
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """3-token shingles per doc, distinct (Spark)."""
+    toks = (df.where(F.length(F.trim("text")) > 0)
+            .select("doc_id", whitespace_tokens("text").alias("ts")))
+    n = F.size("ts")
+    idx = F.sequence(F.lit(0), n - 3)
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.col("ts").getItem(i), F.col("ts").getItem(i + 1),
+        F.col("ts").getItem(i + 2)))
+    return (toks.where(n >= 3)
+            .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh")))
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -108,17 +134,23 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash ----------------------------------------------------------------
 
+# MinHash is over 3-token SHINGLES, not unigram tokens: the fixture corpus
+# draws from a ~31-word vocabulary, so unigram token SETS of random docs
+# overlap at Jaccard ~0.6-0.8 and unigram MinHash degenerates into
+# "everything is a near-dup" (5.9M pairs at sf0.1). Shingling cubes the
+# effective vocabulary; random-pair shingle Jaccard ~0, planted dups ~0.9.
+# Hashes are Kirsch-Mitzenmacher double hashing — ONE md5 per shingle,
+# h_s = (h1 + s*h2) mod 2^32 — instead of one salted md5 per (shingle, seed).
 _MINHASH_SQL = f"""
-    toks AS ({_tok_sql()}),
-    dtoks AS (SELECT DISTINCT doc_id, token FROM toks),
-    seeds AS (SELECT CAST(s.range AS BIGINT) AS seed FROM range(0, {N_HASHES}) s),
+    shing AS ({_shingle_sql()}),
     hashed AS (
-      SELECT d.doc_id, s.seed,
-             CAST(('0x' || substr(md5('s' || CAST(s.seed AS VARCHAR) || '|' || d.token), 1, 8)) AS BIGINT) AS h
-      FROM dtoks d CROSS JOIN seeds s
+      SELECT doc_id, {sql_hash32('sh')} AS h1, {sql_hash32_hi('sh')} AS h2
+      FROM shing
     ),
-    sigs AS (SELECT doc_id, seed, MIN(h) AS minhash
-             FROM hashed GROUP BY doc_id, seed)
+    seeds AS (SELECT CAST(s.range AS BIGINT) AS seed FROM range(0, {N_HASHES}) s),
+    sigs AS (SELECT doc_id, seed,
+                    MIN((h1 + seed * h2) % 4294967296) AS minhash
+             FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed)
 """
 
 
@@ -131,17 +163,25 @@ _MINHASH_SQL = f"""
     tags=("dedup", "minhash"),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: one (doc, seed) row with the min salted-md5 hash
-    over the doc's distinct tokens. Pure explode + groupBy-min — map-side
-    combinable, no driver state."""
+    """MinHash signatures over 3-token shingles: one (doc, seed) row with
+    the double-hashed minimum. One md5 per shingle, then the {N_HASHES}
+    per-seed minima as COLUMNS of a single groupBy (map-side combinable, no
+    seed-explode of the shingle stream) unpivoted at the end — the shuffle
+    carries n_docs x {N_HASHES} integers, nothing proportional to corpus
+    size."""
     aug = _augmented(spark, sf_dir)
-    dtoks = _tokens(aug).distinct()
-    seeds = spark.range(N_HASHES).select(F.col("id").alias("seed"))
-    h = F.conv(F.substring(F.md5(F.concat(F.lit("s"), F.col("seed").cast("string"),
-                                          F.lit("|"), F.col("token"))), 1, 8),
-               16, 10).cast("long")
-    hashed = dtoks.crossJoin(F.broadcast(seeds)).select("doc_id", "seed", h.alias("h"))
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    hashed = _shingles(aug).select(
+        "doc_id", hash32("sh").alias("h1"), hash32_hi("sh").alias("h2"))
+    mins = hashed.groupBy("doc_id").agg(*[
+        F.min((F.col("h1") + s * F.col("h2")) % F.lit(4294967296))
+         .alias(f"m{s}")
+        for s in range(N_HASHES)])
+    sig = F.explode(F.array(*[
+        F.struct(F.lit(s).cast("long").alias("seed"),
+                 F.col(f"m{s}").alias("minhash"))
+        for s in range(N_HASHES)]))
+    return (mins.select("doc_id", sig.alias("kv"))
+            .select("doc_id", "kv.seed", "kv.minhash"))
 
 
 @register(
@@ -206,16 +246,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH {_AUG_SQL},
-    toks AS (
-      SELECT doc_id, {sql_whitespace_tokens('text')} AS ts
-      FROM corpus WHERE length(trim(text)) > 0
-    ),
-    shingles AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(ts) - 1),
-                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
-      FROM toks WHERE len(ts) >= 3
-    ),
+    shingles AS ({_shingle_sql()}),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
     blocked AS (
       SELECT sh FROM shingles GROUP BY sh
@@ -244,15 +275,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (caps the posting-list fanout that kills all-pairs joins at
     scale), then |intersection| / |union| >= 0.6 on the candidate set."""
     aug = _augmented(spark, sf_dir)
-    toks = (aug.where(F.length(F.trim("text")) > 0)
-            .select("doc_id", whitespace_tokens("text").alias("ts")))
-    n = F.size("ts")
-    idx = F.sequence(F.lit(0), n - 3)
-    sh = F.transform(idx, lambda i: F.concat_ws(
-        " ", F.col("ts").getItem(i), F.col("ts").getItem(i + 1),
-        F.col("ts").getItem(i + 2)))
-    shingles = (toks.where(n >= 3)
-                .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh")))
+    shingles = _shingles(aug)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     blocked = (shingles.groupBy("sh").agg(F.count("*").alias("df"))
                .where((F.col("df") >= 2) & (F.col("df") <= 50))
