@@ -43,3 +43,32 @@ def test_near_dup_pairs_contain_planted(spark):
     for r in rows:
         if (r.a, r.b) in planted:
             assert abs(r.cosine - 1.0) < 1e-6
+
+
+def test_hof_fold_bit_identical_to_explicit_chain(spark):
+    """functions/vectors.py contract: the zip_with+aggregate fold must be
+    bit-identical to the explicit left-associative sum the DuckDB oracle
+    executes (IEEE 0.0 + x is exact, fold order is left-to-right)."""
+    from functools import reduce
+
+    from fts_errors_clustering_spark.functions.vectors import sq_dist
+    from fts_errors_clustering_spark.sources.readers import table
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b")).limit(5000)
+
+    def el(c, i):
+        return F.col(c).getItem(i).cast("double")
+
+    def explicit(x, y, dim):
+        def term(i):
+            d = el(x, i) - el(y, i)
+            return d * d
+        return reduce(lambda acc, i: acc + term(i), range(1, dim), term(0))
+
+    rows = pairs.select(
+        sq_dist("va", "vb").alias("fold"),
+        explicit("va", "vb", 64).alias("chain")).collect()
+    assert all(r.fold == r.chain for r in rows)
