@@ -275,7 +275,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (caps the posting-list fanout that kills all-pairs joins at
     scale), then |intersection| / |union| >= 0.6 on the candidate set."""
     aug = _augmented(spark, sf_dir)
-    shingles = _shingles(aug)
+    # read three times below (sizes, both join sides); cache the explode
+    shingles = _shingles(aug).cache()
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     blocked = (shingles.groupBy("sh").agg(F.count("*").alias("df"))
                .where((F.col("df") >= 2) & (F.col("df") <= 50))

@@ -125,7 +125,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (rank by score desc, token asc). The per-doc L2 norm is a
     window sum over DECIMAL-cast squares so both engines produce
     bit-identical norms (see functions/numeric.py rationale)."""
-    toks = document_tokens(spark, sf_dir)
+    # four downstream aggregates read the exploded token stream; cache it
+    # once (at 100 TB this is the persisted tokenized corpus, SURVEY.md §4)
+    toks = document_tokens(spark, sf_dir).cache()
     n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
     idf = (toks.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
            .crossJoin(F.broadcast(n))

@@ -101,3 +101,15 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is asserted in tests/test_streaming.py."""
     from ..streaming.jobs import run_tumbling_stream
     return run_tumbling_stream(spark, sf_dir)
+
+
+@register("streaming_stateful_dedup", oracle=None,
+          tags=("windows", "streaming", "stateful"))
+def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    first-seen exact dedup over the planted-dup corpus, one emitted row per
+    distinct text across ALL micro-batches (duplicates arrive in later
+    batches and are swallowed by per-key state). Rows-only in the driver;
+    invariants vs the batch dedup in tests/test_streaming.py."""
+    from ..streaming.jobs import run_stateful_dedup_stream
+    return run_stateful_dedup_stream(spark, sf_dir)

@@ -68,3 +68,83 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = spark.table(name)
     out = spark.createDataFrame(rows.collect(), schema=rows.schema)
     return out
+
+
+# --- custom stateful operator: streaming first-seen dedup -------------------
+
+DEDUP_OUT_SCHEMA = "text_hash string, doc_id long"
+DEDUP_STATE_SCHEMA = "doc_id long"
+
+
+def _stage_documents_staggered(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the corpus plus planted EXACT duplicates (doc_id+100000, same
+    text — unlike dedup._augmented's near-dups, which alter the text) as
+    several sequentially written parquet files, originals first, duplicates
+    last — so with maxFilesPerTrigger=1 the duplicates arrive in LATER
+    micro-batches and cross-batch state suppression is genuinely
+    exercised."""
+    tag = "docs_" + sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(_STAGE_ROOT, tag)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        slices = [docs.where(F.col("doc_id") % 4 == part)
+                  for part in range(4)]
+        slices.append(docs.where(F.col("doc_id") < 20)
+                      .select((F.col("doc_id") + 100000).alias("doc_id"),
+                              "text"))
+        seen: set[str] = set()
+        base = 1_600_000_000  # fixed epoch; only the ORDER matters
+        for i, sl in enumerate(slices):
+            sl.coalesce(1).write.mode("append").parquet(out)
+            # FileStreamSource orders by modification time; parallel appends
+            # can land within the same clock tick, so stamp explicit,
+            # strictly increasing mtimes per staged slice
+            for f in sorted(os.listdir(out)):
+                if f.endswith(".parquet") and f not in seen:
+                    seen.add(f)
+                    os.utime(os.path.join(out, f), (base + i, base + i))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return out
+
+
+def _first_seen(key, pdfs, state):
+    """applyInPandasWithState hook: emit the group's min doc_id the first
+    time its text_hash is seen; afterwards the state swallows the group.
+    Arrow-batched; state is one long per distinct hash."""
+    import pandas as pd
+    mins = [int(p["doc_id"].min()) for p in pdfs if len(p)]
+    if state.exists or not mins:
+        return
+    first = min(mins)
+    state.update((first,))
+    yield pd.DataFrame({"text_hash": [key[0]], "doc_id": [first]})
+
+
+def run_stateful_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup as a CUSTOM STATEFUL OPERATOR
+    (``applyInPandasWithState``): key = md5(text), state = first doc_id,
+    output = one row per distinct document text, duplicates in later
+    micro-batches dropped. The streaming twin of ``dedup_exact`` —
+    at 100 TB this is the continuous-ingest dedup gate in front of a
+    training-data lake (state store scales per-key, shuffled by hash)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    staged = _stage_documents_staggered(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(staged))
+    hashed = stream.select(F.md5("text").alias("text_hash"), "doc_id")
+    deduped = (hashed.groupBy("text_hash")
+               .applyInPandasWithState(
+                   _first_seen, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA,
+                   "append", GroupStateTimeout.NoTimeout))
+    name = "dedup_" + uuid.uuid4().hex[:12]
+    q = (deduped.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name)
+    return spark.createDataFrame(rows.collect(), schema=rows.schema)

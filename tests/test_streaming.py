@@ -38,3 +38,32 @@ def test_decode_stub_contract():
         decode_image(b"\x89PNG")
     assert fake_decode_brightness(b"") == 0.0
     assert abs(fake_decode_brightness(bytes([255, 255])) - 1.0) < 1e-12
+
+
+def test_stateful_dedup_matches_batch_semantics(spark):
+    """applyInPandasWithState first-seen dedup: exactly one emission per
+    distinct text (cross-batch duplicate suppression — the planted dups are
+    staged into later micro-batches), each emitted doc_id a member of its
+    hash group."""
+    from pyspark.sql import functions as F
+
+    from fts_errors_clustering_spark.sources.readers import table
+    from fts_errors_clustering_spark.streaming.jobs import \
+        run_stateful_dedup_stream
+
+    out = run_stateful_dedup_stream(spark, SF_SMALL).collect()
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    staged = docs.unionByName(
+        docs.where(F.col("doc_id") < 20)
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    batch = staged.select(F.md5("text").alias("h"), "doc_id").collect()
+    groups = {}
+    for r in batch:
+        groups.setdefault(r.h, set()).add(r.doc_id)
+    assert len(out) == len(groups)          # one emission per distinct text
+    assert {r.text_hash for r in out} == set(groups)
+    for r in out:
+        assert r.doc_id in groups[r.text_hash]
+    # the planted duplicates (doc_id >= 100000) arrive in the LAST file;
+    # their originals were already seen, so no +100000 id may be emitted
+    assert all(r.doc_id < 100000 for r in out)
