@@ -15,11 +15,13 @@ Spark-first decomposition (no single-node collect of the *graph*):
    swap in the LSH candidate generator (``operators/similarity.py``) —
    the downstream plan is unchanged.
 2. core points: neighborhood size (incl. self) >= min_pts — one groupBy.
-3. components: iterative min-label propagation over core-core edges to a
-   fixed point (labels only decrease; the label sum is a convergence
-   certificate). Iterations ~ graph diameter; each step localCheckpoints to
-   truncate lineage. (The two-phase large-star/small-star variant of
-   connected components is the drop-in for adversarially deep graphs.)
+3. components: iterative min-label propagation over core-core edges,
+   with POINTER-HALVING each round (labels additionally jump to their
+   label's label), so convergence takes O(log diameter) rounds instead of
+   O(diameter) — the property that keeps chain-shaped clusters from
+   serializing the job at 100 TB. Labels only decrease; the label sum is
+   the convergence certificate; each step localCheckpoints to truncate
+   lineage.
 4. borders: non-core points adopt the MINIMUM component label among their
    core neighbors — deterministic, unlike sklearn's insertion-order
    assignment (documented delta, asserted in tests).
@@ -86,6 +88,16 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
                   .select(labels.id,
                           F.least(F.col("lbl"),
                                   F.coalesce(F.col("nlbl"), F.col("lbl")))
+                           .alias("lbl")))
+        # pointer-halving: adopt the current label OF my label (labels are
+        # core-point ids, so they key back into this same table) — doubles
+        # the propagation horizon per round
+        jump = labels.select(F.col("id").alias("pid"),
+                             F.col("lbl").alias("plbl"))
+        labels = (labels.join(jump, labels.lbl == jump.pid, "left")
+                  .select(labels.id,
+                          F.least(F.col("lbl"),
+                                  F.coalesce(F.col("plbl"), F.col("lbl")))
                            .alias("lbl"))
                   .localCheckpoint())
         cur = labels.agg(F.sum("lbl")).first()[0]
