@@ -1,0 +1,116 @@
+"""Scale smoke: up-sample the sf0.1 fixtures 10x (~sf1) and measure the
+hot operators' scaling behaviour.
+
+Correctness is gated at sf0.01 by the DuckDB oracle; this script answers
+the OTHER question — does each plan's runtime grow like its design says it
+should (linear for scans/aggs/banded dedup, near-linear for kernel-pruned
+vector ops) — with measurements instead of claims. Synthetic inputs live
+under .tmp/ and are used ONLY here, never by the driver-facing queries.
+
+Up-sampling (replica k of 10, deterministic):
+- events: user_id/event_id offset, ts shifted +k days -> 1,000,000 rows
+- documents: doc_id offset, text salted with a replica token (so replicas
+  are NEAR-dups, not exact dups — a real dedup workload) -> 50,200 docs
+- embeddings: vec_id offset, vectors jittered +k*1e-4 per coordinate
+  (preserves eps-neighborhood structure without exact collisions)
+  -> 20,000 vectors
+
+Run: python scripts/scale_smoke.py  (prints one JSON line per query with
+sf0.1 vs 10x wall seconds and the ratio).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from fts_errors_clustering_spark.plans.registry import all_queries
+from fts_errors_clustering_spark.session import get_spark
+from fts_errors_clustering_spark.sources.readers import table
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/root/repo/.tmp/scale10x"
+REPLICAS = 10
+
+#: headline subset that touches only the up-sampled tables
+QUERIES = [
+    "flagship_top_error_users",    # events: filter+agg+topN
+    "count_filtered_events",       # events: scan+count
+    "tumbling_hourly_by_type",     # events: windowed agg
+    "tfidf_top_terms",             # documents: explode+agg+window
+    "doc_quality_scores",          # documents: column algebra
+    "minhash_near_dups",           # documents: sketch+band join
+    "ngram_jaccard_pairs",         # documents: blocked join
+    "knn_mean_distance",           # embeddings: kernel+rerank
+    "dbscan_labels",               # embeddings: kernel+propagation
+    "ann_bruteforce_topk",         # embeddings: broadcast scan
+]
+
+
+def stage(spark) -> None:
+    if os.path.exists(os.path.join(OUT, "_STAGED")):
+        return
+    reps = F.explode(F.array(*[F.lit(k) for k in range(REPLICAS)])).alias("k")
+
+    ev = table(spark, SRC, "events").withColumn("k", reps)
+    (ev.select(
+        (F.col("event_id") + F.col("k") * 10_000_000).alias("event_id"),
+        (F.col("user_id") + F.col("k") * 1_000_000).alias("user_id"),
+        "event_type",
+        (F.col("ts") + F.make_interval(days=F.col("k"))).alias("ts"),
+        "value", "props")
+     .write.mode("overwrite").parquet(os.path.join(OUT, "events.parquet")))
+
+    docs = table(spark, SRC, "documents").withColumn("k", reps)
+    (docs.select(
+        (F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"),
+        F.when(F.col("k") == 0, F.col("text"))
+         .otherwise(F.concat("text", F.lit(" rep"),
+                             F.col("k").cast("string"))).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text", "k")])
+     .write.mode("overwrite").parquet(os.path.join(OUT, "documents.parquet")))
+
+    emb = table(spark, SRC, "embeddings").withColumn("k", reps)
+    jitter = F.transform("embedding",
+                         lambda x: x + F.col("k").cast("float") * 1e-4)
+    (emb.select(
+        (F.col("vec_id") + F.col("k") * 1_000_000).alias("vec_id"),
+        jitter.alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding", "k")])
+     .write.mode("overwrite").parquet(os.path.join(OUT, "embeddings.parquet")))
+
+    with open(os.path.join(OUT, "_STAGED"), "w") as fh:
+        fh.write("ok")
+
+
+def main() -> None:
+    spark = get_spark("scale-smoke")
+    spark.range(1).count()
+    stage(spark)
+    defs = all_queries()
+    results = {}
+    for name in QUERIES:
+        fn = defs[name].fn
+        t0 = time.perf_counter()
+        n_small = fn(spark, SRC).count()
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_big = fn(spark, OUT).count()
+        t_big = time.perf_counter() - t0
+        results[name] = {
+            "sf0.1_sec": round(t_small, 2), "x10_sec": round(t_big, 2),
+            "ratio": round(t_big / max(t_small, 1e-9), 1),
+            "rows_small": n_small, "rows_big": n_big,
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+    print(json.dumps({"metric": "scale_smoke_10x", "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
