@@ -44,10 +44,12 @@ def external_cluster_metrics(assigned: DataFrame, label_col: str,
     (n*(n-1) in BIGINT), exact by construction.
     """
     pts = assigned.select(F.col(label_col).alias("c"), F.col(pred_col).alias("k"))
-    n = pts.agg(F.count("*").alias("n"))
-    cont = pts.groupBy("c", "k").agg(F.count("*").alias("nij"))
-    a = pts.groupBy("c").agg(F.count("*").alias("ai"))
-    b = pts.groupBy("k").agg(F.count("*").alias("bj"))
+    # eight downstream aggregates branch off the contingency table; reduce
+    # them all to ONE scan of the input by deriving n/a/b from cached cont
+    cont = pts.groupBy("c", "k").agg(F.count("*").alias("nij")).cache()
+    n = cont.agg(F.sum("nij").alias("n"))
+    a = cont.groupBy("c").agg(F.sum("nij").alias("ai"))
+    b = cont.groupBy("k").agg(F.sum("nij").alias("bj"))
 
     hc = (a.crossJoin(F.broadcast(n))
           .agg((-_dec_term_sum((F.col("ai") / F.col("n")) *
