@@ -514,3 +514,36 @@ def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_shipdate > F.date_add(o.o_orderdate, 90)))
     return (o.join(li, cond, "left_semi")
              .groupBy("o_orderpriority").agg(F.count("*").alias("n_orders")))
+
+
+@register(
+    "brand_revenue_by_nation",
+    oracle=f"""
+    SELECT p.p_brand, n.n_name,
+           {sql_dec_sum('l.l_extendedprice * (1.0 - l.l_discount)', 6)} AS revenue,
+           {sql_dec_sum('l.l_quantity', 2)} AS sum_qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size <= 25
+    GROUP BY p.p_brand, n.n_name
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def brand_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join over the remaining dims: fact lineitem joins BROADCAST
+    part/supplier/nation (dim sides are orders-of-magnitude smaller — at
+    100 TB the fact side streams, dims ship once per executor), with the
+    p_size predicate pushed below the join so pruned parts never join."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_size") <= 25)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+             .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .groupBy("p_brand", "n_name")
+             .agg(dec_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6)
+                  .alias("revenue"),
+                  dec_sum("l_quantity", 2).alias("sum_qty")))
