@@ -71,9 +71,13 @@ def dec_std(col: Column | str, scale: int = 4) -> Column:
 
 
 def sql_dec_std(expr: str, scale: int = 4) -> str:
+    # DECIMAL(19) operands force DuckDB onto int128 decimal multiply
+    # (DECIMAL(18)*DECIMAL(18) overflows int64 for measures >= ~1e5); the
+    # product is exact either way, so Spark's 18-digit operands (whose
+    # product stays within precision 38) yield the identical value.
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     s = sql_dec_sum(expr, scale)
-    ssq = (f"CAST(CAST(SUM(CAST(CAST({expr} AS DECIMAL(18,{scale})) * "
-           f"CAST({expr} AS DECIMAL(18,{scale})) AS DECIMAL({_PREC + 6},{2 * scale}))) "
+    ssq = (f"CAST(CAST(SUM(CAST(CAST({expr} AS DECIMAL(19,{scale})) * "
+           f"CAST({expr} AS DECIMAL(19,{scale})) AS DECIMAL({_PREC + 6},{2 * scale}))) "
            f"AS VARCHAR) AS DOUBLE)")
     return f"SQRT((({ssq}) - ({s}) * ({s}) / ({n})) / (({n}) - 1.0))"

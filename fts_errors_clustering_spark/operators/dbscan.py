@@ -190,3 +190,25 @@ def dbscan_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_clusters"),
         F.count(F.when(F.col("cluster") == -1, 1)).alias("n_noise"),
         F.count("*").alias("n_points"))
+
+
+@register("dbscan_labels_lsh", oracle=None, tags=("clustering", "dbscan", "ml"))
+def dbscan_labels_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18 with the 100 TB candidate generator swapped in: eps-pairs from
+    ``BucketedRandomProjectionLSH.approxSimilarityJoin`` instead of the
+    broadcast kernel — the SAME downstream core/propagation/border plan
+    (the swap this module's header promises). Rows-only in the driver;
+    agreement with exact DBSCAN asserted in tests/test_dbscan.py."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    emb = table(spark, sf_dir, "embeddings")
+    feat = emb.select("vec_id", array_to_vector("embedding").alias("features"))
+    lsh = BucketedRandomProjectionLSH(inputCol="features", outputCol="hashes",
+                                      bucketLength=1.0, numHashTables=6,
+                                      seed=42)
+    model = lsh.fit(feat)
+    pairs = (model.approxSimilarityJoin(feat, feat, EPS, distCol="dist")
+             .select(F.col("datasetA.vec_id").alias("a"),
+                     F.col("datasetB.vec_id").alias("b"))
+             .where(F.col("a") != F.col("b")))
+    return dbscan_labels(spark, emb, pairs=pairs)

@@ -49,6 +49,8 @@ _CHUNK_BUDGET = 8 * 1024 * 1024
 def _collect_matrix(emb: DataFrame, id_col: str, vec_col: str):
     pdf = emb.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
+    if len(pdf) == 0:
+        return ids, np.zeros((0, 1), dtype=np.float64)
     mat = np.array(pdf[vec_col].to_list(), dtype=np.float64)
     return ids, mat
 
@@ -65,6 +67,8 @@ def eps_pairs_broadcast(emb: DataFrame, id_col: str, vec_col: str,
 
     def gen(batches):
         b_ids, B = bc.value
+        if len(b_ids) == 0:
+            return
         nb2 = np.einsum("ij,ij->i", B, B)
         for pdf in batches:
             if not len(pdf):
@@ -103,6 +107,8 @@ def topk_candidate_pairs(emb: DataFrame, id_col: str, vec_col: str,
 
     def gen(batches):
         b_ids, B = bc.value
+        if len(b_ids) < 2 or k < 1:  # no non-self neighbor can exist
+            return
         nb2 = np.einsum("ij,ij->i", B, B)
         col_of = {int(v): i for i, v in enumerate(b_ids)}
         step = max(1, _CHUNK_BUDGET // max(len(b_ids), 1))

@@ -547,3 +547,41 @@ def brand_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(dec_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6)
                   .alias("revenue"),
                   dec_sum("l_quantity", 2).alias("sum_qty")))
+
+
+_SUMMARY_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "summary_all_numeric",
+    oracle=" UNION ALL ".join(f"""
+    SELECT '{c}' AS column_name, COUNT({c}) AS n,
+           {sql_dec_avg(c, 6)} AS mean_val,
+           {sql_dec_std(c, 6)} AS std_val,
+           MIN({c}) AS min_val, MAX({c}) AS max_val
+    FROM lineitem""" for c in _SUMMARY_COLS),
+    tags=("relational",),
+)
+def summary_all_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 in full: ``describe()`` across EVERY numeric measure at once —
+    all per-column aggregates computed in ONE scan (the reference's 72 s
+    describe() over 59 columns is one pass too, SURVEY.md §6), then
+    unpivoted to the classic one-row-per-column layout."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _SUMMARY_COLS:
+        aggs += [F.count(c).alias(f"{c}__n"),
+                 dec_avg(c, 6).alias(f"{c}__mean"),
+                 dec_std(c, 6).alias(f"{c}__std"),
+                 F.min(c).alias(f"{c}__min"),
+                 F.max(c).alias(f"{c}__max")]
+    wide = li.agg(*aggs)
+    per_col = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col(f"{c}__n").alias("n"),
+                 F.col(f"{c}__mean").alias("mean_val"),
+                 F.col(f"{c}__std").alias("std_val"),
+                 F.col(f"{c}__min").alias("min_val"),
+                 F.col(f"{c}__max").alias("max_val"))
+        for c in _SUMMARY_COLS]))
+    return wide.select(per_col.alias("s")).select("s.*")

@@ -136,3 +136,18 @@ def test_eps_boundary_margin(emb_np):
     off = d2[~np.eye(len(X), dtype=bool)]
     margin = np.abs(off - EPS * EPS).min()
     assert margin > 1e-6
+
+
+def test_lsh_dbscan_agrees_with_exact(spark):
+    """The LSH-candidate DBSCAN (the at-scale pair generator) must agree
+    with exact DBSCAN on nearly every point — missed eps-edges can only
+    split/relabel a small fraction."""
+    from fts_errors_clustering_spark.operators.dbscan import (
+        dbscan_labels_lsh, dbscan_labels_query)
+    exact = {r.vec_id: r.cluster
+             for r in dbscan_labels_query(spark, SF_SMALL).collect()}
+    lsh = {r.vec_id: r.cluster
+           for r in dbscan_labels_lsh(spark, SF_SMALL).collect()}
+    assert exact.keys() == lsh.keys()
+    agree = sum(1 for k in exact if exact[k] == lsh[k])
+    assert agree / len(exact) >= 0.95
