@@ -35,6 +35,7 @@ HEADLINE = [
     "dbscan_labels",
     "minhash_near_dups",
     "simhash_signatures",
+    "simhash_near_dups",
     "ngram_jaccard_pairs",
     "ann_bruteforce_topk",
     "doc_quality_scores",

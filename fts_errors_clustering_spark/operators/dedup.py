@@ -375,3 +375,86 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id",
                        _simhash_assemble("s").alias("simhash_lo"),
                        hi.alias("simhash_hi"))
+
+
+# --- SimHash near-dup detector ---------------------------------------------
+
+HAM_MAX = 3  # 4 x 16-bit bands are candidate-COMPLETE for hamming <= 3
+
+
+def _shingle_simhash(df: DataFrame) -> DataFrame:
+    """64-bit SimHash over 3-token SHINGLES (unigram simhash suffers the
+    same degeneracy as unigram minhash on this corpus — see _MINHASH_SQL
+    note): (doc_id, lo, hi) with two 32-bit halves."""
+    hashed = _shingles(df).select(
+        "doc_id", hash32("sh").alias("h1"), hash32_hi("sh").alias("h2"))
+    aggs = (_simhash_half("h1") +
+            [F.sum(F.when(F.shiftright(F.col("h2"), b).bitwiseAND(F.lit(1)) == 1,
+                          1).otherwise(-1)).alias(f"t{b}") for b in range(32)])
+    sums = hashed.groupBy("doc_id").agg(*aggs)
+    return sums.select("doc_id",
+                       _simhash_assemble("s").alias("lo"),
+                       _simhash_assemble("t").alias("hi"))
+
+
+_SIMHASH_SHINGLE_SQL = f"""
+    shing AS ({_shingle_sql()}),
+    hashed AS (
+      SELECT doc_id, {sql_hash32('sh')} AS h1, {sql_hash32_hi('sh')} AS h2
+      FROM shing
+    ),
+    sums AS (
+      SELECT doc_id,
+             {_sql_simhash_half('h1')},
+             {', '.join(f"SUM(CASE WHEN ((h2 >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS t{b}" for b in range(32))}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, {_sql_simhash_assemble()} AS lo,
+             {' + '.join(f"(CASE WHEN t{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(32))} AS hi
+      FROM sums
+    )
+"""
+
+
+@register(
+    "simhash_near_dups",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_SIMHASH_SHINGLE_SQL}
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(CAST(a.lo AS BIT), CAST(b.lo AS BIT))) +
+                bit_count(xor(CAST(a.hi AS BIT), CAST(b.hi AS BIT))) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(CAST(a.lo AS BIT), CAST(b.lo AS BIT))) +
+          bit_count(xor(CAST(a.hi AS BIT), CAST(b.hi AS BIT))) <= {HAM_MAX}
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: shingle-simhash, band the 64 bits into
+    4 x 16-bit keys, bucket-join per band (pigeonhole: any pair within
+    hamming {HAM_MAX} shares >= 1 untouched band, so candidates are
+    COMPLETE), then the exact popcount filter. The oracle brute-forces
+    all pairs — identical result, which is precisely the banding-is-
+    lossless claim under test."""
+    aug = _augmented(spark, sf_dir)
+    sigs = _shingle_simhash(aug).cache()
+    halves = [("lo", 0), ("lo", 16), ("hi", 0), ("hi", 16)]
+    bands = sigs.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftright(F.col(c), s).bitwiseAND(F.lit(0xFFFF)).alias("val"))
+        for i, (c, s) in enumerate(halves)])).alias("kv")
+    ).select("doc_id", "kv.band", "kv.val")
+    b1 = bands.select(F.col("doc_id").alias("a"), "band", "val")
+    b2 = bands.select(F.col("doc_id").alias("b"), "band", "val")
+    cand = (b1.join(b2, ["band", "val"]).where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    s1 = sigs.select(F.col("doc_id").alias("a"),
+                     F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"))
+    s2 = sigs.select(F.col("doc_id").alias("b"),
+                     F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"))
+    ham = (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) +
+           F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))).cast("long")
+    return (cand.join(s1, "a").join(s2, "b")
+            .select("a", "b", ham.alias("hamming"))
+            .where(F.col("hamming") <= HAM_MAX))
