@@ -585,3 +585,79 @@ def summary_all_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col(f"{c}__max").alias("max_val"))
         for c in _SUMMARY_COLS]))
     return wide.select(per_col.alias("s")).select("s.*")
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational",),
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, bit-identical on the
+    fixtures). The at-scale variant is ``approx_distinct_and_quantiles``
+    below — exact percentile is a full sort per group."""
+    ev = table(spark, sf_dir, "events")
+    p = F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.99))")
+    return (ev.groupBy("event_type").agg(p.alias("p"))
+            .select("event_type",
+                    F.col("p").getItem(0).alias("p25"),
+                    F.col("p").getItem(1).alias("p50"),
+                    F.col("p").getItem(2).alias("p75"),
+                    F.col("p").getItem(3).alias("p99")))
+
+
+@register("approx_distinct_and_quantiles", oracle=None, tags=("relational", "approx"))
+def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB forms of A8/percentiles: HyperLogLog++ distinct count and
+    t-digest-style approximate percentiles — sketches merge associatively,
+    so these aggregate in one pass with bounded memory where the exact
+    forms need a full shuffle/sort. Error bound vs exact asserted in
+    tests/test_empty_inputs.py's sibling (test_approx_bounds)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        F.expr("percentile(value, 0.5)").alias("exact_median"))
+
+
+@register(
+    "interval_join_prior_events",
+    oracle="""
+    SELECT e1.event_id,
+           COUNT(e2.event_id) AS n_prior_1h
+    FROM events e1
+    LEFT JOIN events e2
+      ON e2.user_id = e1.user_id
+     AND e2.ts >= e1.ts - INTERVAL 1 HOUR
+     AND e2.ts < e1.ts
+    WHERE e1.event_type = 'error'
+    GROUP BY e1.event_id
+    """,
+    tags=("relational", "join", "interval"),
+)
+def interval_join_prior_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (the as-of/range-join family): for every
+    error event, how many events the same user produced in the preceding
+    hour. Equi-join on user_id carries the shuffle; the time range is a
+    post-join filter — at 100 TB this is bucketed/sorted by (user_id, ts)
+    at rest so the range probe stays within co-located sorted runs."""
+    ev = table(spark, sf_dir, "events")
+    e1 = (ev.where(F.col("event_type") == "error")
+          .select(F.col("event_id"), F.col("user_id").alias("u1"),
+                  F.col("ts").alias("t1")))
+    e2 = ev.select(F.col("user_id").alias("u2"), F.col("ts").alias("t2"))
+    cond = ((F.col("u2") == F.col("u1")) &
+            (F.col("t2") >= F.col("t1") - F.expr("INTERVAL 1 HOUR")) &
+            (F.col("t2") < F.col("t1")))
+    return (e1.join(e2, cond, "left")
+            .groupBy("event_id")
+            .agg(F.count(F.col("t2")).alias("n_prior_1h")))

@@ -34,3 +34,13 @@ def test_entry_contract(spark):
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert "flagship_top_error_users" in q
+
+
+def test_approx_bounds(spark):
+    """HLL++/t-digest sketches must land within their configured error of
+    the exact aggregates (approx_distinct_and_quantiles)."""
+    from fts_errors_clustering_spark.plans.registry import all_queries
+    r = (all_queries()["approx_distinct_and_quantiles"]
+         .fn(spark, SF_SMALL).first())
+    assert abs(r.approx_users - r.exact_users) / max(r.exact_users, 1) <= 0.05
+    assert abs(r.approx_median - r.exact_median) / max(abs(r.exact_median), 1e-9) <= 0.05
