@@ -113,3 +113,14 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants vs the batch dedup in tests/test_streaming.py."""
     from ..streaming.jobs import run_stateful_dedup_stream
     return run_stateful_dedup_stream(spark, sf_dir)
+
+
+@register("streaming_interval_join", oracle=None,
+          tags=("windows", "streaming", "join"))
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join (streaming twin of
+    ``interval_join_prior_events``; inner — unmatched errors absent).
+    Rows-only in the driver; equality with the batch join's non-zero rows
+    asserted in tests/test_streaming.py."""
+    from ..streaming.jobs import run_stream_stream_join
+    return run_stream_stream_join(spark, sf_dir)

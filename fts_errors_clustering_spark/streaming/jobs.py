@@ -148,3 +148,41 @@ def run_stateful_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     rows = spark.table(name)
     return spark.createDataFrame(rows.collect(), schema=rows.schema)
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: error events joined to the
+    SAME user's events in the preceding hour — the streaming twin of the
+    batch ``interval_join_prior_events``. Both sides carry a watermark and
+    the join condition bounds event time on both sides, so state retention
+    is finite (Spark can drop buffered rows older than watermark + range).
+    Returns (event_id, n_prior_1h) aggregated from the joined pairs."""
+    staged = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+
+    err = (spark.readStream.schema(schema).parquet(staged)
+           .where(F.col("event_type") == "error")
+           .select(F.col("event_id"), F.col("user_id").alias("u1"),
+                   F.col("ts").alias("t1"))
+           .withWatermark("t1", "2 hours"))
+    ev = (spark.readStream.schema(schema).parquet(staged)
+          .select(F.col("user_id").alias("u2"), F.col("ts").alias("t2"))
+          .withWatermark("t2", "2 hours"))
+    joined = err.join(
+        ev,
+        (F.col("u2") == F.col("u1")) &
+        (F.col("t2") >= F.col("t1") - F.expr("INTERVAL 1 HOUR")) &
+        (F.col("t2") < F.col("t1")),
+        "inner")
+
+    name = "ssjoin_" + uuid.uuid4().hex[:12]
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = spark.table(name)
+    out = (pairs.groupBy("event_id")
+           .agg(F.count("*").cast("long").alias("n_prior_1h")))
+    return spark.createDataFrame(out.collect(), schema=out.schema)

@@ -67,3 +67,20 @@ def test_stateful_dedup_matches_batch_semantics(spark):
     # the planted duplicates (doc_id >= 100000) arrive in the LAST file;
     # their originals were already seen, so no +100000 id may be emitted
     assert all(r.doc_id < 100000 for r in out)
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Watermarked stream-stream interval join == batch interval join on
+    the same fixture (restricted to errors with at least one prior event,
+    since the streaming side is an inner join)."""
+    from fts_errors_clustering_spark.operators.relational import \
+        interval_join_prior_events
+    from fts_errors_clustering_spark.streaming.jobs import \
+        run_stream_stream_join
+
+    batch = {r.event_id: r.n_prior_1h
+             for r in interval_join_prior_events(spark, SF_SMALL).collect()
+             if r.n_prior_1h > 0}
+    stream = {r.event_id: r.n_prior_1h
+              for r in run_stream_stream_join(spark, SF_SMALL).collect()}
+    assert stream == batch
