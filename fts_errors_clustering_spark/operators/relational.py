@@ -661,3 +661,66 @@ def interval_join_prior_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e1.join(e2, cond, "left")
             .groupBy("event_id")
             .agg(F.count(F.col("t2")).alias("n_prior_1h")))
+
+
+@register(
+    "rollup_event_counts",
+    oracle="""
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(user_id % 10 AS VARCHAR), '(all)') AS user_bucket,
+           COUNT(*) AS n,
+           CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 10) AS BIGINT)
+             AS grouping_level
+    FROM events
+    GROUP BY ROLLUP (event_type, user_id % 10)
+    """,
+    tags=("relational", "olap"),
+)
+def rollup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup (GROUPING SETS family): counts at (type, bucket),
+    (type), and () levels in one pass — Catalyst expands the sets, partial
+    aggregation still applies, so this is ONE shuffle, not three jobs."""
+    ev = (table(spark, sf_dir, "events")
+          .withColumn("user_bucket", (F.col("user_id") % 10).cast("string")))
+    return (ev.rollup("event_type", "user_bucket")
+            .agg(F.count("*").alias("n"),
+                 (F.grouping("event_type") * 2 +
+                  F.grouping("user_bucket")).cast("long")
+                 .alias("grouping_level"))
+            .select(F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+                    F.coalesce("user_bucket", F.lit("(all)")).alias("user_bucket"),
+                    "n", "grouping_level"))
+
+
+@register(
+    "user_event_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(prev_ts) AS n_gaps,
+           CAST(MAX(epoch_us(ts) - epoch_us(prev_ts)) / 1000000 AS DOUBLE)
+             AS max_gap_s
+    FROM g GROUP BY user_id
+    """,
+    tags=("relational", "window"),
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window family: per-user inter-event gap stats (the
+    gaps-and-islands primitive under sessionization). One window shuffle
+    partitioned by user — the same partitioning the session_window agg
+    uses, so at scale the two share an exchange."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    g = ev.select("user_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+    # gap math stays integral (microseconds) until one final double divide,
+    # mirroring the oracle exactly — float-subtracting fractional seconds
+    # rounds differently
+    gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    return (g.groupBy("user_id")
+            .agg(F.count("prev_ts").alias("n_gaps"),
+                 (F.max(gap_us).cast("double") / F.lit(1000000.0))
+                 .alias("max_gap_s")))
