@@ -171,3 +171,22 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (docs.where(F.length(F.trim("text")) > 0)
             .select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens")))
+
+
+@register("stratified_doc_sample", oracle=None, tags=("textstats", "sampling"))
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (class-balanced) sampling by language — the curation
+    primitive that rebalances a training corpus: per-stratum Bernoulli
+    fractions via ``sampleBy`` (seeded; executor-local RNG, no shuffle).
+    Rows-only in the driver (RNG streams are engine-specific); per-stratum
+    proportion bounds asserted in tests/test_properties.py."""
+    docs = table(spark, sf_dir, "documents")
+    # downsample the majority classes, keep the rest
+    counts = {r.lang: r.cnt for r in
+              docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    target = min(counts.values()) if counts else 0
+    fractions = {l: min(1.0, target / c) for l, c in counts.items()}
+    sample = docs.sampleBy("lang", fractions, seed=42)
+    return (sample.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+            .join(docs.groupBy("lang").agg(F.count("*").alias("n_total")),
+                  "lang"))

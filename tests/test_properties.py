@@ -83,3 +83,18 @@ def test_fuzz_ratio_bounds_and_identity(spark, batch):
     for r in rows:
         assert 0.0 <= r.ab <= 100.0
         assert r.aa == 100.0
+
+
+def test_stratified_sample_balances(spark):
+    """sampleBy with per-class fractions must land every class within
+    binomial noise of the minority-class target (class-balancing
+    contract of stratified_doc_sample)."""
+    from fts_errors_clustering_spark.operators.textstats import \
+        stratified_doc_sample
+
+    rows = stratified_doc_sample(spark, "/root/testdata/sf0.01").collect()
+    target = min(r.n_total for r in rows)
+    for r in rows:
+        # expected ~target; allow 5 sigma of Binomial(n_total, target/n_total)
+        sigma = (target * (1 - target / r.n_total)) ** 0.5
+        assert abs(r.n_sampled - target) <= max(5 * sigma, 10), r
