@@ -39,6 +39,7 @@ _REGISTRY: dict[str, QueryDef] = {}
 #: operator modules; imported lazily so `import plans.registry` stays cheap
 _MODULES = (
     "fts_errors_clustering_spark.operators.relational",
+    "fts_errors_clustering_spark.operators.asof",
     "fts_errors_clustering_spark.operators.textprep",
     "fts_errors_clustering_spark.operators.tfidf",
     "fts_errors_clustering_spark.operators.clustering",
