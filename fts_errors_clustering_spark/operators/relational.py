@@ -724,3 +724,59 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("prev_ts").alias("n_gaps"),
                  (F.max(gap_us).cast("double") / F.lit(1000000.0))
                  .alias("max_gap_s")))
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("relational", "join"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers that never placed an order — the
+    one join type the matrix lacked. The orders side is reduced to distinct
+    keys BEFORE the join, so the anti probe carries one long per order-key
+    instead of the fact table's full width; at 100 TB that distinct is a
+    map-side-combined agg and the anti-join shuffles keys only."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    okeys = (table(spark, sf_dir, "orders")
+             .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    return cust.join(okeys, "c_custkey", "left_anti")
+
+
+@register(
+    "value_decile_summary",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, value, event_id,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+    FROM d GROUP BY 1, 2
+    """,
+    tags=("relational", "window"),
+)
+def value_decile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window family: per-type decile boundaries of ``value``
+    (min/max/count per bucket — exact, no float sums). Ties broken by
+    event_id so both engines assign identical buckets. Scale note: a
+    per-key ntile funnels each key's rows through one task; for a global
+    or hot-key decile cut at 100 TB use approx_percentile cut points
+    (``approx_distinct_and_quantiles``) instead — this query is the exact
+    semantics anchor."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"),
+                                                 F.asc("event_id"))
+    d = ev.select("event_type", "value",
+                  F.ntile(10).over(w).cast("long").alias("decile"))
+    return (d.groupBy("event_type", "decile")
+            .agg(F.count("*").alias("n"),
+                 F.min("value").alias("lo"),
+                 F.max("value").alias("hi")))
