@@ -1,0 +1,46 @@
+"""Parquet sinks shaped for 100 TB reads, not just writes.
+
+The reference only ever lands JSON page dumps (``fetch_fts_errors.py:34-41``
+→ ``land_pages`` here); a training-data pipeline also needs the OUTPUT side
+of the lake to be scan-efficient. Two concerns drive the layout:
+
+- **partition pruning**: writing ``partitionBy(key)`` turns every later
+  ``WHERE key = ...`` into a directory prune — the scan never opens the
+  other partitions' files;
+- **file sizing + row-group order**: ``repartition(n, key)`` bounds the
+  file count per partition value (one task → one file per value it holds,
+  so n caps parallel-write memory AND avoids the many-tiny-files problem),
+  and ``sortWithinPartitions`` clusters row groups so min/max column stats
+  make point/range predicates skip whole row groups on read.
+
+Both knobs are declarative — Catalyst still plans the write — and neither
+touches driver memory, so the same call shape works for a 60 k-row fixture
+and a 100 TB table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["write_partitioned_parquet"]
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    out_path: str,
+    partition_by: str,
+    sort_by: list[str] | None = None,
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a hive-partitioned parquet dataset.
+
+    ``files_per_partition`` scales write parallelism for big partition
+    values (salting the task split without changing the directory layout);
+    ``sort_by`` orders rows inside each file so parquet row-group min/max
+    stats prune reads on those columns.
+    """
+    shaped = df.repartition(files_per_partition, partition_by)
+    if sort_by:
+        shaped = shaped.sortWithinPartitions(partition_by, *sort_by)
+    shaped.write.mode(mode).partitionBy(partition_by).parquet(out_path)

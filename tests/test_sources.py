@@ -81,3 +81,39 @@ def test_text_log_reader(spark):
         fh.write("line one   \nline two\t\n")
     rows = [r.line for r in read_text_log(spark, path).collect()]
     assert rows == ["line one", "line two"]
+
+
+def test_partitioned_parquet_sink(spark):
+    """Sink layout: hive partition dirs per key, bounded file count, rows
+    sorted inside files, and a partition-pruned read path (the filtered
+    scan's file list only touches the matching directory)."""
+    from fts_errors_clustering_spark.sources.sinks import write_partitioned_parquet
+
+    os.makedirs(TMP, exist_ok=True)
+    out = os.path.join(TMP, "sink_parquet")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i * 7 % 5)) for i in range(40)],
+        "id long, k string, v double")
+    write_partitioned_parquet(df, out, partition_by="k", sort_by=["v", "id"],
+                              files_per_partition=1)
+
+    # hive layout + one data file per partition value
+    for part in ("k=a", "k=b"):
+        files = [f for f in os.listdir(os.path.join(out, part))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (part, files)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 40
+    assert {r.k for r in back.select("k").distinct().collect()} == {"a", "b"}
+
+    # rows inside each partition's file are sorted by (v, id)
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(out, "k=a")).to_pydict()
+    pairs = list(zip(t["v"], t["id"]))
+    assert pairs == sorted(pairs)
+
+    # partition pruning: the filtered plan reads only the k=a directory
+    plan = (back.where(F.col("k") == "a")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [isnotnull(k" in plan, plan
