@@ -55,6 +55,11 @@ def asof_join(
     ``left_ts - right_ts``).
     """
     payload = [c for c in right.columns if c not in on and c != right_ts]
+    clash = (set(payload) | {right_ts}) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: right payload columns {sorted(clash)} collide with "
+            "left columns; rename or drop them on one side first")
     r_struct = F.struct(F.col(right_ts), *[F.col(c) for c in payload])
     left_cols = [c for c in left.columns if c not in on and c != left_ts]
 

@@ -81,6 +81,7 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
 
     labels = core.select("id", F.col("id").alias("lbl")).localCheckpoint()
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges.b == labels.id)
                    .groupBy("a").agg(F.min("lbl").alias("nlbl")))
@@ -102,8 +103,15 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
                   .localCheckpoint())
         cur = labels.agg(F.sum("lbl")).first()[0]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # the label-sum certificate never stabilized: labels only decrease,
+        # so returning here would silently merge/split components
+        raise RuntimeError(
+            f"dbscan_labels: propagation did not converge in {max_iter} "
+            "rounds (pointer-halving gives O(log diameter) — raise max_iter)")
 
     comp = labels.select("id", F.col("lbl").alias("cluster"))
     border = (pairs.join(core.select(F.col("id").alias("b")), "b", "left_semi")

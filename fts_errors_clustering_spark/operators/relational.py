@@ -205,7 +205,7 @@ def describe_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH by_user AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
     top AS (SELECT n FROM by_user ORDER BY n DESC, user_id LIMIT 12)
-    SELECT (SELECT SUM(n) FROM top) AS top_n_events,
+    SELECT CAST((SELECT SUM(n) FROM top) AS BIGINT) AS top_n_events,
            (SELECT COUNT(*) FROM events) AS total_events,
            (SELECT SUM(n) FROM top) / (SELECT COUNT(*) FROM events) AS top_share
     """,
@@ -295,7 +295,7 @@ def json_props_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_sum_by_type",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,

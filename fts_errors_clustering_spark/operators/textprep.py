@@ -135,8 +135,13 @@ def vocabulary_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabularies; UNION/INTERSECT/EXCEPT are completed here as DataFrame
     ``union``/``intersect``/``exceptAll`` + distinct)."""
     toks = document_tokens(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    langed = toks.join(F.broadcast(docs), "doc_id")
+    # pre-filter to the two langs of interest BEFORE the join so a broadcast
+    # is proportional to the en/fr slice, and let AQE pick the strategy
+    # (a blanket broadcast of every (doc_id, lang) would OOM at 1e9 docs)
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("lang").isin("en", "fr"))
+            .select("doc_id", "lang"))
+    langed = toks.join(docs, "doc_id")
     en = langed.where(F.col("lang") == "en").select("token").distinct()
     fr = langed.where(F.col("lang") == "fr").select("token").distinct()
     u = en.union(fr).distinct().agg(F.count("*").alias("n_union"))

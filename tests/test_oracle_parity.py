@@ -36,6 +36,15 @@ def test_entry_contract(spark):
     assert "flagship_top_error_users" in q
 
 
+def test_registry_head_within_driver_budget():
+    """Names pinned in registry._HEAD must exist and sit inside the driver's
+    ~50-entry verification window (dict order is the driver's check order)."""
+    from fts_errors_clustering_spark.plans import registry
+    names = list(all_queries())
+    for hn in registry._HEAD:
+        assert names.index(hn) < 50, f"{hn} fell out of the driver budget"
+
+
 def test_approx_bounds(spark):
     """HLL++/t-digest sketches must land within their configured error of
     the exact aggregates (approx_distinct_and_quantiles)."""
