@@ -28,7 +28,7 @@ from ..plans.registry import register
 from ..sources.readers import table
 from .clustering import external_cluster_metrics, fit_kmeans_best, fit_word2vec
 from .dbscan import dbscan_labels
-from .tfidf import fit_lsa, fit_tfidf
+from .tfidf import fit_lsa_svd, fit_tfidf
 
 
 @register("pipeline_tfidf_kmeans", oracle=None, tags=("pipeline", "ml"))
@@ -38,7 +38,16 @@ def pipeline_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     homogeneity/completeness/V/ARI — the shape of the reference's cell 45."""
     docs = table(spark, sf_dir, "documents")
     _, feats = fit_tfidf(docs)
-    _, reduced = fit_lsa(feats, k=10)
+    # reference-faithful reduction: truncated SVD (no mean-centering), then
+    # L2 re-normalization — fit_lsa (PCA) remains the documented fallback
+    svd_out, _ = fit_lsa_svd(feats, k=10)
+    from pyspark.ml.functions import array_to_vector
+    nrm = F.sqrt(F.aggregate("lsa_svd", F.lit(0.0), lambda a, x: a + x * x))
+    reduced = (svd_out
+               .join(feats.select("doc_id", "lang"), "doc_id")
+               .select("doc_id", "lang", array_to_vector(
+                   F.when(nrm > 0, F.transform("lsa_svd", lambda x: x / nrm))
+                    .otherwise(F.col("lsa_svd"))).alias("lsa_features")))
     model = fit_kmeans_best(reduced, k=10, n_init=2,
                             features_col="lsa_features")
     out = model.transform(reduced).cache()
@@ -64,13 +73,19 @@ def pipeline_word2vec_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("embedding"))
            .cache())
 
-    # knee-derived epsilon on the doc embeddings (M16+M17 inline, dim=32)
+    # knee-derived epsilon on the doc embeddings (M16+M17 inline, dim=32):
+    # numpy-kernel candidate pruning + exact re-rank — the knn.py plan, NOT
+    # the O(n^2)-pairs-through-an-expression cross join (the anti-pattern
+    # pairwise.py's header documents as ~134 s of a 135 s run)
     from ..functions.vectors import euclidean
+    from .pairwise import topk_candidate_pairs
     n = emb.count()
     k = max(2, int(round(n ** 0.5)))
+    cand = topk_candidate_pairs(emb, "doc_id", "embedding", k)
     a = emb.select(F.col("doc_id").alias("i"), F.col("embedding").alias("va"))
     b = emb.select(F.col("doc_id").alias("j"), F.col("embedding").alias("vb"))
-    pairs = (a.join(b, F.col("i") != F.col("j"))
+    pairs = (cand.join(F.broadcast(a), cand.a == a.i)
+             .join(F.broadcast(b), cand.b == b.j)
              .select("i", "j", euclidean("va", "vb", 32).alias("dist")))
     w = Window.partitionBy("i").orderBy(F.asc("dist"), F.asc("j"))
     knn = (pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

@@ -109,6 +109,25 @@ def main() -> None:
             "rows_small": n_small, "rows_big": n_big,
         }
         print(json.dumps({name: results[name]}), flush=True)
+
+    # planted-dup recall must SURVIVE the scale-up: the fixed df<=50 cap
+    # regression returned 0 pairs at 10x (every planted shingle blocked);
+    # the corpus-relative cap must keep every planted pair found at sf0.1
+    planted = {}
+    for scale, path in (("small", SRC), ("big", OUT)):
+        rows = (defs["ngram_jaccard_pairs"].fn(spark, path)
+                .where((F.col("a") < 20) & (F.col("b") == F.col("a") + 100000))
+                .collect())
+        planted[scale] = {r.a for r in rows}
+    assert planted["small"], "no planted ngram pairs found at sf0.1"
+    missing = planted["small"] - planted["big"]
+    assert not missing, f"planted-dup recall lost at 10x: missing {missing}"
+    results["ngram_planted_recall"] = {
+        "found_small": len(planted["small"]), "found_big": len(planted["big"]),
+        "complete_at_10x": True,
+    }
+    print(json.dumps({"ngram_planted_recall": results["ngram_planted_recall"]}),
+          flush=True)
     print(json.dumps({"metric": "scale_smoke_10x", "queries": results}))
 
 
