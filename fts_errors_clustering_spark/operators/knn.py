@@ -124,7 +124,8 @@ def knn_knee_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M17: Kneedle-style knee of the sorted kNN-mean curve -> the DBSCAN
     epsilon candidate (``epsilon_search``, ``:191-198``). The reference's
     run rejected its computed eps=7.55 and hand-set 20 (SURVEY.md 2.9.3);
-    we keep the op deterministic and test eps-monotonicity instead."""
+    we keep the op deterministic and test eps-monotonicity instead.
+    ``knn_knee_sweep`` below is the full sensitivity sweep."""
     knn = knn_mean_distances(spark, sf_dir)
     wall = Window.orderBy(F.asc("mean_dist"), F.asc("vec_id"))
     curve = (knn.select("vec_id", "mean_dist")
@@ -141,3 +142,143 @@ def knn_knee_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("idx").cast("long").alias("knee_idx"),
                     F.round("mean_dist", 6).alias("epsilon"),
                     F.round("d", 6).alias("max_diff")))
+
+
+# --- M17 full sensitivity sweep ---------------------------------------------
+
+#: the reference's sensitivity grid (``word2vec_dbscan_approach.ipynb:
+#: 191-221``): one KneeLocator per S, final epsilon = max over all elbows
+SENSITIVITIES = (1, 3, 5, 10, 100, 150, 200)
+
+_SWEEP_TAIL_SQL = f"""
+    marked AS (
+      SELECT idx, n, mean_dist, d,
+             CASE WHEN d > COALESCE(LAG(d) OVER (ORDER BY idx), -1e18)
+                   AND d >= COALESCE(LEAD(d) OVER (ORDER BY idx), -1e18)
+                  THEN 1 ELSE 0 END AS is_lmx
+      FROM diffs
+    ),
+    grouped AS (
+      SELECT idx, n, mean_dist, d, is_lmx,
+             MAX(CASE WHEN is_lmx = 1 THEN idx END)
+               OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS grp
+      FROM marked
+    ),
+    lmx AS (
+      SELECT grp AS lidx,
+             MAX(CASE WHEN idx = grp THEN d END) AS dl,
+             MAX(CASE WHEN idx = grp THEN mean_dist END) AS eps_l,
+             MIN(CASE WHEN idx > grp THEN d END) AS min_after,
+             MAX(n) AS n
+      FROM grouped WHERE grp IS NOT NULL GROUP BY grp
+    ),
+    sens AS (SELECT unnest({list(SENSITIVITIES)}) AS s),
+    hits AS (
+      SELECT s.s, MIN(l.lidx) AS knee_idx
+      FROM sens s JOIN lmx l
+        ON l.min_after < l.dl - CAST(s.s AS DOUBLE) / (l.n - 1)
+      GROUP BY s.s
+    ),
+    fallback AS (SELECT idx AS fidx, mean_dist AS feps
+                 FROM diffs ORDER BY d DESC, idx LIMIT 1),
+    per_s AS (
+      SELECT CAST(s.s AS BIGINT) AS sensitivity,
+             CAST(COALESCE(h.knee_idx, f.fidx) AS BIGINT) AS knee_idx,
+             COALESCE(l.eps_l, f.feps) AS eps
+      FROM sens s
+      LEFT JOIN hits h ON h.s = s.s
+      LEFT JOIN lmx l ON l.lidx = h.knee_idx
+      CROSS JOIN fallback f
+    )
+    SELECT sensitivity, knee_idx, ROUND(eps, 6) AS epsilon,
+           ROUND(MAX(eps) OVER (), 6) AS chosen_epsilon
+    FROM per_s
+"""
+
+
+@register(
+    "knn_knee_sweep",
+    oracle=f"""
+    WITH {_KNN_CTE},
+    curve AS (
+      SELECT mean_dist,
+             ROW_NUMBER() OVER (ORDER BY mean_dist, vec_id) - 1 AS idx,
+             COUNT(*) OVER () AS n,
+             MIN(mean_dist) OVER () AS ymin,
+             MAX(mean_dist) OVER () AS ymax
+      FROM knn
+    ),
+    diffs AS (
+      SELECT idx, n, mean_dist,
+             (CAST(idx AS DOUBLE) / (n - 1)) -
+             ((mean_dist - ymin) / (ymax - ymin)) AS d
+      FROM curve
+    ),
+    {_SWEEP_TAIL_SQL}
+    """,
+    tags=("knn", "vectors", "window"),
+)
+def knn_knee_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17 PROPER: the reference's sensitivity sweep, as window algebra.
+
+    Kneedle with sensitivity S on the convex-increasing difference curve d:
+    a knee fires at the first local maximum of d whose curve later dips
+    below ``d(lmx) - S/(n-1)`` before the next local max; per S the knee
+    (with the argmax-d fallback when no local max triggers), and the final
+    ``chosen_epsilon`` = max over all elbows — the reference's selection
+    rule (``word2vec_dbscan_approach.ipynb:191-221``). One row per S.
+    """
+    knn = knn_mean_distances(spark, sf_dir)
+    wall = Window.orderBy(F.asc("mean_dist"), F.asc("vec_id"))
+    ww = Window.partitionBy()
+    curve = (knn.select("vec_id", "mean_dist")
+             .withColumn("idx", F.row_number().over(wall) - 1)
+             .withColumn("n", F.count("*").over(ww))
+             .withColumn("ymin", F.min("mean_dist").over(ww))
+             .withColumn("ymax", F.max("mean_dist").over(ww)))
+    diffs = curve.select(
+        "idx", "n", "mean_dist",
+        ((F.col("idx").cast("double") / (F.col("n") - 1)) -
+         ((F.col("mean_dist") - F.col("ymin")) /
+          (F.col("ymax") - F.col("ymin")))).alias("d"))
+
+    wi = Window.orderBy("idx")
+    neg = F.lit(-1e18)
+    marked = diffs.withColumn(
+        "is_lmx",
+        ((F.col("d") > F.coalesce(F.lag("d").over(wi), neg)) &
+         (F.col("d") >= F.coalesce(F.lead("d").over(wi), neg))).cast("int"))
+    grouped = marked.withColumn(
+        "grp",
+        F.max(F.when(F.col("is_lmx") == 1, F.col("idx")))
+         .over(wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    lmx = (grouped.where(F.col("grp").isNotNull())
+           .groupBy("grp")
+           .agg(F.max(F.when(F.col("idx") == F.col("grp"), F.col("d")))
+                 .alias("dl"),
+                F.max(F.when(F.col("idx") == F.col("grp"), F.col("mean_dist")))
+                 .alias("eps_l"),
+                F.min(F.when(F.col("idx") > F.col("grp"), F.col("d")))
+                 .alias("min_after"),
+                F.max("n").alias("n")))
+
+    sens = spark.createDataFrame([(int(s),) for s in SENSITIVITIES], "s long")
+    hits = (sens.crossJoin(lmx)
+            .where(F.col("min_after") <
+                   F.col("dl") - F.col("s").cast("double") / (F.col("n") - 1))
+            .groupBy("s").agg(F.min("grp").alias("knee_idx")))
+    fallback = (diffs.orderBy(F.desc("d"), F.asc("idx")).limit(1)
+                .select(F.col("idx").alias("fidx"),
+                        F.col("mean_dist").alias("feps")))
+    per_s = (sens.join(hits, "s", "left")
+             .join(lmx.select(F.col("grp").alias("knee_idx"), "eps_l"),
+                   "knee_idx", "left")
+             .crossJoin(F.broadcast(fallback))
+             .select(F.col("s").alias("sensitivity"),
+                     F.coalesce("knee_idx", "fidx").cast("long")
+                      .alias("knee_idx"),
+                     F.coalesce("eps_l", "feps").alias("eps")))
+    return per_s.select(
+        "sensitivity", "knee_idx", F.round("eps", 6).alias("epsilon"),
+        F.round(F.max("eps").over(Window.partitionBy()), 6)
+         .alias("chosen_epsilon"))

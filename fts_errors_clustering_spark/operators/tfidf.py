@@ -125,22 +125,26 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (rank by score desc, token asc). The per-doc L2 norm is a
     window sum over DECIMAL-cast squares so both engines produce
     bit-identical norms (see functions/numeric.py rationale)."""
-    # four downstream aggregates read the exploded token stream; cache it
-    # once (at 100 TB this is the persisted tokenized corpus, SURVEY.md §4)
-    toks = document_tokens(spark, sf_dir).cache()
-    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
-    idf = (toks.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    # ONE aggregation of the exploded token stream into sparse (doc, term,
+    # cnt) rows; everything else (doc lengths, document frequencies, n_docs)
+    # derives from that far smaller aggregate — round 1 scanned the exploded
+    # stream three more times (incl. a two-phase countDistinct per token)
+    toks = document_tokens(spark, sf_dir)
+    cnts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt")).cache()
+    n = cnts.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # cnts is unique per (doc, token), so doc_freq is a plain count
+    idf = (cnts.groupBy("token").agg(F.count("*").alias("doc_freq"))
            .crossJoin(F.broadcast(n))
            .select("token",
                    (F.log((F.lit(1.0) + F.col("n_docs")) /
                           (F.lit(1.0) + F.col("doc_freq"))) + F.lit(1.0)).alias("idf")))
-    cnts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
-    lens = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-    tfidf = (cnts.join(lens, "doc_id")
+    # doc_len / norm / rank all window over doc_id — Catalyst reuses one
+    # exchange+sort for the stack instead of a groupBy+join per derived value
+    wdoc = Window.partitionBy("doc_id")
+    tfidf = (cnts.withColumn("doc_len", F.sum("cnt").over(wdoc))
              .join(F.broadcast(idf), "token")
              .select("doc_id", "token",
                      ((F.col("cnt") / F.col("doc_len")) * F.col("idf")).alias("w")))
-    wdoc = Window.partitionBy("doc_id")
     norm = F.sqrt(F.sum((F.col("w") * F.col("w")).cast("decimal(27,18)"))
                   .over(wdoc).cast("string").cast("double"))
     normed = tfidf.select("doc_id", "token", (F.col("w") / norm).alias("score"))
@@ -225,3 +229,65 @@ def lsa_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
     return reduced.select("doc_id", F.size(arr).cast("long").alias("dim"),
                           F.round(norm, 6).alias("l2_norm"))
+
+
+# --- M11 proper: truncated SVD (no mean-centering) ---------------------------
+
+def fit_lsa_svd(features_df: DataFrame, k: int, id_col: str = "doc_id",
+                input_col: str = "features"):
+    """M11 as a REAL truncated SVD — the reference's ``TruncatedSVD(25)``
+    (``TF-IDF_K-Means_approach.ipynb:7840-7844``), via the
+    ``IndexedRowMatrix.computeSVD`` bridge (SURVEY.md section 7 step 6).
+
+    Unlike the ``fit_lsa`` PCA stand-in, this does NOT mean-center: centering
+    a sparse tf-idf matrix densifies it (every zero becomes -mean), which is
+    exactly what kills PCA at corpus scale; truncated SVD factors the sparse
+    matrix as-is. Row identity rides the IndexedRow index, so doc_ids stay
+    aligned without positional zips.
+
+    Returns ``(reduced_df, explained_variance)`` where reduced_df has
+    (id_col, lsa_svd: array<double> of length k) with rows U*diag(s) = X.V,
+    and explained_variance is the Frobenius energy ratio
+    ``sum(s_i^2) / ||X||_F^2`` — the uncentered analogue of sklearn's
+    explained-variance ratio (the notebook's 83%-at-k=25 anchor; asserted on
+    a reference-shaped fixture in tests/test_tfidf.py).
+    """
+    from pyspark.mllib.linalg import Vectors as OldVectors
+    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
+
+    spark = features_df.sparkSession
+    rows = (features_df.select(id_col, input_col).rdd
+            .map(lambda r: IndexedRow(int(r[0]), OldVectors.fromML(r[1]))))
+    svd = IndexedRowMatrix(rows).computeSVD(k, computeU=True)
+    s = svd.s.toArray().tolist()
+
+    from pyspark.ml.functions import vector_to_array
+    arr = vector_to_array(input_col)
+    frob2 = (features_df
+             .select(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)
+                     .alias("r2"))
+             .agg(F.sum("r2")).first()[0])
+    explained = float(sum(v * v for v in s)) / max(float(frob2), 1e-300)
+
+    reduced = spark.createDataFrame(
+        svd.U.rows.map(lambda r: (int(r.index),
+                                  [float(u * sv) for u, sv
+                                   in zip(r.vector.toArray(), s)])),
+        f"{id_col} long, lsa_svd array<double>")
+    return reduced, explained
+
+
+@register("lsa_svd_features", oracle=None, tags=("text", "tfidf", "ml"))
+def lsa_svd_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 truncated-SVD surface (rows-only): per doc the k-dim SVD
+    projection's dim and L2 norm, plus the fit's explained-variance energy
+    ratio (constant column — one fit, reported in-row so the driver check
+    sees it)."""
+    docs = table(spark, sf_dir, "documents")
+    _, feats = fit_tfidf(docs)
+    reduced, explained = fit_lsa_svd(feats, k=10)
+    norm = F.sqrt(F.aggregate("lsa_svd", F.lit(0.0), lambda a, x: a + x * x))
+    return reduced.select(
+        "doc_id", F.size("lsa_svd").cast("long").alias("dim"),
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.lit(explained), 6).alias("explained_variance"))

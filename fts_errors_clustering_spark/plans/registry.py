@@ -96,6 +96,9 @@ _HEAD = (
     "knn_mean_distance", "knn_knee_epsilon",
     # round-1 driver hash FAILs, re-verified after the oracle CAST fix
     "top_users_share", "json_sum_by_type",
+    # new this round: real truncated SVD (M11) and the M17 sensitivity
+    # sweep — both need their first driver row
+    "lsa_svd_features", "knn_knee_sweep",
 )
 
 

@@ -22,7 +22,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 #: queries whose core IS a model fit — empty fits throw in every framework
 FIT_BASED = {
     "ann_ivf_topk", "dbscan_labels_lsh", "kmeans_cluster_sizes",
-    "kmeans_quality", "lsa_features", "lsh_neighbor_counts",
+    "kmeans_quality", "lsa_features", "lsa_svd_features",
+    "lsh_neighbor_counts",
     "pipeline_tfidf_kmeans", "pipeline_word2vec_dbscan",
     "tfidf_pipeline_features", "word2vec_doc_vectors",
 }
