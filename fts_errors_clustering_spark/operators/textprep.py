@@ -263,28 +263,46 @@ def group_members_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- M3: Treebank-style tokenizer (the one justified pandas UDF) ------------
 
-#: Treebank-ish rules, applied in order (a vectorized re-implementation of
-#: the NLTK TreebankWordTokenizer core; nltk itself is not available in this
-#: environment, so parity is approximate and documented — SURVEY.md M3).
-_TREEBANK_RULES = [
-    (r"^\"", r"`` "), (r"(``)", r" \1 "), (r'([ (\[{<])"', r"\1 `` "),
-    (r"([:,])([^\d])", r" \1 \2"), (r"\.\.\.", r" ... "),
+#: Treebank rules, a vectorized re-implementation of the NLTK
+#: TreebankWordTokenizer (nltk itself is not available in this environment).
+#: Rule CONTENT and ORDER mirror nltk's STARTING_QUOTES -> PUNCTUATION ->
+#: PARENS_BRACKETS -> DOUBLE_DASHES, then the " " padding nltk inserts
+#: MID-SEQUENCE, then ENDING_QUOTES -> CONTRACTIONS2/3 — the padding point
+#: matters: contractions at end-of-string ("... can't") only split if the
+#: pad precedes the contraction rules, exactly as in nltk. Token-level
+#: agreement on reference-style error strings is pinned by the golden
+#: fixtures in tests/test_text.py.
+_TREEBANK_PRE_PAD = [
+    (r"^\"", r"`` "), (r"(``)", r" \1 "), (r"([ (\[{<])(\"|'{2})", r"\1 `` "),
+    (r"([:,])([^\d])", r" \1 \2"), (r"([:,])$", r" \1 "),
+    (r"\.\.\.", r" ... "),
     (r"[;@#$%&]", r" \g<0> "),
     (r'([^\.])(\.)([\]\)}>"\']*)\s*$', r"\1 \2\3 "),
     (r"[?!]", r" \g<0> "), (r"([^'])' ", r"\1 ' "),
     (r"[\]\[\(\)\{\}<>]", r" \g<0> "), (r"--", r" -- "),
+]
+_TREEBANK_POST_PAD = [
     (r'"', r" '' "), (r"(\S)('')", r"\1 \2 "),
     (r"([^' ])('[sS]|'[mM]|'[dD]|') ", r"\1 \2 "),
     (r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) ", r"\1 \2 "),
+    # nltk CONTRACTIONS2/3
+    (r"(?i)\b(can)(not)\b", r" \1 \2 "), (r"(?i)\b(d)('ye)\b", r" \1 \2 "),
+    (r"(?i)\b(gim)(me)\b", r" \1 \2 "), (r"(?i)\b(gon)(na)\b", r" \1 \2 "),
+    (r"(?i)\b(got)(ta)\b", r" \1 \2 "), (r"(?i)\b(lem)(me)\b", r" \1 \2 "),
+    (r"(?i)\b(mor)('n)\b", r" \1 \2 "), (r"(?i)\b(wan)(na)\s", r" \1 \2 "),
+    (r"(?i) ('t)(is)\b", r" \1 \2 "), (r"(?i) ('t)(was)\b", r" \1 \2 "),
 ]
 
 
 def treebank_tokenize_series(s: pd.Series) -> pd.Series:
-    """Vectorized Treebank-style tokenization over a pandas Series."""
+    """Vectorized Treebank tokenization over a pandas Series."""
     out = s.fillna("")
-    for pat, rep in _TREEBANK_RULES:
+    for pat, rep in _TREEBANK_PRE_PAD:
         out = out.str.replace(pat, rep, regex=True)
-    return (" " + out + " ").str.split()
+    out = " " + out + " "
+    for pat, rep in _TREEBANK_POST_PAD:
+        out = out.str.replace(pat, rep, regex=True)
+    return out.str.split()
 
 
 @register("treebank_tokens", oracle=None, tags=("text", "udf"))

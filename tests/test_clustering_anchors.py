@@ -1,0 +1,135 @@
+"""Reference-shaped anchors for the model-backed clustering path (VERDICT
+round-1 item 7): pin cluster-level invariants at the reference's
+hyperparameter SHAPE — word2vec at vector_size=200/high-iter
+(``word2vec_dbscan_approach.ipynb:133-145``: gensim size=200, iter=1000) and
+KMeans best-of-n_init cost convergence
+(``TF-IDF_K-Means_approach.ipynb:7897-7902``: n_init=100).
+
+Raw vectors are NOT comparable across architectures (MLlib skip-gram/HS vs
+gensim CBOW/negative — SURVEY.md M14), so the assertions are the invariants
+clustering actually depends on: mean-pool determinism, near-dup geometry,
+and restart-count monotonicity of the k-means objective.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fts_errors_clustering_spark.functions.text import (mask_error_text,
+                                                        whitespace_tokens)
+from fts_errors_clustering_spark.operators.clustering import (fit_kmeans_best,
+                                                              fit_word2vec)
+from fts_errors_clustering_spark.sources.readers import table
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def w2v_200(spark):
+    """Word2vec at the reference's 200-dim shape. maxIter=32 stands in for
+    gensim's iter=1000 (MLlib epochs converge far faster on the fixture
+    corpus; the SHAPE anchor is dimensionality + enough epochs to leave the
+    init regime, not the raw epoch count)."""
+    docs = table(spark, SF_SMALL, "documents")
+    toks = (docs.where(F.length(F.trim("text")) > 0)
+            .select("doc_id",
+                    whitespace_tokens(mask_error_text("text")).alias("tokens")))
+    model = fit_word2vec(toks, vector_size=200, max_iter=32)
+    return toks, model
+
+
+def test_w2v_200d_shape_and_nondegeneracy(w2v_200):
+    toks, model = w2v_200
+    out = model.transform(toks)
+    from pyspark.ml.functions import vector_to_array
+    arr = vector_to_array("doc_vec")
+    stats = (out.select(
+        F.size(arr).alias("dim"),
+        F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+         .alias("norm"))
+        .agg(F.min("dim").alias("dmin"), F.max("dim").alias("dmax"),
+             F.min("norm").alias("nmin"),
+             F.count_distinct(F.round("norm", 12)).alias("n_norms"))
+        .first())
+    assert stats.dmin == 200 and stats.dmax == 200
+    assert stats.nmin > 0.0          # no collapsed/zero doc vectors
+    assert stats.n_norms > 10        # embeddings are not all identical
+
+
+def test_w2v_mean_pool_determinism(w2v_200):
+    """M15 sentence2vec is an exact mean-pool: equal token lists must map to
+    bit-identical doc vectors."""
+    toks, model = w2v_200
+    dup = toks.limit(20).select((F.col("doc_id") + 900000).alias("doc_id"),
+                                "tokens")
+    out = model.transform(toks.unionByName(dup)).cache()
+    a = out.where(F.col("doc_id") < 900000).selectExpr(
+        "doc_id", "doc_vec AS va")
+    b = out.where(F.col("doc_id") >= 900000).selectExpr(
+        "doc_id - 900000 AS doc_id", "doc_vec AS vb")
+    joined = a.join(b, "doc_id").collect()
+    assert len(joined) == 20
+    for r in joined:
+        assert r.va == r.vb, r.doc_id
+
+
+def test_w2v_near_dup_geometry(w2v_200):
+    """Cluster-level invariant: a doc with ONE appended token must stay far
+    closer (cosine) to its original than the average random pair — the
+    property DBSCAN's eps-neighborhoods rely on."""
+    import numpy as np
+    toks, model = w2v_200
+    dup = (toks.limit(40)
+           .select((F.col("doc_id") + 900000).alias("doc_id"),
+                   F.concat("tokens", F.array(F.lit("xdup"))).alias("tokens")))
+    out = model.transform(toks.unionByName(dup))
+    vecs = {r.doc_id: np.array(r.doc_vec.toArray())
+            for r in out.collect()}
+
+    def cos(u, v):
+        nu, nv = np.linalg.norm(u), np.linalg.norm(v)
+        return float(u @ v / (nu * nv)) if nu > 0 and nv > 0 else 0.0
+
+    dup_sims = [cos(vecs[d], vecs[d + 900000])
+                for d in sorted(k for k in vecs if k < 900000)[:40]
+                if d + 900000 in vecs]
+    rng = np.random.default_rng(3)
+    ids = sorted(k for k in vecs if k < 900000)
+    rand_sims = [cos(vecs[a], vecs[b])
+                 for a, b in zip(rng.choice(ids, 200), rng.choice(ids, 200))
+                 if a != b]
+    # the ~31-word fixture vocab makes even random docs similar (~0.97);
+    # the anchor is the GAP: one-token edits are indistinguishable from
+    # identity (>0.999) while random pairs sit measurably below
+    assert min(dup_sims) > 0.999
+    assert (sum(dup_sims) / len(dup_sims)
+            > sum(rand_sims) / len(rand_sims) + 0.015)
+
+
+def test_kmeans_n_init_cost_convergence(spark):
+    """M12: the best-of-n restart loop must be monotone — more restarts never
+    worsen the kept model's cost (the reason the reference runs n_init=100),
+    and the kept cost equals the min over the individual seeds."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    emb = table(spark, SF_SMALL, "embeddings")
+    feats = emb.select("vec_id",
+                       array_to_vector("embedding").alias("features")).cache()
+
+    seed_costs = []
+    for i in range(5):
+        m = KMeans(k=10, maxIter=50, seed=42 + i,
+                   featuresCol="features").fit(feats)
+        seed_costs.append(m.summary.trainingCost)
+
+    costs = {}
+    for n in (1, 3, 5):
+        model = fit_kmeans_best(feats, k=10, n_init=n, max_iter=50)
+        costs[n] = model.summary.trainingCost
+    assert costs[3] <= costs[1] + 1e-9
+    assert costs[5] <= costs[3] + 1e-9
+    for n in (1, 3, 5):
+        assert math.isclose(costs[n], min(seed_costs[:n]), rel_tol=1e-9)

@@ -63,3 +63,43 @@ def test_treebank_tokenizer_rules():
     toks = treebank_tokenize_series(pd.Series(["Can't open file, retry."]))[0]
     assert "n't" in toks and "," in toks and "." in toks
     assert "Ca" in toks
+
+
+#: Golden fixtures: reference-style FTS error strings -> the token lists
+#: nltk's TreebankWordTokenizer produces (derived by hand from nltk's
+#: published rule set, which _TREEBANK_PRE_PAD/_TREEBANK_POST_PAD mirror
+#: rule-for-rule in nltk's order; the reference applies nltk at
+#: ``word2vec_dbscan_approach.ipynb:105-116``).
+_TREEBANK_GOLDEN = [
+    ("Transfer failed: No such file or directory.",
+     ["Transfer", "failed", ":", "No", "such", "file", "or", "directory",
+      "."]),
+    ("Can't open file (permission denied)!",
+     ["Ca", "n't", "open", "file", "(", "permission", "denied", ")", "!"]),
+    ('"Permission denied" while writing to /var/log/app.log',
+     ["``", "Permission", "denied", "''", "while", "writing", "to",
+      "/var/log/app.log"]),
+    ("Server doesn't respond; retrying in 5s...",
+     ["Server", "does", "n't", "respond", ";", "retrying", "in", "5s",
+      "..."]),
+    ("checksum mismatch, expected 0xAB got 0xCD",
+     ["checksum", "mismatch", ",", "expected", "0xAB", "got", "0xCD"]),
+    ("Error at line 42:",
+     ["Error", "at", "line", "42", ":"]),
+    ("cannot stat '/tmp/x.y': No such file",
+     ["can", "not", "stat", "'/tmp/x.y", "'", ":", "No", "such", "file"]),
+    # end-of-string contraction: only splits because the pad precedes the
+    # contraction rules (nltk's mid-sequence padding point)
+    ("disk quota exceeded: user can't",
+     ["disk", "quota", "exceeded", ":", "user", "ca", "n't"]),
+]
+
+
+def test_treebank_golden_error_strings():
+    import pandas as pd
+
+    from fts_errors_clustering_spark.operators.textprep import \
+        treebank_tokenize_series
+    got = treebank_tokenize_series(pd.Series([s for s, _ in _TREEBANK_GOLDEN]))
+    for (src, want), toks in zip(_TREEBANK_GOLDEN, got):
+        assert toks == want, (src, toks, want)
