@@ -20,7 +20,7 @@ the rare-shingle block in the Jaccard query caps per-shingle fanout (df <=
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (hash32, hash32_hi, sql_hash32, sql_hash32_hi,
@@ -184,10 +184,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "kv.seed", "kv.minhash"))
 
 
-@register(
-    "minhash_near_dups",
-    oracle=f"""
-    WITH {_AUG_SQL}, {_MINHASH_SQL},
+#: banding -> bucket-join -> signature-agreement estimate; shared by
+#: minhash_near_dups and the connected-components dedup_clusters oracle
+_MINHASH_PAIRS_SQL = f"""
     bands AS (
       SELECT doc_id, seed // {BAND_SIZE} AS band,
              md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bucket
@@ -207,6 +206,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sigs s2 ON s2.doc_id = c.b AND s1.seed = s2.seed
       GROUP BY c.a, c.b
     )
+"""
+
+
+@register(
+    "minhash_near_dups",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_MINHASH_SQL}, {_MINHASH_PAIRS_SQL}
     SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5
     """,
     tags=("dedup", "minhash"),
@@ -474,3 +480,100 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.join(s1, "a").join(s2, "b")
             .select("a", "b", ham.alias("hamming"))
             .where(F.col("hamming") <= HAM_MAX))
+
+
+# --- connected-components dedup clusters -------------------------------------
+
+def min_label_components(ids: DataFrame, edges: DataFrame,
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation with
+    pointer-halving — the same O(log diameter) loop as DBSCAN's component
+    stage (``operators/dbscan.py``), without the core/border machinery.
+    ``ids`` has one column ``id``; ``edges`` columns (a, b), directed (pass
+    both directions for undirected graphs). Returns (id, component) where
+    component = min member id."""
+    labels = ids.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    prev_sum, converged = None, False
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges.b == labels.id)
+                   .groupBy("a").agg(F.min("lbl").alias("nlbl")))
+        labels = (labels.join(nbr_min, labels.id == nbr_min.a, "left")
+                  .select(labels.id,
+                          F.least(F.col("lbl"),
+                                  F.coalesce(F.col("nlbl"), F.col("lbl")))
+                           .alias("lbl")))
+        jump = labels.select(F.col("id").alias("pid"),
+                             F.col("lbl").alias("plbl"))
+        labels = (labels.join(jump, labels.lbl == jump.pid, "left")
+                  .select(labels.id,
+                          F.least(F.col("lbl"),
+                                  F.coalesce(F.col("plbl"), F.col("lbl")))
+                           .alias("lbl"))
+                  .localCheckpoint())
+        cur = labels.agg(F.sum("lbl")).first()[0]
+        if cur == prev_sum:
+            converged = True
+            break
+        prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"min_label_components: no convergence in {max_iter} rounds")
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_AUG_SQL}, {_MINHASH_SQL}, {_MINHASH_PAIRS_SQL},
+    dup_edges AS (
+      SELECT a, b FROM est WHERE est_jaccard >= 0.5
+      UNION ALL
+      SELECT b, a FROM est WHERE est_jaccard >= 0.5
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM dup_edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN dup_edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT c.doc_id,
+             LEAST(c.doc_id, COALESCE(MIN(r.dst), c.doc_id)) AS canonical_id
+      FROM corpus c LEFT JOIN reach r ON r.src = c.doc_id
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+             AS cluster_size,
+           doc_id = canonical_id AS keep
+    FROM comp
+    """,
+    tags=("dedup", "minhash", "components"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step an LLM-corpus dedup pipeline actually ships: near-dup PAIRS
+    (MinHash-LSH, >= 0.5 estimated Jaccard) resolved into connected
+    components, each doc mapped to its cluster's canonical representative
+    (min doc_id) with the cluster size and a ``keep`` flag (true on the one
+    retained row per cluster; filtering on it IS the dedup).
+
+    Scale: propagation runs only over docs that appear in a dup pair (the
+    tiny minority); everyone else is a singleton appended with
+    component = self, so no corpus-sized join enters the loop.
+    """
+    aug = _augmented(spark, sf_dir)
+    pairs = minhash_near_dups(spark, sf_dir).select("a", "b").cache()
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    paired_ids = (pairs.select(F.col("a").alias("id"))
+                  .unionByName(pairs.select(F.col("b").alias("id")))
+                  .distinct())
+    comp = min_label_components(paired_ids, edges)
+    labeled = (aug.select("doc_id")
+               .join(comp, aug.doc_id == comp.id, "left")
+               .select("doc_id",
+                       F.coalesce("component", "doc_id").alias("canonical_id")))
+    wsz = Window.partitionBy("canonical_id")
+    return labeled.select(
+        "doc_id", "canonical_id",
+        F.count("*").over(wsz).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"))

@@ -28,16 +28,18 @@ from ..sources.readers import table
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
-    """Attach the deterministic binary payload + typed metadata columns
-    (width/height/n_frames derived from the shared md5 hash scheme)."""
-    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    """Attach the deterministic binary payload + typed metadata columns.
+    Width and height come from DISJOINT md5 substrings so the fake metadata
+    is not perfectly correlated (realistic aspect-ratio variety)."""
+    h_w = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    h_h = F.conv(F.substring(F.md5("text"), 9, 8), 16, 10).cast("long")
     payload = F.encode(F.col("text"), "UTF-8")
     return docs.select(
         "doc_id",
         payload.alias("payload"),
         F.length(payload).cast("long").alias("byte_len"),
-        (h % 640 + 1).alias("width"),
-        (h % 480 + 1).alias("height"),
+        (h_w % 640 + 1).alias("width"),
+        (h_h % 480 + 1).alias("height"),
         (F.length(payload).cast("long") % 30 + 1).alias("n_frames"),
     )
 
@@ -87,7 +89,7 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 640 + 1 AS width,
-           CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 480 + 1 AS height,
+           CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 480 + 1 AS height,
            CAST(octet_length(encode(text)) AS BIGINT) % 30 + 1 AS n_frames
     FROM documents
     """,
@@ -107,3 +109,53 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py."""
     docs = table(spark, sf_dir, "documents")
     return with_payload(docs).mapInPandas(extract_features, FEATURE_SCHEMA)
+
+
+# --- frame sampling (video-shaped payloads) ----------------------------------
+
+FRAME_SAMPLE_K = 4  # evenly-spaced frames sampled per payload
+
+FRAME_SCHEMA = ("doc_id long, frame_idx long, frame_off long, "
+                "frame_len long, brightness double")
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas frame sampler: treat each payload as ``n_frames`` equal
+    byte-slices, emit min(K, n_frames) evenly-spaced frames with a
+    deterministic per-frame feature (mean byte value of the slice — the
+    stand-in for a real ffmpeg keyframe decode, which this environment
+    doesn't ship). Row-EXPANDING mapInPandas: one input row -> up to K
+    output rows, all inside the Arrow batch."""
+    for pdf in batches:
+        out = {k: [] for k in
+               ("doc_id", "frame_idx", "frame_off", "frame_len", "brightness")}
+        for doc_id, payload, n_frames in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]):
+            payload = payload or b""
+            n_frames = int(n_frames) if len(payload) else 0
+            if n_frames < 1:
+                continue
+            flen = max(1, len(payload) // n_frames)
+            k = min(FRAME_SAMPLE_K, n_frames)
+            for j in range(k):
+                idx = (j * n_frames) // k
+                sl = payload[idx * flen:(idx + 1) * flen]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_off"].append(idx * flen)
+                out["frame_len"].append(len(sl))
+                out["brightness"].append(
+                    sum(sl) / len(sl) / 255.0 if sl else 0.0)
+        yield pd.DataFrame(out)
+
+
+@register("multimodal_framesample", oracle=None, tags=("multimodal", "udf"))
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-shaped payloads: evenly-spaced keyframe
+    selection as a row-expanding ``mapInPandas`` (rows-only: the slicing
+    codec is engine-internal; row-count/offset invariants asserted in
+    tests/test_multimodal.py). The 100 TB posture matches decode: payload
+    bytes stream per Arrow batch, never through the driver, and the output
+    is a per-frame relation ready for downstream feature joins."""
+    docs = table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(sample_frames, FRAME_SCHEMA)

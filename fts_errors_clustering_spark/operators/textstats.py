@@ -190,3 +190,78 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sample.groupBy("lang").agg(F.count("*").alias("n_sampled"))
             .join(docs.groupBy("lang").agg(F.count("*").alias("n_total")),
                   "lang"))
+
+
+@register(
+    "bigram_logprob_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_whitespace_tokens('lower(text)')} AS ts
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    bigrams AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                      i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS b
+        FROM toks WHERE len(ts) >= 2
+      )
+    ),
+    model AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2),
+    pre AS (SELECT w1, SUM(c12) AS c1 FROM model GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT t) AS v
+          FROM (SELECT unnest(ts) AS t FROM toks)),
+    scored AS (
+      SELECT b.doc_id,
+             LN((m.c12 + 1) / CAST(p.c1 + (SELECT v FROM v) AS DOUBLE)) AS lp
+      FROM bigrams b
+      JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+      JOIN pre p ON p.w1 = b.w1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(CAST(SUM(CAST(lp AS DECIMAL(27,18))) AS VARCHAR)
+                      AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("textstats", "lm"),
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring: train an add-one-smoothed bigram
+    model ON the corpus, score each doc by its mean bigram log-probability
+    ``ln((c(w1,w2)+1) / (c(w1,·)+V))`` — the classic perplexity-flavoured
+    corpus filter (low scores = disfluent/outlier docs). Pure aggregation:
+    no tokenizer model, no UDF.
+
+    Scale: the model tables are vocabulary-sized (bigram types, prefix
+    counts), broadcast to the corpus-sized scoring join; the per-term
+    decimal sum keeps the float mean cross-engine exact. At an open-web
+    vocab drop the broadcast hints and let AQE shuffle the model join.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.where(F.length(F.trim("text")) > 0)
+            .select("doc_id",
+                    whitespace_tokens(F.lower(F.col("text"))).alias("ts")))
+    bg = (toks.where(F.size("ts") >= 2)
+          .select("doc_id", F.explode(F.transform(
+              F.sequence(F.lit(0), F.size("ts") - 2),
+              lambda i: F.struct(F.col("ts").getItem(i).alias("w1"),
+                                 F.col("ts").getItem(i + 1).alias("w2"))))
+              .alias("b"))
+          .select("doc_id", "b.w1", "b.w2")
+          .cache())
+    model = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    pre = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = (toks.select(F.explode("ts").alias("t"))
+         .agg(F.countDistinct("t").alias("v")))
+    scored = (bg.join(F.broadcast(model), ["w1", "w2"])
+              .join(F.broadcast(pre), "w1")
+              .crossJoin(F.broadcast(v))
+              .select("doc_id",
+                      F.log((F.col("c12") + 1) /
+                            (F.col("c1") + F.col("v")).cast("double"))
+                       .alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.round(F.sum(F.col("lp").cast("decimal(27,18)"))
+                          .cast("string").cast("double") / F.count("*"), 6)
+                  .alias("avg_logprob")))

@@ -96,9 +96,11 @@ _HEAD = (
     "knn_mean_distance", "knn_knee_epsilon",
     # round-1 driver hash FAILs, re-verified after the oracle CAST fix
     "top_users_share", "json_sum_by_type",
-    # new this round: real truncated SVD (M11) and the M17 sensitivity
-    # sweep — both need their first driver row
-    "lsa_svd_features", "knn_knee_sweep",
+    # new this round, each needing its first driver row: real truncated SVD
+    # (M11), the M17 sensitivity sweep, connected-components dedup, bigram
+    # LM scoring, and multimodal frame sampling
+    "lsa_svd_features", "knn_knee_sweep", "dedup_clusters",
+    "bigram_logprob_scores", "multimodal_framesample",
 )
 
 

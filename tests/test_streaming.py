@@ -32,6 +32,56 @@ def test_multimodal_features_deterministic(spark):
         assert a[k].frame_bytes * 1 <= a[k].byte_len
 
 
+def test_framesample_invariants(spark):
+    """Row-expanding mapInPandas sampler: ≤K frames per doc, evenly spaced,
+    offsets/lengths consistent with the payload slicing, deterministic."""
+    from fts_errors_clustering_spark.operators.multimodal import (
+        FRAME_SAMPLE_K, multimodal_framesample, with_payload)
+    from fts_errors_clustering_spark.sources.readers import table
+
+    frames = multimodal_framesample(spark, SF_SMALL).collect()
+    meta = {r.doc_id: r for r in
+            with_payload(table(spark, SF_SMALL, "documents"))
+            .drop("payload").collect()}
+    per_doc: dict[int, list] = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) <= set(meta)
+    for doc_id, rows in per_doc.items():
+        m = meta[doc_id]
+        assert len(rows) == min(FRAME_SAMPLE_K, m.n_frames)
+        idxs = sorted(r.frame_idx for r in rows)
+        assert len(set(idxs)) == len(idxs)          # distinct frames
+        flen = max(1, m.byte_len // m.n_frames)
+        for r in rows:
+            assert 0 <= r.frame_idx < m.n_frames
+            assert r.frame_off == r.frame_idx * flen
+            assert 0.0 <= r.brightness <= 1.0
+    again = multimodal_framesample(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_dedup_clusters_invariants(spark):
+    """Connected-components dedup: every planted dup (d, d+100000) lands in
+    the same cluster with canonical = d; exactly one keep row per cluster;
+    cluster sizes consistent."""
+    from fts_errors_clustering_spark.plans.registry import all_queries
+
+    rows = all_queries()["dedup_clusters"].fn(spark, SF_SMALL).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    for d in range(20):
+        if d in by_doc and d + 100000 in by_doc:
+            assert by_doc[d + 100000].canonical_id == by_doc[d].canonical_id
+            assert by_doc[d].canonical_id <= d
+    clusters: dict[int, list] = {}
+    for r in rows:
+        clusters.setdefault(r.canonical_id, []).append(r)
+    for canon, members in clusters.items():
+        assert sum(1 for m in members if m.keep) == 1
+        assert all(m.cluster_size == len(members) for m in members)
+        assert min(m.doc_id for m in members) == canon
+
+
 def test_decode_stub_contract():
     import pytest
     with pytest.raises(NotImplementedError):
