@@ -577,3 +577,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "canonical_id",
         F.count("*").over(wsz).cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("canonical_id")).alias("keep"))
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 10
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 10
+    ),
+    bsh AS (SELECT DISTINCT sh FROM ({_shingle_sql('bench')})),
+    csh AS ({_shingle_sql('corpus')}),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_overlap
+      FROM csh c JOIN bsh b ON c.sh = b.sh
+      GROUP BY c.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM csh GROUP BY doc_id)
+    SELECT h.doc_id, h.n_overlap, s.n_shingles,
+           ROUND(h.n_overlap / CAST(s.n_shingles AS DOUBLE), 6)
+             AS overlap_ratio
+    FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+    WHERE h.n_overlap / CAST(s.n_shingles AS DOUBLE) >= 0.2
+    """,
+    tags=("dedup", "contamination"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the pre-training hygiene pass: flag
+    corpus documents whose n-gram (3-token shingle) overlap with a held-out
+    benchmark set exceeds a threshold, so they can be dropped before
+    training. Benchmark = docs with doc_id < 10 (the fixture stand-in for
+    an eval set); a corpus doc is contaminated when >= 20% of its shingles
+    appear anywhere in the benchmark.
+
+    Scale: the benchmark shingle set is tiny (eval sets are) and is
+    broadcast, so the corpus side streams through one semi-join-shaped
+    probe — no shuffle of corpus shingles; counts aggregate map-side. This
+    is the standard 13-gram-overlap decontamination shape at 3-gram scale.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 10)
+    corpus = docs.where(F.col("doc_id") >= 10)
+    bsh = _shingles(bench).select("sh").distinct()
+    csh = _shingles(corpus).cache()
+    hits = (csh.join(F.broadcast(bsh), "sh")
+            .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
+    sizes = csh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ratio = F.col("n_overlap") / F.col("n_shingles").cast("double")
+    return (hits.join(sizes, "doc_id")
+            .where(ratio >= 0.2)
+            .select("doc_id", "n_overlap", "n_shingles",
+                    F.round(ratio, 6).alias("overlap_ratio")))

@@ -101,6 +101,7 @@ _HEAD = (
     # LM scoring, and multimodal frame sampling
     "lsa_svd_features", "knn_knee_sweep", "dedup_clusters",
     "bigram_logprob_scores", "multimodal_framesample",
+    "benchmark_contamination",
 )
 
 
