@@ -1,0 +1,97 @@
+"""Plan-shape assertions: the scale claims SCALE.md makes about specific
+queries (filter pushdown, broadcast joins, top-k physical operator, column
+pruning, no nested-loop pair joins) verified against the ACTUAL physical
+plans, not prose. These are the checks a 100 TB deployment would gate on —
+a plan regression here silently turns a scan-bounded query into a
+shuffle-everything query long before anyone reruns a benchmark.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from fts_errors_clustering_spark.plans.registry import all_queries
+
+from .conftest import SF_SMALL
+
+_DEFS = all_queries()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P2 IN-list filter must be pushed into the parquet scan."""
+    plan = _plan(_DEFS["count_filtered_events"].fn(spark, SF_SMALL))
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("event_type" in ln for ln in pushed), pushed
+
+
+def test_star_join_broadcasts_dims(spark):
+    """Small dimension tables (region/nation/customer) must broadcast —
+    a shuffle join on the fact table's key would be the 100 TB bottleneck."""
+    plan = _plan(_DEFS["revenue_by_region"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """Brute-force ANN top-k must plan as TakeOrderedAndProject (per-
+    partition heap + driver merge), never a global sort."""
+    plan = _plan(_DEFS["ann_bruteforce_topk"].fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_and_anti_joins_stay_semi(spark):
+    plan = _plan(_DEFS["topn_semijoin_events"].fn(spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    plan = _plan(_DEFS["customers_without_orders"].fn(spark, SF_SMALL))
+    assert "LeftAnti" in plan
+
+
+def test_multimodal_metadata_prunes_payload(spark):
+    """The metadata query must never carry the payload column: the scan
+    stays narrow (doc_id, text) and no output column is the binary payload
+    (length(encode(..)) for byte_len is fine — it never materializes the
+    bytes as a column)."""
+    plan = _plan(_DEFS["multimodal_metadata"].fn(spark, SF_SMALL))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "doc_id" in read[0] and "text" in read[0], read
+    assert "payload" not in plan
+
+
+def test_kernel_pairs_no_nested_loop(spark):
+    """The pairwise kernel path (used by kNN, DBSCAN, and pipeline B's
+    inner kNN) must contain no BroadcastNestedLoopJoin / CartesianProduct —
+    the O(n^2)-pairs-through-an-expression anti-pattern it replaced."""
+    from fts_errors_clustering_spark.functions.vectors import euclidean
+    from fts_errors_clustering_spark.operators.pairwise import \
+        topk_candidate_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(12)],
+        "doc_id long, embedding array<double>")
+    cand = topk_candidate_pairs(emb, "doc_id", "embedding", 3)
+    a = emb.select(F.col("doc_id").alias("i"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("doc_id").alias("j"), F.col("embedding").alias("vb"))
+    pairs = (cand.join(F.broadcast(a), cand.a == a.i)
+             .join(F.broadcast(b), cand.b == b.j)
+             .select("i", "j", euclidean("va", "vb", 2).alias("dist")))
+    plan = _plan(pairs)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_probe_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the (tiny) benchmark shingle set and
+    stream the corpus side — never shuffle corpus shingles to the bench."""
+    plan = _plan(_DEFS["benchmark_contamination"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
