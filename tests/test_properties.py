@@ -18,6 +18,8 @@ from fts_errors_clustering_spark.functions.text import (fuzz_ratio, hash32,
                                                         mask_error_text,
                                                         whitespace_tokens)
 
+from .conftest import SF_SMALL
+
 SET = settings(max_examples=8, deadline=None)
 
 # printable-ish text incl. the masked alphabets (hex runs, uuids, digits)
@@ -98,3 +100,55 @@ def test_stratified_sample_balances(spark):
         # expected ~target; allow 5 sigma of Binomial(n_total, target/n_total)
         sigma = (target * (1 - target / r.n_total)) ** 0.5
         assert abs(r.n_sampled - target) <= max(5 * sigma, 10), r
+
+
+def test_bigram_logprob_invariants(spark):
+    """Add-one-smoothed bigram log-probs are strictly negative (every
+    probability < 1 once V >= 2), finite, and cover exactly the docs with
+    >= 2 tokens."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fts_errors_clustering_spark.functions.text import whitespace_tokens
+    from fts_errors_clustering_spark.plans.registry import all_queries
+    from fts_errors_clustering_spark.sources.readers import table
+
+    rows = all_queries()["bigram_logprob_scores"].fn(spark, SF_SMALL).collect()
+    docs = table(spark, SF_SMALL, "documents")
+    expected = (docs.where(F.length(F.trim("text")) > 0)
+                .where(F.size(whitespace_tokens(F.lower(F.col("text")))) >= 2)
+                .count())
+    assert len(rows) == expected
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert math.isfinite(r.avg_logprob) and r.avg_logprob < 0.0, r
+
+
+def test_contamination_bounds_and_benchmark_exclusion(spark):
+    """Contamination ratios sit in (0, 1]; benchmark docs themselves are
+    never reported; every reported doc clears the 0.2 threshold."""
+    from fts_errors_clustering_spark.plans.registry import all_queries
+
+    rows = (all_queries()["benchmark_contamination"]
+            .fn(spark, SF_SMALL).collect())
+    for r in rows:
+        assert r.doc_id >= 10
+        assert 1 <= r.n_overlap <= r.n_shingles
+        assert 0.2 <= r.overlap_ratio <= 1.0, r
+
+
+def test_knee_sweep_consistent_with_argmax(spark):
+    """The sweep's rows cover every sensitivity; epsilons are drawn from
+    the kNN curve; chosen_epsilon is their max; and the S->0 argmax knee
+    (knn_knee_epsilon) never exceeds the sweep's chosen epsilon."""
+    from fts_errors_clustering_spark.operators.knn import SENSITIVITIES
+    from fts_errors_clustering_spark.plans.registry import all_queries
+
+    sweep = all_queries()["knn_knee_sweep"].fn(spark, SF_SMALL).collect()
+    assert sorted(r.sensitivity for r in sweep) == sorted(SENSITIVITIES)
+    chosen = {r.chosen_epsilon for r in sweep}
+    assert len(chosen) == 1
+    assert max(r.epsilon for r in sweep) == chosen.pop()
+    argmax = all_queries()["knn_knee_epsilon"].fn(spark, SF_SMALL).first()
+    assert argmax.epsilon <= max(r.epsilon for r in sweep) + 1e-9
