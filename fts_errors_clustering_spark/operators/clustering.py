@@ -43,37 +43,40 @@ def external_cluster_metrics(assigned: DataFrame, label_col: str,
     reproducible cross-engine. ARI's pair counts are pure integer sums
     (n*(n-1) in BIGINT), exact by construction.
     """
-    pts = assigned.select(F.col(label_col).alias("c"), F.col(pred_col).alias("k"))
-    # eight downstream aggregates branch off the contingency table; reduce
-    # them all to ONE scan of the input by deriving n/a/b from cached cont
-    cont = pts.groupBy("c", "k").agg(F.count("*").alias("nij")).cache()
-    n = cont.agg(F.sum("nij").alias("n"))
-    a = cont.groupBy("c").agg(F.sum("nij").alias("ai"))
-    b = cont.groupBy("k").agg(F.sum("nij").alias("bj"))
+    from pyspark.sql import Window
 
-    hc = (a.crossJoin(F.broadcast(n))
-          .agg((-_dec_term_sum((F.col("ai") / F.col("n")) *
-                               F.log(F.col("ai") / F.col("n")))).alias("hc")))
-    hk = (b.crossJoin(F.broadcast(n))
-          .agg((-_dec_term_sum((F.col("bj") / F.col("n")) *
-                               F.log(F.col("bj") / F.col("n")))).alias("hk")))
-    hck = (cont.join(F.broadcast(b), "k").crossJoin(F.broadcast(n))
-           .agg((-_dec_term_sum((F.col("nij") / F.col("n")) *
-                                F.log(F.col("nij") / F.col("bj")))).alias("hck")))
-    hkc = (cont.join(F.broadcast(a), "c").crossJoin(F.broadcast(n))
-           .agg((-_dec_term_sum((F.col("nij") / F.col("n")) *
-                                F.log(F.col("nij") / F.col("ai")))).alias("hkc")))
+    pts = assigned.select(F.col(label_col).alias("c"), F.col(pred_col).alias("k"))
+    # ONE pass: contingency table, then ai/bj/n as windows over it (tiny
+    # after aggregation) and ALL eight statistics in a single global
+    # aggregate. The entropy sums use the weighted identity
+    # sum_c (ai/n)ln(ai/n) == sum_{c,k} (nij/n)ln(ai/n) (since sum_k nij =
+    # ai), so no per-c/per-k branch plans exist; sa/sb count each group
+    # once via a row_number guard. Round 1's form (4 groupBys + 8
+    # crossJoin branches) compiled a far larger plan for the same numbers.
+    cont = pts.groupBy("c", "k").agg(F.count("*").alias("nij"))
+    wall, wc, wk = Window.partitionBy(), Window.partitionBy("c"), Window.partitionBy("k")
+    annotated = cont.select(
+        "c", "k", "nij",
+        F.sum("nij").over(wall).alias("n"),
+        F.sum("nij").over(wc).alias("ai"),
+        F.sum("nij").over(wk).alias("bj"),
+        F.row_number().over(wc.orderBy("k")).alias("rn_c"),
+        F.row_number().over(wk.orderBy("c")).alias("rn_k"))
 
     comb = lambda c: (c * (c - F.lit(1))).cast("long")  # 2*C(c,2), exact
-    sij = cont.agg(F.sum(comb(F.col("nij"))).alias("sij"))
-    sa = a.agg(F.sum(comb(F.col("ai"))).alias("sa"))
-    sb = b.agg(F.sum(comb(F.col("bj"))).alias("sb"))
-    sn = n.select(comb(F.col("n")).alias("sn"))
-
-    row = (hc.crossJoin(F.broadcast(hk)).crossJoin(F.broadcast(hck))
-             .crossJoin(F.broadcast(hkc)).crossJoin(F.broadcast(sij))
-             .crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
-             .crossJoin(F.broadcast(sn)))
+    row = annotated.agg(
+        (-_dec_term_sum((F.col("nij") / F.col("n")) *
+                        F.log(F.col("ai") / F.col("n")))).alias("hc"),
+        (-_dec_term_sum((F.col("nij") / F.col("n")) *
+                        F.log(F.col("bj") / F.col("n")))).alias("hk"),
+        (-_dec_term_sum((F.col("nij") / F.col("n")) *
+                        F.log(F.col("nij") / F.col("bj")))).alias("hck"),
+        (-_dec_term_sum((F.col("nij") / F.col("n")) *
+                        F.log(F.col("nij") / F.col("ai")))).alias("hkc"),
+        F.sum(comb(F.col("nij"))).alias("sij"),
+        F.sum(F.when(F.col("rn_c") == 1, comb(F.col("ai")))).alias("sa"),
+        F.sum(F.when(F.col("rn_k") == 1, comb(F.col("bj")))).alias("sb"),
+        comb(F.max("n")).alias("sn"))
 
     h = F.when(F.col("hc") > 0, F.lit(1.0) - F.col("hck") / F.col("hc")).otherwise(F.lit(1.0))
     c = F.when(F.col("hk") > 0, F.lit(1.0) - F.col("hkc") / F.col("hk")).otherwise(F.lit(1.0))
@@ -90,35 +93,43 @@ def external_cluster_metrics(assigned: DataFrame, label_col: str,
 
 _METRICS_ORACLE = """
     WITH pts AS (SELECT label AS c, vec_id % 7 AS k FROM embeddings),
-    n AS (SELECT COUNT(*) AS n FROM pts),
     cont AS (SELECT c, k, COUNT(*) AS nij FROM pts GROUP BY c, k),
-    a AS (SELECT c, COUNT(*) AS ai FROM pts GROUP BY c),
-    b AS (SELECT k, COUNT(*) AS bj FROM pts GROUP BY k),
-    hc AS (SELECT -CAST(CAST(SUM(CAST((ai / n.n) * LN(ai / n.n) AS DECIMAL(27,18)))
-                  AS VARCHAR) AS DOUBLE) AS hc FROM a, n),
-    hk AS (SELECT -CAST(CAST(SUM(CAST((bj / n.n) * LN(bj / n.n) AS DECIMAL(27,18)))
-                  AS VARCHAR) AS DOUBLE) AS hk FROM b, n),
-    hck AS (SELECT -CAST(CAST(SUM(CAST((nij / n.n) * LN(nij / bj) AS DECIMAL(27,18)))
-                   AS VARCHAR) AS DOUBLE) AS hck
-            FROM cont JOIN b USING (k), n),
-    hkc AS (SELECT -CAST(CAST(SUM(CAST((nij / n.n) * LN(nij / ai) AS DECIMAL(27,18)))
-                   AS VARCHAR) AS DOUBLE) AS hkc
-            FROM cont JOIN a USING (c), n),
-    pairs AS (SELECT
-        (SELECT CAST(SUM(nij * (nij - 1)) AS BIGINT) FROM cont) AS sij,
-        (SELECT CAST(SUM(ai * (ai - 1)) AS BIGINT) FROM a) AS sa,
-        (SELECT CAST(SUM(bj * (bj - 1)) AS BIGINT) FROM b) AS sb,
-        (SELECT CAST(n * (n - 1) AS BIGINT) FROM n) AS sn),
+    annotated AS (
+      SELECT c, k, nij,
+             SUM(nij) OVER () AS n,
+             SUM(nij) OVER (PARTITION BY c) AS ai,
+             SUM(nij) OVER (PARTITION BY k) AS bj,
+             ROW_NUMBER() OVER (PARTITION BY c ORDER BY k) AS rn_c,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY c) AS rn_k
+      FROM cont
+    ),
+    stats AS (
+      SELECT
+        -CAST(CAST(SUM(CAST((nij / n) * LN(ai / n) AS DECIMAL(27,18)))
+              AS VARCHAR) AS DOUBLE) AS hc,
+        -CAST(CAST(SUM(CAST((nij / n) * LN(bj / n) AS DECIMAL(27,18)))
+              AS VARCHAR) AS DOUBLE) AS hk,
+        -CAST(CAST(SUM(CAST((nij / n) * LN(nij / bj) AS DECIMAL(27,18)))
+              AS VARCHAR) AS DOUBLE) AS hck,
+        -CAST(CAST(SUM(CAST((nij / n) * LN(nij / ai) AS DECIMAL(27,18)))
+              AS VARCHAR) AS DOUBLE) AS hkc,
+        CAST(SUM(nij * (nij - 1)) AS BIGINT) AS sij,
+        CAST(SUM(CASE WHEN rn_c = 1 THEN ai * (ai - 1) END) AS BIGINT) AS sa,
+        CAST(SUM(CASE WHEN rn_k = 1 THEN bj * (bj - 1) END) AS BIGINT) AS sb,
+        CAST(MAX(n) * (MAX(n) - 1) AS BIGINT) AS sn
+      FROM annotated
+    ),
     hcv AS (SELECT
         CASE WHEN hc > 0 THEN 1.0 - hck / hc ELSE 1.0 END AS h,
-        CASE WHEN hk > 0 THEN 1.0 - hkc / hk ELSE 1.0 END AS c
-        FROM hc, hk, hck, hkc)
+        CASE WHEN hk > 0 THEN 1.0 - hkc / hk ELSE 1.0 END AS c,
+        sij, sa, sb, sn
+        FROM stats)
     SELECT ROUND(h, 6) AS homogeneity,
            ROUND(c, 6) AS completeness,
            ROUND(CASE WHEN h + c > 0 THEN 2.0 * h * c / (h + c) ELSE 0.0 END, 6) AS v_measure,
            ROUND((sij - CAST(sa AS DOUBLE) * sb / sn) /
                  ((sa + sb) / 2.0 - CAST(sa AS DOUBLE) * sb / sn), 6) AS ari
-    FROM hcv, pairs
+    FROM hcv
 """
 
 

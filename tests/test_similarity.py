@@ -72,3 +72,44 @@ def test_hof_fold_bit_identical_to_explicit_chain(spark):
         sq_dist("va", "vb").alias("fold"),
         explicit("va", "vb", 64).alias("chain")).collect()
     assert all(r.fold == r.chain for r in rows)
+
+
+def test_ivf_partition_at_rest_prunes_cells(spark, tmp_path):
+    """The IVF scale story made real: cell-assigned embeddings written
+    ``partitionBy('cell')``, probe query reads back with a cell filter —
+    the scan must PARTITION-PRUNE (PartitionFilters on cell in the plan)
+    and return exactly the probed cells' vectors."""
+    import contextlib
+    import io
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from fts_errors_clustering_spark.sources.readers import table
+
+    emb = (table(spark, SF_SMALL, "embeddings")
+           .select("vec_id", "embedding",
+                   array_to_vector("embedding").alias("features")))
+    km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell")
+    cells = (km.fit(emb).transform(emb)
+             .select("vec_id", "embedding", "cell"))
+    out = str(tmp_path / "ivf_at_rest")
+    cells.write.partitionBy("cell").mode("overwrite").parquet(out)
+
+    probe = [0, 3]
+    scan = spark.read.parquet(out).where(F.col("cell").isin(probe))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], plan
+
+    expected = {r.vec_id for r in cells.where(F.col("cell").isin(probe))
+                .select("vec_id").collect()}
+    got = {r.vec_id for r in scan.select("vec_id").collect()}
+    assert got == expected and got
+    # the pruned read touches only the probed cells' directories
+    dirs = [d for d in os.listdir(out) if d.startswith("cell=")]
+    assert len(dirs) == 8
