@@ -313,21 +313,56 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ----------------------------------------------------------------
 
-def _simhash_half(hcol: str, bits: int = 32):
-    """Spark: assemble a 32-bit simhash from per-(doc,token) hash column."""
-    terms = []
-    for b in range(bits):
-        bit = F.shiftright(F.col(hcol), b).bitwiseAND(F.lit(1))
-        terms.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}"))
-    return terms
+def _packed_simhash(hashed: DataFrame) -> DataFrame:
+    """(doc_id, h1, h2) -> (doc_id, lo, hi): 64-bit SimHash as two 32-bit
+    halves, via BIT-SLICED aggregation.
 
+    The naive plan — 64 per-bit ``SUM(CASE ...)`` aggregate columns plus a
+    64-deep nested-``when`` assembly chain — is what the oracle SQL still
+    spells out, but on the Spark side it costs seconds of Catalyst analysis
+    and giant generated methods per invocation (measured: simhash queries
+    were the slowest in the whole bench at 2.8-7.9 s, dominated by plan
+    overhead, not data). Instead we pack FOUR 16-bit bit-counters into each
+    64-bit sum: lane j (j in 0..15) accumulates bits {j, j+16} of h1 and
+    {j, j+16} of h2 at byte offsets 0/16/32/48. That is 16 ``SUM`` columns
+    plus ``COUNT(*)`` — the per-bit count is ``(s_j >> 16k) & 0xFFFF`` and
+    bit b is set iff ``2*cnt_b > n`` (exactly the old ``sum(+-1) > 0``,
+    ties -> 0). Counters are exact while every doc has < 32,768 hashed
+    rows (the byte-48 lane's counter must stay clear of the signed-64
+    sign bit) — shingle/token counts per document sit orders of magnitude
+    below that.
+    Assembly is two flat ``aggregate()`` folds over ``sequence(0,31)`` —
+    constant-size plan regardless of bit width."""
+    lanes = []
+    for j in range(16):
+        lane = (F.shiftright(F.col("h1"), j).bitwiseAND(F.lit(1))
+                + F.shiftleft(F.shiftright(F.col("h1"), j + 16)
+                              .bitwiseAND(F.lit(1)), 16)
+                + F.shiftleft(F.shiftright(F.col("h2"), j)
+                              .bitwiseAND(F.lit(1)), 32)
+                + F.shiftleft(F.shiftright(F.col("h2"), j + 16)
+                              .bitwiseAND(F.lit(1)), 48))
+        lanes.append(F.sum(lane).alias(f"s{j}"))
+    sums = hashed.groupBy("doc_id").agg(*lanes, F.count("*").alias("n"))
+    # cnts[b] for b in 0..63: lane b%16, byte-offset 16*(b//16); order below
+    # is [offset 0: j 0..15, offset 16: j 0..15, ...] = h1 bits 0..31 then
+    # h2 bits 0..31.
+    cnts = F.array(*[
+        F.shiftright(F.col(f"s{j}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+        for k in range(4) for j in range(16)])
+    n = F.col("n")
 
-def _simhash_assemble(prefix: str, bits: int = 32):
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        out = out + F.when(F.col(f"{prefix}{b}") > 0,
-                           F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    def _fold(offset: int):
+        # 2^b is exact in a double for b <= 31, so pow stands in for a
+        # variable-distance shiftleft (which only takes literal distances)
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)), F.lit(0).cast("long"),
+            lambda acc, b: acc + F.when(
+                F.lit(2) * F.element_at(F.col("cnts"), b + offset + 1) > n,
+                F.pow(F.lit(2.0), b).cast("long")).otherwise(F.lit(0).cast("long")))
+
+    return (sums.withColumn("cnts", cnts)
+            .select("doc_id", _fold(0).alias("lo"), _fold(32).alias("hi")))
 
 
 def _sql_simhash_half(hexpr: str, bits: int = 32) -> str:
@@ -371,25 +406,17 @@ def _sql_simhash_assemble(bits: int = 32) -> str:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (two 32-bit halves from the shared md5
     hash): per bit, sum +-1 over the doc's distinct token hashes, sign ->
-    bit. One explode + one groupBy with 64 conditional sums — fully
-    aggregate-pushable, and exact integers so the oracle is bit-for-bit."""
+    bit. One explode + one bit-sliced groupBy (see ``_packed_simhash``) —
+    exact integers throughout, so the per-bit-sum oracle is bit-for-bit."""
     aug = _augmented(spark, sf_dir)
     dtoks = _tokens(aug).distinct()
     hashed = dtoks.select(
         "doc_id",
         F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long").alias("h2"))
-    lo_sums = _simhash_half("h1")
-    hi_sums = [F.sum(F.when(F.shiftright(F.col("h2"), b).bitwiseAND(F.lit(1)) == 1,
-                            1).otherwise(-1)).alias(f"t{b}") for b in range(32)]
-    sums = hashed.groupBy("doc_id").agg(*(lo_sums + hi_sums))
-    hi = F.lit(0).cast("long")
-    for b in range(32):
-        hi = hi + F.when(F.col(f"t{b}") > 0,
-                         F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sums.select("doc_id",
-                       _simhash_assemble("s").alias("simhash_lo"),
-                       hi.alias("simhash_hi"))
+    return (_packed_simhash(hashed)
+            .select("doc_id", F.col("lo").alias("simhash_lo"),
+                    F.col("hi").alias("simhash_hi")))
 
 
 # --- SimHash near-dup detector ---------------------------------------------
@@ -402,21 +429,14 @@ def _shingle_simhash(df: DataFrame) -> DataFrame:
     same degeneracy as unigram minhash on this corpus — see _MINHASH_SQL
     note): (doc_id, lo, hi) with two 32-bit halves.
 
-    Plan shape: 64 conditional-sum columns in ONE aggregate. Measured
-    (sf0.1, 262k shingle rows): this executes in ~0.55 s; the
-    "codegen-friendly" alternative — posexplode a 64-element sign array
-    into a narrow groupBy(doc_id, bit) — was tried and is ~10x SLOWER
-    (~5.5 s: it materializes 64x the rows to save codegen that the JIT
-    handles fine). Wide-but-flat aggregates beat row-explosion here."""
+    Plan shape: 16 bit-sliced sums + count in ONE aggregate (see
+    ``_packed_simhash``). Two earlier shapes were measured and rejected:
+    posexplode into a narrow groupBy(doc_id, bit) is ~10x slower (64x the
+    rows), and 64 flat conditional-sum columns cost seconds of pure
+    Catalyst-planning/codegen overhead per invocation."""
     hashed = _shingles(df).select(
         "doc_id", hash32("sh").alias("h1"), hash32_hi("sh").alias("h2"))
-    aggs = (_simhash_half("h1") +
-            [F.sum(F.when(F.shiftright(F.col("h2"), b).bitwiseAND(F.lit(1)) == 1,
-                          1).otherwise(-1)).alias(f"t{b}") for b in range(32)])
-    sums = hashed.groupBy("doc_id").agg(*aggs)
-    return sums.select("doc_id",
-                       _simhash_assemble("s").alias("lo"),
-                       _simhash_assemble("t").alias("hi"))
+    return _packed_simhash(hashed)
 
 
 _SIMHASH_SHINGLE_SQL = f"""

@@ -55,6 +55,20 @@ def _collect_matrix(emb: DataFrame, id_col: str, vec_col: str):
     return ids, mat
 
 
+def _spread(emb: DataFrame) -> DataFrame:
+    """Repartition the kernel's STREAMING side up to the cluster's default
+    parallelism when it arrives underpartitioned (e.g. a 1-2 file parquet
+    scan or a cached ml-transform output): the GEMM + Arrow emit otherwise
+    runs on as many cores as there are input partitions. A no-op (no extra
+    shuffle) whenever the input is already at least default-parallel — the
+    normal state for real at-scale inputs."""
+    spark = emb.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < target:
+        return emb.repartition(target)
+    return emb
+
+
 def eps_pairs_broadcast(emb: DataFrame, id_col: str, vec_col: str,
                         eps: float) -> DataFrame:
     """Directed exact eps-neighbor pairs (a, b), a != b,
@@ -92,7 +106,7 @@ def eps_pairs_broadcast(emb: DataFrame, id_col: str, vec_col: str,
                     "a": np.concatenate(out_a),
                     "b": np.concatenate(out_b)})
 
-    return emb.select(id_col, vec_col).mapInPandas(gen, "a long, b long")
+    return _spread(emb.select(id_col, vec_col)).mapInPandas(gen, "a long, b long")
 
 
 def topk_candidate_pairs(emb: DataFrame, id_col: str, vec_col: str,
@@ -131,4 +145,4 @@ def topk_candidate_pairs(emb: DataFrame, id_col: str, vec_col: str,
                 ai, bi = np.nonzero(g <= thresh[:, None])
                 yield pd.DataFrame({"a": a_ids[ai], "b": b_ids[bi]})
 
-    return emb.select(id_col, vec_col).mapInPandas(gen, "a long, b long")
+    return _spread(emb.select(id_col, vec_col)).mapInPandas(gen, "a long, b long")

@@ -99,9 +99,15 @@ def pipeline_word2vec_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = dbscan_labels(spark, emb, id_col="doc_id", dim=32,
                            eps=float(eps), min_pts=5)
     joined = emb.join(labels, "doc_id")  # in-row by id, never positional
-    wfirst = Window.partitionBy("cluster").orderBy("doc_id")
-    firsted = joined.withColumn("first_text", F.first("text").over(wfirst))
-    sims = firsted.withColumn("sim", fuzz_ratio("text", "first_text"))
+    # representative text per cluster via min_by + broadcast join, NOT a
+    # partitionBy(cluster) window: a dominant cluster (the knee's eps is
+    # degenerate on this corpus, as in the reference notebook) would put
+    # the whole corpus — and every levenshtein below — in ONE window
+    # partition; the aggregate keeps the expensive fuzz_ratio fully parallel
+    firsts = (joined.groupBy("cluster")
+              .agg(F.min_by("text", "doc_id").alias("first_text")))
+    sims = (joined.join(F.broadcast(firsts), "cluster")
+            .withColumn("sim", fuzz_ratio("text", "first_text")))
     return (sims.groupBy("cluster")
             .agg(F.count("*").alias("n_docs"),
                  F.round(F.avg("sim"), 4).alias("mean_similarity"),
