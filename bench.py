@@ -42,6 +42,9 @@ HEADLINE = [
     "lang_id_confusion",
     "tumbling_hourly_by_type",
     "session_windows_6h",
+    "duplicate_ngram_coverage",
+    "curated_corpus_stats",
+    "ann_batch_topk",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -1,0 +1,381 @@
+"""Corpus-curation operators — the composite training-data hygiene passes
+built on the dedup/textstats primitives (BASELINE.json north star):
+
+- ``doc_repetition_stats``: intra-document repetition signals (distinct-token
+  ratio, top-unigram / top-bigram occupancy) — the Gopher-style "repetitious
+  document" filter features.
+- ``duplicate_ngram_coverage``: cross-document duplicated-span coverage —
+  what fraction of each document's token 5-gram positions also occur in at
+  least one OTHER document (the substring-dedup signal of Lee et al.-style
+  "Deduplicating Training Data" pipelines, at 5-gram scale).
+- ``quality_filter_funnel``: per-language rule-by-rule drop counts for a
+  C4-style composite keep/drop filter — the report a curation run ships.
+- ``curated_corpus_stats``: the end-to-end pass — exact dedup (min-id per
+  content hash) → quality threshold → benchmark decontamination — reporting
+  surviving docs and whitespace tokens per language.
+
+All four are pure DataFrame algebra with DuckDB oracle twins; counts are
+integers and every ratio is a single IEEE division of integers, so the
+value hashes match bit-for-bit with no decimal scaffolding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_whitespace_tokens, whitespace_tokens
+from ..plans.registry import register
+from ..sources.readers import table
+from .textstats import STOPWORDS_EN, _in_list, _sql_count_in
+
+#: duplicated-span shingle width (the published pipelines use 13-token
+#: spans; the fixture docs are 10-99 tokens, so 5 keeps spans sub-document)
+NGRAM_W = 5
+
+#: quality-funnel thresholds, calibrated on the fixture distribution
+#: (token lengths 10-99, quality 0.43-0.65 median 0.54) so every rule has
+#: both passing and failing documents at every SF
+MIN_TOKENS = 20
+MIN_DISTINCT_RATIO = 0.35
+MIN_QUALITY = 0.5
+
+
+def _toks(docs: DataFrame) -> DataFrame:
+    return (docs.where(F.length(F.trim("text")) > 0)
+            .select("doc_id", whitespace_tokens("text").alias("ts")))
+
+
+def _quality_col(ts: str = "ts", text: str = "text"):
+    """The doc_quality_scores blend (operators/textstats.py) as a column —
+    alpha/stopword/length ratios weighted 0.5/0.3/0.2."""
+    n = F.size(ts)
+    alpha = (F.length(F.regexp_replace(F.lower(F.col(text)), "[^a-z]", ""))
+             / F.length(text).cast("double"))
+    stop = (F.size(F.filter(F.col(ts), lambda t: _in_list(t, STOPWORDS_EN)))
+            / n.cast("double"))
+    return (F.lit(0.5) * alpha + F.lit(0.3) * stop +
+            F.lit(0.2) * (F.least(n, F.lit(100)) / F.lit(100.0)))
+
+
+def _sql_quality(ts: str = "ts", text: str = "text") -> str:
+    return f"""(
+      0.5 * (length(regexp_replace(lower({text}), '[^a-z]', '', 'g'))
+             / CAST(length({text}) AS DOUBLE))
+      + 0.3 * ({_sql_count_in(ts, STOPWORDS_EN)} / CAST(len({ts}) AS DOUBLE))
+      + 0.2 * (least(len({ts}), 100) / 100.0))"""
+
+
+# --- intra-doc repetition ----------------------------------------------------
+
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, ts, len(ts) AS n, len(list_distinct(ts)) AS nd
+      FROM (SELECT doc_id, {sql_whitespace_tokens('text')} AS ts
+            FROM documents WHERE length(trim(text)) > 0)
+      WHERE len(ts) >= 2
+    ),
+    umax AS (
+      SELECT doc_id, MAX(c) AS u FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(ts) AS t FROM base) GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    ),
+    bmax AS (
+      SELECT doc_id, MAX(c) AS bm FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i+1])) AS bg
+              FROM base) GROUP BY doc_id, bg
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+           b.nd / CAST(b.n AS DOUBLE) AS distinct_ratio,
+           umax.u / CAST(b.n AS DOUBLE) AS top_unigram_frac,
+           bmax.bm / CAST(b.n - 1 AS DOUBLE) AS top_bigram_frac
+    FROM base b
+    JOIN umax ON umax.doc_id = b.doc_id
+    JOIN bmax ON bmax.doc_id = b.doc_id
+    """,
+    tags=("curation", "textstats"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: distinct-token ratio
+    plus the corpus share of the single most frequent unigram and bigram.
+    One tokenize pass; the two argmax aggregates explode into (doc, gram)
+    streams that partial-aggregate map-side, so the shuffle carries grouped
+    counts, not token text volume."""
+    docs = table(spark, sf_dir, "documents")
+    base = (_toks(docs).where(F.size("ts") >= 2)
+            .select("doc_id", "ts", F.size("ts").alias("n"),
+                    F.size(F.array_distinct("ts")).alias("nd")))
+    umax = (base.select("doc_id", F.explode("ts").alias("t"))
+            .groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+            .groupBy("doc_id").agg(F.max("c").alias("u")))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("ts") - 2),
+        lambda i: F.concat_ws(" ", F.col("ts").getItem(i),
+                              F.col("ts").getItem(i + 1)))
+    bmax = (base.select("doc_id", F.explode(bigrams).alias("bg"))
+            .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+            .groupBy("doc_id").agg(F.max("c").alias("bm")))
+    return (base.join(umax, "doc_id").join(bmax, "doc_id")
+            .select("doc_id", F.col("n").cast("long").alias("n_tokens"),
+                    (F.col("nd") / F.col("n").cast("double"))
+                    .alias("distinct_ratio"),
+                    (F.col("u") / F.col("n").cast("double"))
+                    .alias("top_unigram_frac"),
+                    (F.col("bm") / (F.col("n") - 1).cast("double"))
+                    .alias("top_bigram_frac")))
+
+
+# --- cross-doc duplicated-span coverage -------------------------------------
+
+def _sql_aug() -> str:
+    """Corpus with planted near-dups (doc_id < 20 re-inserted at +100000
+    with one appended token) so duplicated spans exist at every SF."""
+    return """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' xdup' AS text
+      FROM documents WHERE doc_id < 20
+    )"""
+
+
+def _aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (docs.where(F.col("doc_id") < 20)
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" xdup")).alias("text")))
+    return docs.unionByName(dups)
+
+
+@register(
+    "duplicate_ngram_coverage",
+    oracle=f"""
+    WITH {_sql_aug()},
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts) - {NGRAM_W - 2}),
+                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                         ts[i+3] || ' ' || ts[i+4])) AS g
+      FROM (SELECT doc_id, {sql_whitespace_tokens('text')} AS ts
+            FROM corpus WHERE length(trim(text)) > 0)
+      WHERE len(ts) >= {NGRAM_W}
+    ),
+    dup AS (
+      SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY g)
+      WHERE df >= 2
+    ),
+    cov AS (
+      SELECT doc_id, COUNT(*) AS n_dup FROM sh
+      WHERE g IN (SELECT g FROM dup) GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
+    SELECT s.doc_id, CAST(s.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup_positions,
+           COALESCE(c.n_dup, 0) / CAST(s.n_shingles AS DOUBLE) AS dup_coverage
+    FROM sizes s LEFT JOIN cov c ON c.doc_id = s.doc_id
+    """,
+    tags=("curation", "dedup"),
+)
+def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage: the fraction of a document's
+    token {NGRAM_W}-gram positions whose span occurs in >= 2 distinct docs —
+    the sub-document dedup signal (Lee et al. substring dedup, here at
+    token-5-gram granularity). Near-dups are planted (doc_id < 20 at
+    +100000) so coverage is exercised at every SF.
+
+    Scale: positions shuffle ONCE on the span text to build the df table
+    and once more for the membership semi-join — both map-side combinable;
+    the span table is the corpus n-gram inventory, the canonical substring-
+    dedup shuffle. No document bodies move after the tokenize."""
+    sh = (_toks(_aug(spark, sf_dir))
+          .where(F.size("ts") >= NGRAM_W)
+          .select("doc_id", F.explode(F.transform(
+              F.sequence(F.lit(0), F.size("ts") - NGRAM_W),
+              lambda i: F.concat_ws(" ", *[F.col("ts").getItem(i + j)
+                                           for j in range(NGRAM_W)])))
+              .alias("g"))
+          .cache())
+    dup = (sh.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+           .where(F.col("df") >= 2).select("g"))
+    cov = (sh.join(dup, "g", "left_semi")
+           .groupBy("doc_id").agg(F.count("*").alias("n_dup")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (sizes.join(cov, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_shingles").cast("long").alias("n_shingles"),
+                    F.coalesce("n_dup", F.lit(0)).cast("long")
+                    .alias("n_dup_positions"),
+                    (F.coalesce("n_dup", F.lit(0)) /
+                     F.col("n_shingles").cast("double"))
+                    .alias("dup_coverage")))
+
+
+# --- C4-style quality funnel -------------------------------------------------
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang, len(ts) AS n,
+             len(list_distinct(ts)) / CAST(len(ts) AS DOUBLE) AS dr,
+             {_sql_quality()} AS q
+      FROM (SELECT lang, text, {sql_whitespace_tokens('text')} AS ts
+            FROM documents WHERE length(trim(text)) > 0)
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE n < {MIN_TOKENS}) AS n_fail_len,
+           COUNT(*) FILTER (WHERE dr < {MIN_DISTINCT_RATIO}) AS n_fail_rep,
+           COUNT(*) FILTER (WHERE q < {MIN_QUALITY}) AS n_fail_quality,
+           COUNT(*) FILTER (WHERE n >= {MIN_TOKENS}
+                            AND dr >= {MIN_DISTINCT_RATIO}
+                            AND q >= {MIN_QUALITY}) AS n_kept
+    FROM stats GROUP BY lang
+    """,
+    tags=("curation", "textstats"),
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style composite quality filter reported as a per-language funnel:
+    how many documents each rule (min length, min distinct-token ratio, min
+    blended quality) would drop, and how many survive all three. One
+    tokenize pass, one map-side-combinable groupBy(lang)."""
+    docs = table(spark, sf_dir, "documents")
+    stats = (docs.where(F.length(F.trim("text")) > 0)
+             .select("lang", "text", whitespace_tokens("text").alias("ts"))
+             .select("lang", F.size("ts").alias("n"),
+                     (F.size(F.array_distinct("ts")) /
+                      F.size("ts").cast("double")).alias("dr"),
+                     _quality_col().alias("q")))
+    keep = ((F.col("n") >= MIN_TOKENS) &
+            (F.col("dr") >= MIN_DISTINCT_RATIO) &
+            (F.col("q") >= MIN_QUALITY))
+    cnt_if = lambda c: F.count(F.when(c, 1))  # noqa: E731
+    return (stats.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        cnt_if(F.col("n") < MIN_TOKENS).alias("n_fail_len"),
+        cnt_if(F.col("dr") < MIN_DISTINCT_RATIO).alias("n_fail_rep"),
+        cnt_if(F.col("q") < MIN_QUALITY).alias("n_fail_quality"),
+        cnt_if(keep).alias("n_kept")))
+
+
+# --- end-to-end curation -----------------------------------------------------
+
+#: benchmark = base docs with doc_id < 10 (matches benchmark_contamination)
+BENCH_MAX_ID = 10
+CONTAM_THRESHOLD = 0.2
+
+
+@register(
+    "curated_corpus_stats",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL               -- planted EXACT duplicates (die at dedup)
+      SELECT doc_id + 200000, text, lang FROM documents
+      WHERE doc_id >= {BENCH_MAX_ID} AND doc_id < 25
+      UNION ALL               -- planted NEAR-dups of the benchmark docs
+      SELECT doc_id + 300000, text || ' xdup', lang FROM documents
+      WHERE doc_id < {BENCH_MAX_ID}
+    ),
+    keep1 AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+    c1 AS (
+      SELECT c.doc_id, c.lang, {sql_whitespace_tokens('c.text')} AS ts, c.text
+      FROM corpus c JOIN keep1 k ON k.doc_id = c.doc_id
+      WHERE length(trim(c.text)) > 0 AND c.doc_id >= {BENCH_MAX_ID}
+    ),
+    c2 AS (SELECT * FROM c1 WHERE {_sql_quality()} >= {MIN_QUALITY}),
+    bsh AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+      FROM (SELECT {sql_whitespace_tokens('text')} AS ts FROM documents
+            WHERE doc_id < {BENCH_MAX_ID} AND length(trim(text)) > 0)
+      WHERE len(ts) >= 3
+    ),
+    csh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+      FROM c2 WHERE len(ts) >= 3
+    ),
+    contaminated AS (
+      SELECT doc_id FROM (
+        SELECT c.doc_id,
+               COUNT(*) FILTER (WHERE c.sh IN (SELECT sh FROM bsh)) AS hit,
+               COUNT(*) AS tot
+        FROM csh c GROUP BY c.doc_id
+      ) WHERE hit / CAST(tot AS DOUBLE) >= {CONTAM_THRESHOLD}
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(ts)) AS BIGINT) AS n_tokens
+    FROM c2 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    GROUP BY lang
+    """,
+    tags=("curation", "dedup", "contamination"),
+)
+def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pass over an adversarial corpus (planted
+    exact duplicates AND near-duplicates of the benchmark docs):
+
+    1. exact dedup — keep the minimum doc_id per md5(text); shuffles
+       16-byte digests, never bodies;
+    2. benchmark removal + quality threshold ({MIN_QUALITY} on the blended
+       score);
+    3. decontamination — drop any doc whose distinct 3-gram overlap with
+       the benchmark set (doc_id < {BENCH_MAX_ID}) reaches
+       {CONTAM_THRESHOLD}; the benchmark shingle set is broadcast.
+
+    Output: surviving documents and whitespace tokens per language — the
+    dataset card a curation run publishes. The planted exact dups die at
+    (1); the planted benchmark near-dups survive (1) but die at (3)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    corpus = (docs
+              .unionByName(docs.where((F.col("doc_id") >= BENCH_MAX_ID) &
+                                      (F.col("doc_id") < 25))
+                           .select((F.col("doc_id") + 200000).alias("doc_id"),
+                                   "text", "lang"))
+              .unionByName(docs.where(F.col("doc_id") < BENCH_MAX_ID)
+                           .select((F.col("doc_id") + 300000).alias("doc_id"),
+                                   F.concat("text", F.lit(" xdup"))
+                                   .alias("text"), "lang")))
+    keep1 = (corpus.groupBy(F.md5("text").alias("h"))
+             .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    c1 = (corpus.join(keep1, "doc_id", "left_semi")
+          .where((F.length(F.trim("text")) > 0) &
+                 (F.col("doc_id") >= BENCH_MAX_ID))
+          .select("doc_id", "lang", "text",
+                  whitespace_tokens("text").alias("ts")))
+    c2 = c1.where(_quality_col() >= MIN_QUALITY).cache()
+
+    def shingles3(df: DataFrame, *cols: str) -> DataFrame:
+        sh = F.transform(
+            F.sequence(F.lit(0), F.size("ts") - 3),
+            lambda i: F.concat_ws(" ", F.col("ts").getItem(i),
+                                  F.col("ts").getItem(i + 1),
+                                  F.col("ts").getItem(i + 2)))
+        return (df.where(F.size("ts") >= 3)
+                .select(*cols, F.explode(F.array_distinct(sh)).alias("sh")))
+
+    bsh = (shingles3(
+        docs.where((F.col("doc_id") < BENCH_MAX_ID) &
+                   (F.length(F.trim("text")) > 0))
+        .select(whitespace_tokens("text").alias("ts"))).distinct())
+    csh = shingles3(c2, "doc_id")
+    # left join against a marker column: count(m) counts only matched rows
+    marked = (csh.join(F.broadcast(bsh.withColumn("m", F.lit(1))), "sh", "left")
+              .groupBy("doc_id")
+              .agg(F.count("m").alias("hit"), F.count("*").alias("tot")))
+    contaminated = (marked
+                    .where(F.col("hit") / F.col("tot").cast("double")
+                           >= CONTAM_THRESHOLD)
+                    .select("doc_id"))
+    return (c2.join(contaminated, "doc_id", "left_anti")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size("ts")).cast("long").alias("n_tokens")))

@@ -96,6 +96,129 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b", F.round(cos, 6).alias("cosine")))
 
 
+N_QUERIES = 4       # batch-ANN query set: vec_id < N_QUERIES
+BATCH_K = 5
+SALT_P = 16         # first-level top-k fan-out for the salted window
+
+
+@register(
+    "ann_batch_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, e.vec_id, {sql_cosine('e.embedding', 'q.qv', DIM)} AS cos
+      FROM embeddings e, q WHERE e.vec_id >= {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rnk
+    FROM ranked WHERE rn <= {BATCH_K}
+    """,
+    tags=("similarity", "vectors"),
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: exact cosine top-{BATCH_K} for a SET of query vectors in
+    one pass — the bulk-retrieval shape (dedup against an index, RAG batch
+    scoring). The query set broadcasts; the corpus is scanned once.
+
+    Scale note: a single window partitioned by qid would funnel the whole
+    corpus's scored rows for one query through one task. Instead top-k runs
+    in TWO window levels: first within (qid, salt = vec_id mod {SALT_P}) —
+    partitions of ~corpus/{SALT_P} rows — keeping {BATCH_K} survivors each,
+    then a final window over the {SALT_P} x {BATCH_K} survivors per query.
+    Both windows are pure Catalyst; the cosine is computed once before the
+    first window, so the re-rank re-orders, never re-computes."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    scored = (emb.where(F.col("vec_id") >= N_QUERIES)
+              .crossJoin(F.broadcast(q))
+              .select("qid", "vec_id", cosine("embedding", "qv", DIM).alias("cos"),
+                      F.pmod(F.col("vec_id"), F.lit(SALT_P)).alias("salt")))
+    from pyspark.sql import Window
+    w1 = Window.partitionBy("qid", "salt").orderBy(F.desc("cos"), F.asc("vec_id"))
+    survivors = (scored.withColumn("rn", F.row_number().over(w1))
+                 .where(F.col("rn") <= BATCH_K).drop("rn", "salt"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (survivors.withColumn("rnk", F.row_number().over(w2).cast("long"))
+            .where(F.col("rnk") <= BATCH_K)
+            .select("qid", "vec_id", F.round("cos", 6).alias("cosine"), "rnk"))
+
+
+def _dec_sum(col):
+    """Order-insensitive exact sum of doubles: per-term decimal(27,18) cast,
+    decimal accumulate, string->double round-trip (functions/numeric.py
+    rationale)."""
+    return (F.sum(col.cast("decimal(27,18)")).cast("string").cast("double"))
+
+
+_SQL_DEC_SUM = ("CAST(CAST(SUM(CAST({x} AS DECIMAL(27,18))) AS VARCHAR) "
+                "AS DOUBLE)")
+
+
+@register(
+    "label_centroid_cosine",
+    oracle=f"""
+    WITH pe AS (
+      SELECT label, p.pos AS pos, CAST(p.val AS DOUBLE) AS val FROM (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> struct_pack(pos := i, val := embedding[i]))) AS p
+        FROM embeddings
+      )
+    ),
+    cent AS (
+      SELECT label, pos,
+             {_SQL_DEC_SUM.format(x='val')} / COUNT(*) AS m
+      FROM pe GROUP BY label, pos
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             {_SQL_DEC_SUM.format(x='a.m * b.m')} AS ab,
+             {_SQL_DEC_SUM.format(x='a.m * a.m')} AS aa,
+             {_SQL_DEC_SUM.format(x='b.m * b.m')} AS bb
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b, ROUND(ab / (sqrt(aa) * sqrt(bb)), 6) AS cosine
+    FROM pairs
+    """,
+    tags=("similarity", "vectors"),
+)
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid similarity matrix: mean embedding per label, then
+    pairwise cosine between label centroids — the class-separation /
+    embedding-drift diagnostic for a labeled corpus. Long-form throughout:
+    (label, pos) per-dimension decimal-exact means, a pos-equijoin for the
+    pairwise dots, one small aggregate — no dense matrices, no UDFs, and
+    the big shuffle is the map-side-combinable (label, pos) aggregate whose
+    output is only |labels| x dim rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    pe = emb.select("label", F.posexplode("embedding").alias("pos", "valf"))
+    pe = pe.select("label", (F.col("pos") + 1).alias("pos"),
+                   F.col("valf").cast("double").alias("val"))
+    cent = (pe.groupBy("label", "pos")
+            .agg((_dec_sum(F.col("val")) / F.count("*")).alias("m")))
+    a = cent.select(F.col("label").alias("label_a"), "pos",
+                    F.col("m").alias("ma"))
+    b = cent.select(F.col("label").alias("label_b"),
+                    F.col("pos").alias("posb"), F.col("m").alias("mb"))
+    pairs = (a.join(b, (F.col("pos") == F.col("posb")) &
+                    (F.col("label_a") < F.col("label_b")))
+             .groupBy("label_a", "label_b")
+             .agg(_dec_sum(F.col("ma") * F.col("mb")).alias("ab"),
+                  _dec_sum(F.col("ma") * F.col("ma")).alias("aa"),
+                  _dec_sum(F.col("mb") * F.col("mb")).alias("bb")))
+    return pairs.select(
+        "label_a", "label_b",
+        F.round(F.col("ab") / (F.sqrt("aa") * F.sqrt("bb")), 6).alias("cosine"))
+
+
 def _to_vectors(emb: DataFrame) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
     return emb.select("vec_id", "embedding",

@@ -192,6 +192,75 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "lang"))
 
 
+#: Zipf fit: how many head terms enter the OLS regression
+ZIPF_TOP_N = 100
+
+_DEC = ("CAST(CAST(SUM(CAST({x} AS DECIMAL(27,18))) AS VARCHAR) AS DOUBLE)")
+
+
+@register(
+    "zipf_slope",
+    oracle=f"""
+    WITH freq AS (
+      SELECT t AS token, COUNT(*) AS cnt
+      FROM (SELECT unnest({sql_whitespace_tokens('text')}) AS t
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY t
+    ),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM freq QUALIFY rnk <= {ZIPF_TOP_N}
+    ),
+    xy AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+           FROM ranked),
+    s AS (
+      SELECT COUNT(*) AS n,
+             {_DEC.format(x='x')} AS sx, {_DEC.format(x='y')} AS sy,
+             {_DEC.format(x='x * y')} AS sxy, {_DEC.format(x='x * x')} AS sxx
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS intercept
+    FROM s
+    """,
+    tags=("textstats",),
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus head: OLS slope of ln(freq) against
+    ln(rank) for the top {ZIPF_TOP_N} tokens — the classic corpus-health
+    check (natural text sits near slope -1; synthetic or boilerplate-heavy
+    corpora flatten). The head extraction is a global TakeOrderedAndProject
+    (per-partition partial top-k, {ZIPF_TOP_N}-row merge — no full sort);
+    the regression sums are per-term decimal casts so both engines
+    accumulate identically."""
+    docs = table(spark, sf_dir, "documents")
+    freq = (docs.where(F.length(F.trim("text")) > 0)
+            .select(F.explode(whitespace_tokens("text")).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("cnt")))
+    head = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(ZIPF_TOP_N)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    xy = (head.withColumn("rnk", F.row_number().over(w))
+          .select(F.log(F.col("rnk").cast("double")).alias("x"),
+                  F.log(F.col("cnt").cast("double")).alias("y")))
+
+    def dec(col):
+        return F.sum(col.cast("decimal(27,18)")).cast("string").cast("double")
+
+    s = xy.agg(F.count("*").alias("n"), dec(F.col("x")).alias("sx"),
+               dec(F.col("y")).alias("sy"),
+               dec(F.col("x") * F.col("y")).alias("sxy"),
+               dec(F.col("x") * F.col("x")).alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) /
+             (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"))
+
+
 @register(
     "bigram_logprob_scores",
     oracle=f"""

@@ -50,6 +50,7 @@ _MODULES = (
     "fts_errors_clustering_spark.operators.similarity",
     "fts_errors_clustering_spark.operators.textstats",
     "fts_errors_clustering_spark.operators.multimodal",
+    "fts_errors_clustering_spark.operators.curation",
     "fts_errors_clustering_spark.operators.windows",
     "fts_errors_clustering_spark.operators.pipelines",
     "fts_errors_clustering_spark.operators.knn",
@@ -102,6 +103,10 @@ _HEAD = (
     "lsa_svd_features", "knn_knee_sweep", "dedup_clusters",
     "bigram_logprob_scores", "multimodal_framesample",
     "benchmark_contamination",
+    # round-2 curation family: composite hygiene passes + new vector ops
+    "doc_repetition_stats", "duplicate_ngram_coverage",
+    "quality_filter_funnel", "curated_corpus_stats",
+    "ann_batch_topk", "label_centroid_cosine", "zipf_slope",
 )
 
 

@@ -1,0 +1,93 @@
+"""Invariants for the curation family (operators/curation.py) and the new
+vector ops (ann_batch_topk, label_centroid_cosine, zipf_slope). Value
+correctness is covered by the oracle-parity sweep; these assert the
+semantic properties a user of the curation pass relies on."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from fts_errors_clustering_spark.plans.registry import all_queries
+
+from .conftest import SF_SMALL
+
+_DEFS = all_queries()
+
+
+def test_duplicate_ngram_coverage_bounds_and_planted(spark):
+    rows = _DEFS["duplicate_ngram_coverage"].fn(spark, SF_SMALL).collect()
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        assert 0.0 <= r.dup_coverage <= 1.0
+        assert r.n_dup_positions <= r.n_shingles
+    # planted near-dups (originals re-inserted at +100000 with one extra
+    # token) must be flagged as heavily duplicated, both copies
+    planted = [r for r in rows if r.doc_id >= 100000]
+    assert planted, "aug corpus lost its planted near-dups"
+    for r in planted:
+        assert r.dup_coverage >= 0.5
+        twin = by_id.get(r.doc_id - 100000)
+        assert twin is not None and twin.dup_coverage >= 0.5
+
+
+def test_quality_filter_funnel_consistency(spark):
+    rows = _DEFS["quality_filter_funnel"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept <= r.n_docs
+        for c in ("n_fail_len", "n_fail_rep", "n_fail_quality"):
+            assert 0 <= getattr(r, c) <= r.n_docs
+        # a doc failing any rule is not kept
+        assert r.n_kept <= r.n_docs - max(r.n_fail_len, r.n_fail_rep,
+                                          r.n_fail_quality)
+
+
+def test_curated_corpus_shrinks_and_keeps_tokens(spark):
+    import duckdb
+    rows = _DEFS["curated_corpus_stats"].fn(spark, SF_SMALL).collect()
+    assert rows
+    total_docs = sum(r.n_docs for r in rows)
+    base = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_SMALL}/documents.parquet'").fetchone()[0]
+    # dedup + bench removal + quality + decontamination must strictly shrink
+    assert 0 < total_docs < base
+    for r in rows:
+        assert r.n_tokens >= r.n_docs  # every kept doc has tokens
+
+
+def test_ann_batch_topk_shape(spark):
+    from fts_errors_clustering_spark.operators.similarity import (
+        BATCH_K, N_QUERIES)
+    df = _DEFS["ann_batch_topk"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    assert len(rows) == N_QUERIES * BATCH_K
+    by_q = {}
+    for r in rows:
+        assert r.vec_id >= N_QUERIES  # query set excluded from candidates
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q) == N_QUERIES
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, BATCH_K + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+    # two-level top-k: the plan must contain BOTH window levels
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+
+
+def test_label_centroid_cosine_pairs(spark):
+    df = _DEFS["label_centroid_cosine"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    labels = set()
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        labels.update((r.label_a, r.label_b))
+    assert len(rows) == len(list(combinations(sorted(labels), 2)))
+
+
+def test_zipf_slope_negative(spark):
+    r = _DEFS["zipf_slope"].fn(spark, SF_SMALL).first()
+    assert r.slope < 0  # frequency decreases with rank by construction
+    assert r.n_terms > 0
