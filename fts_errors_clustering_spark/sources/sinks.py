@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_partitioned_parquet"]
+__all__ = ["write_partitioned_parquet", "write_jsonl_shards"]
 
 
 def write_partitioned_parquet(
@@ -44,3 +44,25 @@ def write_partitioned_parquet(
     if sort_by:
         shaped = shaped.sortWithinPartitions(partition_by, *sort_by)
     shaped.write.mode(mode).partitionBy(partition_by).parquet(out_path)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    out_path: str,
+    n_shards: int,
+    shard_key: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Land a curated corpus as N JSON-lines shards — the handoff format
+    training loaders consume (one record per line, fixed shard count so
+    downstream dataloader workers map 1:1 onto files).
+
+    ``shard_key`` hashes rows to shards (stable co-location, e.g. by
+    doc_id so re-exports shard identically); without it a round-robin
+    repartition balances shard sizes exactly. Compression stays default-off
+    because JSONL consumers stream-decode; flip via
+    ``df.write.option('compression', ...)`` at call sites that archive.
+    """
+    shaped = (df.repartition(n_shards, shard_key) if shard_key
+              else df.repartition(n_shards))
+    shaped.write.mode(mode).json(out_path)

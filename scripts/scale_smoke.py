@@ -50,6 +50,14 @@ QUERIES = [
     "knn_mean_distance",           # embeddings: kernel+rerank
     "dbscan_labels",               # embeddings: kernel+propagation
     "ann_bruteforce_topk",         # embeddings: broadcast scan
+    "doc_repetition_stats",        # documents: per-doc gram argmax aggs
+    "duplicate_ngram_coverage",    # documents: span df table + semi-join
+    "quality_filter_funnel",       # documents: column algebra + group
+    "curated_corpus_stats",        # documents: dedup+quality+decontam
+    "bigram_logprob_scores",       # documents: LM train + broadcast score
+    "zipf_slope",                  # documents: explode+agg+topk
+    "ann_batch_topk",              # embeddings: broadcast + salted topk
+    "label_centroid_cosine",       # embeddings: posexplode long-form agg
 ]
 
 

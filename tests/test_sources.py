@@ -117,3 +117,41 @@ def test_partitioned_parquet_sink(spark):
     plan = (back.where(F.col("k") == "a")
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters: [isnotnull(k" in plan, plan
+
+
+def test_jsonl_shards_sink(spark):
+    """JSONL export: exact shard count, round-trip fidelity, and key-stable
+    sharding (same key -> same shard across two exports)."""
+    import json as _json
+
+    from fts_errors_clustering_spark.sources.sinks import write_jsonl_shards
+
+    os.makedirs(TMP, exist_ok=True)
+    out = os.path.join(TMP, "sink_jsonl")
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text", "en" if i % 3 else "de") for i in range(60)],
+        "doc_id long, text string, lang string")
+    write_jsonl_shards(df, out, n_shards=4, shard_key="doc_id")
+
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert len(parts) == 4
+
+    shard_of = {}
+    n = 0
+    for p in parts:
+        with open(os.path.join(out, p)) as fh:
+            for line in fh:
+                rec = _json.loads(line)
+                shard_of[rec["doc_id"]] = p.split("-")[1]
+                n += 1
+    assert n == 60 and set(shard_of) == set(range(60))
+
+    # re-export shards identically (hash-partitioned by key)
+    out2 = os.path.join(TMP, "sink_jsonl2")
+    write_jsonl_shards(df, out2, n_shards=4, shard_key="doc_id")
+    shard_of2 = {}
+    for p in sorted(f for f in os.listdir(out2) if f.startswith("part-")):
+        with open(os.path.join(out2, p)) as fh:
+            for line in fh:
+                shard_of2[_json.loads(line)["doc_id"]] = p.split("-")[1]
+    assert shard_of2 == shard_of
