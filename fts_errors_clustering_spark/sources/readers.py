@@ -126,6 +126,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _NANO_TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    # micros fixtures are written isAdjustedToUTC=false, which Spark scans as
+    # TIMESTAMP_NTZ; normalize to the session (UTC) TIMESTAMP so downstream
+    # epoch math (unix_micros, window(), watermarks) resolves, with values
+    # identical to DuckDB's naive read of the same file.
+    for c, t in dtypes.items():
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if _CACHE_TABLES:
         df = df.cache()
         _TABLE_CACHE[key] = df
