@@ -79,7 +79,16 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
     edges = (pairs.join(core_a, "a", "left_semi")
                   .join(core_b, "b", "left_semi").cache())
 
-    labels = core.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    # init labels at min(id, min core-neighbor id) — algebraically identical
+    # to one min-propagation round over labels0(v)=v, so the loop starts a
+    # full round ahead (measured: one fewer ~1 s round at bench scale)
+    init_min = edges.groupBy("a").agg(F.min("b").alias("nlbl"))
+    labels = (core.join(init_min, core.id == init_min.a, "left")
+              .select("id",
+                      F.least(F.col("id"),
+                              F.coalesce(F.col("nlbl"), F.col("id")))
+                       .alias("lbl"))
+              .localCheckpoint())
     prev_sum = None
     converged = False
     for _ in range(max_iter):
@@ -100,7 +109,9 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
                           F.least(F.col("lbl"),
                                   F.coalesce(F.col("plbl"), F.col("lbl")))
                            .alias("lbl"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
+        # the certificate action below is what materializes the (lazy)
+        # checkpoint — one job per round, not two
         cur = labels.agg(F.sum("lbl")).first()[0]
         if cur == prev_sum:
             converged = True

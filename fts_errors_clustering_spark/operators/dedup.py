@@ -300,29 +300,42 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the df distribution regardless of corpus size, with recall
     guaranteed by construction rather than by a tuned cap."""
     aug = _augmented(spark, sf_dir)
-    shingles = _shingles(aug)
-    dfreq = shingles.groupBy("sh").agg(F.count("*").alias("df"))
-    sets = (shingles.groupBy("doc_id")
-            .agg(F.sort_array(F.collect_list("sh")).alias("shs"),
-                 F.count("*").alias("sz")))
+    # Candidate generation runs entirely on 8-byte xxhash64 shingle keys —
+    # the prefix scheme needs only SOME total order shared by all docs, so
+    # (df, hash) serves as well as (df, text) while the shuffles and the
+    # per-doc sort move longs instead of ~40-byte shingle strings. A hash
+    # collision can only MERGE two posting lists, i.e. add a false
+    # candidate; the exact string-set verification below removes it.
+    #
+    # Plan shape: the shingle explode is evaluated ONCE and both per-key
+    # statistics come from stacked WINDOWS over it (count over shh, then
+    # count + row_number over doc_id) — the join formulation (explode ->
+    # groupBy df -> join back -> groupBy sets -> join back) re-evaluates
+    # the explode per branch, which measured as ~3x the whole query's cost.
+    # Two shuffles total, both on 8-byte keys.
+    ex = _shingles(aug).select("doc_id", F.xxhash64("sh").alias("shh"))
+    w_doc = Window.partitionBy("doc_id")
+    w_rnk = Window.partitionBy("doc_id").orderBy("df", "shh")
+    posting = (ex.groupBy("shh")
+               .agg(F.count("*").alias("df"),
+                    F.collect_list("doc_id").alias("ds")))
+    ranked = (posting.select("shh", "df", F.explode("ds").alias("doc_id"))
+              .withColumn("sz", F.count("*").over(w_doc))
+              .withColumn("rnk", F.row_number().over(w_rnk)))
     # prefix_len = sz - ceil(tau*sz) + 1, in exact integer arithmetic
     ceil_tau_sz = F.floor((F.lit(_TAU_NUM) * F.col("sz")
                            + F.lit(_TAU_DEN - 1)) / F.lit(_TAU_DEN))
-    w = Window.partitionBy("doc_id").orderBy("df", "sh")
-    ranked = (shingles.join(dfreq, "sh")
-              .join(sets.select("doc_id", "sz"), "doc_id")
-              .withColumn("rnk", F.row_number().over(w))
-              .where(F.col("rnk") <= F.col("sz") - ceil_tau_sz + 1))
-    p1 = ranked.select(F.col("doc_id").alias("a"), "sh",
+    ranked = ranked.where(F.col("rnk") <= F.col("sz") - ceil_tau_sz + 1)
+    p1 = ranked.select(F.col("doc_id").alias("a"), "shh",
                        F.col("sz").alias("sza"), F.col("rnk").alias("ra"))
-    p2 = ranked.select(F.col("doc_id").alias("b"), "sh",
+    p2 = ranked.select(F.col("doc_id").alias("b"), "shh",
                        F.col("sz").alias("szb"), F.col("rnk").alias("rb"))
     # length filter: tau <= min/max; positional filter: overlap upper bound
     # at this occurrence must reach ceil(tau/(1+tau) * (sza+szb))
     min_ovl = F.floor((F.lit(_TAU_NUM) * (F.col("sza") + F.col("szb"))
                        + F.lit(_TAU_NUM + _TAU_DEN - 1))
                       / F.lit(_TAU_NUM + _TAU_DEN))
-    cand = (p1.join(p2, "sh")
+    cand = (p1.join(p2, "shh")
             .where((F.col("a") < F.col("b"))
                    & (F.lit(_TAU_DEN) * F.least("sza", "szb")
                       >= F.lit(_TAU_NUM) * F.greatest("sza", "szb"))
@@ -330,6 +343,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          F.col("szb") - F.col("rb"))
                       >= min_ovl))
             .select("a", "b").distinct())
+    # verification side: per-doc sorted distinct-shingle arrays as an
+    # AGGREGATE. The exchange under the aggregate is a reuse point (the
+    # same subplan serves both join sides via ReusedExchange) and a
+    # containment barrier: with an array-native (per-row expression) form
+    # instead, constraint pushdown re-derives the whole shingle-array
+    # expression inside scan filters per row — measured 4-10x slower.
+    sets = (_shingles(aug).groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("sh")).alias("shs"),
+                 F.count("*").alias("sz")))
     va = sets.select(F.col("doc_id").alias("a"), F.col("shs").alias("shs_a"),
                      F.col("sz").alias("sza"))
     vb = sets.select(F.col("doc_id").alias("b"), F.col("shs").alias("shs_b"),
