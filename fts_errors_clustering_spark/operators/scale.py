@@ -1,0 +1,124 @@
+"""Scale-pattern operators: the shuffle-shape idioms a 100 TB deployment
+leans on, each expressed as an oracle-checkable query so the pattern's
+CORRECTNESS (not just its plan shape) is pinned.
+
+The reference never needs these — its corpora fit one pandas process
+(SURVEY.md section 6) — but every large-scale ingest/compaction pipeline
+built on this engine does:
+
+- SALTED TWO-LEVEL AGGREGATION (``salted_group_members``): Spark's partial
+  aggregation makes combinable aggs (sum/count/min/max) skew-tolerant for
+  free, but NON-COMBINABLE aggs (collect_set/collect_list — the A11 "group
+  members" shape, ``SURVEY.md`` section 2.3) put every row of a hot key
+  into one reducer task. Salting splits each key into disjoint value-lanes,
+  aggregates per lane, then merges the (already tiny) per-lane results —
+  the straggler becomes #lanes parallel tasks. Identical results by
+  construction because the lanes partition the value space.
+- LATEST-WINS COMPACTION (``latest_event_per_user``): the upsert/CDC
+  "current snapshot" view — one window pass, no join against self. At
+  scale this is the merge-on-read compaction every incremental ingest
+  (Hudi/Iceberg-style) performs; the total tie-break order makes the
+  result deterministic and value-hashable.
+- FIXED-WIDTH HISTOGRAM (``value_histogram``): single-pass binning with a
+  STATIC bin function — no data-dependent min/max pre-pass, so the plan
+  stays one scan + one shuffle of 10 rows regardless of input size (the
+  two-pass dynamic-range histogram needs a full extra scan at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec_sum, sql_dec_sum
+from ..plans.registry import register
+from ..sources.readers import table
+
+#: disjoint value-lanes per group key for the salted aggregate. At 100 TB
+#: this is sized to (hot-key rows / target task size); correctness does not
+#: depend on the value, only on the lanes partitioning the value domain.
+N_SALT = 16
+
+
+@register(
+    "salted_group_members",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           list_sort(list(DISTINCT user_id)) AS users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scale", "skew", "agg"),
+)
+def salted_group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 group-members listing, skew-proofed: distinct users per
+    event_type as a sorted array, via two-level salted aggregation.
+
+    ``events`` groups by a 5-value key — the classic low-cardinality skew
+    case where a plain ``collect_set`` leaves all but 5 reducer tasks idle
+    and the hottest key's task O(n) behind. Level 1 groups by
+    (event_type, user_id % N_SALT) — every lane holds a DISJOINT slice of
+    each key's users, so per-lane ``collect_set`` results concatenate to
+    the exact global distinct set. Level 2 merges N_SALT small arrays per
+    key. The oracle is the plain single-level definition."""
+    ev = table(spark, sf_dir, "events")
+    lane = (ev.groupBy("event_type",
+                       F.pmod(F.col("user_id"), F.lit(N_SALT)).alias("salt"))
+            .agg(F.collect_set("user_id").alias("lane_users")))
+    return (lane.groupBy("event_type")
+            .agg(F.array_sort(F.flatten(F.collect_list("lane_users")))
+                 .alias("users"))
+            .select("event_type",
+                    F.size("users").cast("long").alias("n_users"),
+                    "users"))
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("scale", "compaction", "window"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins compaction: each user's most recent event (ties broken
+    by event_id, so the snapshot is total-order deterministic). One
+    shuffle on the compaction key; no self-join. This is the merge-on-read
+    "current state" view of an upsert/CDC event stream."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_id", "ts", "event_type", "value"))
+
+
+@register(
+    "value_histogram",
+    oracle=f"""
+    SELECT CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           {sql_dec_sum('value', 6)} AS sum_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("scale", "agg"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``events.value``: 10 static buckets of
+    width 10 clamped to [0, 90+) — a single scan and a 10-row shuffle.
+    The static bin function is the scale-critical choice: a min/max-scaled
+    histogram needs a second full pass before binning."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bucket = (F.least(F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)),
+                      F.lit(9))).cast("long")
+    return (ev.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 dec_sum("value", 6).alias("sum_value")))

@@ -115,6 +115,18 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_dedup_stream(spark, sf_dir)
 
 
+@register("streaming_neardup_gate", oracle=None,
+          tags=("windows", "streaming", "stateful", "dedup"))
+def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup gate (streaming twin of
+    ``minhash_near_dups``): stateless per-row signatures + banding, one
+    stateful bucket-ownership stage (``applyInPandasWithState``), per-doc
+    candidate verdicts across micro-batches. Rows-only in the driver;
+    planted-dup recall and batch agreement in tests/test_streaming.py."""
+    from ..streaming.jobs import run_neardup_stream
+    return run_neardup_stream(spark, sf_dir)
+
+
 @register("streaming_interval_join", oracle=None,
           tags=("windows", "streaming", "join"))
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,6 +51,7 @@ _MODULES = (
     "fts_errors_clustering_spark.operators.textstats",
     "fts_errors_clustering_spark.operators.multimodal",
     "fts_errors_clustering_spark.operators.curation",
+    "fts_errors_clustering_spark.operators.scale",
     "fts_errors_clustering_spark.operators.windows",
     "fts_errors_clustering_spark.operators.pipelines",
     "fts_errors_clustering_spark.operators.knn",
@@ -107,6 +108,10 @@ _HEAD = (
     "doc_repetition_stats", "duplicate_ngram_coverage",
     "quality_filter_funnel", "curated_corpus_stats",
     "ann_batch_topk", "label_centroid_cosine", "zipf_slope",
+    # round-2 scale-pattern family: salted non-combinable agg, latest-wins
+    # compaction, static-bin histogram
+    "salted_group_members", "latest_event_per_user", "value_histogram",
+    "streaming_neardup_gate",
 )
 
 

@@ -150,6 +150,110 @@ def run_stateful_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows.collect(), schema=rows.schema)
 
 
+NEARDUP_OUT_SCHEMA = "doc_id long, band long, owner long"
+NEARDUP_STATE_SCHEMA = "owner long"
+
+
+def _claim_bucket(key, pdfs, state):
+    """applyInPandasWithState hook for one (band, bucket) group: the first
+    doc to arrive owns the bucket forever (min doc_id within the first
+    trigger); every doc in the group is emitted with the owner so the
+    caller can tell first-claimers (doc == owner) from near-dup hits."""
+    import pandas as pd
+    docs: list[int] = []
+    for p in pdfs:
+        docs.extend(int(d) for d in p["doc_id"])
+    if not docs:
+        return
+    owner = int(state.get[0]) if state.exists else min(docs)
+    if not state.exists:
+        state.update((owner,))
+    yield pd.DataFrame({"doc_id": docs,
+                        "band": [int(key[0])] * len(docs),
+                        "owner": [owner] * len(docs)})
+
+
+def run_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup gate: the streaming twin of
+    ``minhash_near_dups`` (same shingle -> Kirsch-Mitzenmacher minhash ->
+    4x4 banding scheme, ``operators/dedup.py``), as a custom stateful
+    operator.
+
+    The signature is computed STATELESSLY per row — per-doc shingle array,
+    per-seed minima via ``aggregate()`` folds, band buckets as md5 of each
+    4-minimum slice — so the only stateful stage is bucket ownership:
+    key = (band, bucket), state = first-owner doc_id. A doc whose 4 buckets
+    are all first-claims is novel; any bucket owned by an EARLIER doc makes
+    it a near-dup candidate (exactly LSH candidate semantics). At 100 TB
+    the state store shards by bucket hash and the per-key state is one
+    long — the continuous-ingest near-dedup gate in front of a corpus.
+
+    Returns (doc_id, n_hit_bands, is_candidate) for every streamed doc.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import BAND_SIZE, N_HASHES
+
+    staged = _stage_documents_staggered(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(staged))
+
+    toks = F.filter(F.split(F.lower("text"), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    with_ts = stream.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", toks.alias("ts"))
+    n = F.size("ts")
+    shs = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(" ", F.col("ts").getItem(i),
+                              F.col("ts").getItem(i + 1),
+                              F.col("ts").getItem(i + 2))))
+    # per-shingle double hash (one md5), then per-seed minima as a fold —
+    # all row-local, no aggregation state
+    pairs = F.transform(shs, lambda sh: F.struct(
+        F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5(sh), 9, 8), 16, 10).cast("long").alias("h2")))
+    mod = F.lit(4294967296)
+    def _minhash(s: int):
+        return F.aggregate(
+            F.col("hp"), F.lit(4294967296).cast("long"),
+            lambda acc, p: F.least(
+                acc, (p.getField("h1") + F.lit(s) * p.getField("h2")) % mod))
+    sig = (with_ts.where(n >= 3).select("doc_id", pairs.alias("hp"))
+           .select("doc_id", *[_minhash(s).alias(f"m{s}")
+                               for s in range(N_HASHES)]))
+    band_rows = F.explode(F.array(*[
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(f"m{s}").cast("string")
+                                     for s in range(b * BAND_SIZE,
+                                                    (b + 1) * BAND_SIZE)]))
+             .alias("bucket"))
+        for b in range(N_HASHES // BAND_SIZE)]))
+    banded = (sig.select("doc_id", band_rows.alias("bb"))
+              .select("doc_id", "bb.band", "bb.bucket"))
+
+    claimed = (banded.groupBy("band", "bucket")
+               .applyInPandasWithState(
+                   _claim_bucket, NEARDUP_OUT_SCHEMA, NEARDUP_STATE_SCHEMA,
+                   "append", GroupStateTimeout.NoTimeout))
+    name = "neardup_" + uuid.uuid4().hex[:12]
+    q = (claimed.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name)
+    out = (rows.groupBy("doc_id")
+           .agg(F.sum(F.when(F.col("owner") != F.col("doc_id"), 1)
+                      .otherwise(0)).cast("long").alias("n_hit_bands"))
+           .select("doc_id", "n_hit_bands",
+                   (F.col("n_hit_bands") > 0).alias("is_candidate")))
+    return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
 def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with watermarks: error events joined to the
     SAME user's events in the preceding hour — the streaming twin of the

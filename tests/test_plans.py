@@ -95,3 +95,38 @@ def test_contamination_probe_broadcasts_benchmark(spark):
     stream the corpus side — never shuffle corpus shingles to the bench."""
     plan = _plan(_DEFS["benchmark_contamination"].fn(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
+
+def test_salted_group_members_two_level(spark):
+    """The salted A11 listing must aggregate in two levels: a lane-level
+    HashAggregate keyed by (event_type, salt) under a key-level one —
+    if the salt column disappears (optimized away or refactored out),
+    the hot-key straggler returns silently."""
+    plan = _plan(_DEFS["salted_group_members"].fn(spark, SF_SMALL))
+    assert "pmod" in plan, plan
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
+
+
+def _tree_nodes(plan: str) -> list[str]:
+    """Physical operator names from the formatted plan's detail headers
+    ('(N) OpName'), which appear exactly once per node (the ASCII tree
+    repeats names, so naive substring counts double-count)."""
+    import re
+    return [m.group(1) for m in re.finditer(r"^\(\d+\) (\S+)", plan, re.M)]
+
+
+def test_latest_event_compaction_single_shuffle(spark):
+    """Latest-wins compaction must be one window pass: exactly one
+    exchange (by user_id), no join."""
+    plan = _plan(_DEFS["latest_event_per_user"].fn(spark, SF_SMALL))
+    nodes = _tree_nodes(plan)
+    assert nodes.count("Exchange") == 1, nodes
+    assert not any("Join" in n for n in nodes), nodes
+
+
+def test_value_histogram_single_scan(spark):
+    """The static-bin histogram must stay one scan + one aggregate
+    exchange — a data-dependent-range histogram would show two scans."""
+    plan = _plan(_DEFS["value_histogram"].fn(spark, SF_SMALL))
+    nodes = _tree_nodes(plan)
+    assert nodes.count("Scan") == 1, nodes
+    assert nodes.count("Exchange") == 1, nodes

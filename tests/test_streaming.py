@@ -134,3 +134,21 @@ def test_stream_stream_join_equals_batch(spark):
     stream = {r.event_id: r.n_prior_1h
               for r in run_stream_stream_join(spark, SF_SMALL).collect()}
     assert stream == batch
+
+
+def test_streaming_neardup_gate_planted_recall(spark):
+    """The streaming MinHash-LSH gate must flag every planted exact
+    duplicate (identical text arriving in a LATER micro-batch than its
+    original) as a candidate on ALL bands — identical signatures share all
+    4 buckets, whose state the original claimed first. Originals own at
+    least the buckets their dups hit, so no planted id may be an owner."""
+    from fts_errors_clustering_spark.streaming.jobs import run_neardup_stream
+
+    out = {r.doc_id: r for r in run_neardup_stream(spark, SF_SMALL).collect()}
+    planted = [r for i, r in out.items() if i >= 100000]
+    assert len(planted) == 20
+    for r in planted:
+        assert r.is_candidate and r.n_hit_bands == 4, r
+    # every planted dup's original streamed earlier and was emitted too
+    for i in range(20):
+        assert i in out or (i + 100000) not in out
