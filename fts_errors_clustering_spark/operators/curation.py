@@ -379,3 +379,170 @@ def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum(F.size("ts")).cast("long").alias("n_tokens")))
+
+
+# --- chunking / packing / splits / mixing ------------------------------------
+
+#: chunking geometry: 32-token windows, stride 24 (8-token overlap) — the
+#: sliding-context chunking a training pipeline applies to long documents.
+CHUNK_W, CHUNK_STRIDE = 32, 24
+
+#: packed-sequence context size (tokens per training row)
+PACK_TARGET = 256
+
+#: deterministic split fractions over md5(doc_id): [0,80) train,
+#: [80,90) val, [90,100) test
+SPLIT_BOUNDS = (80, 90)
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_whitespace_tokens('text')} AS ts
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    ids AS (
+      SELECT doc_id, ts,
+             unnest(range(0, 1 + (GREATEST(len(ts) - {CHUNK_W}, 0)
+                                  + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}))
+               AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(ts[chunk_id * {CHUNK_STRIDE} + 1 :
+                       chunk_id * {CHUNK_STRIDE} + {CHUNK_W}]) AS BIGINT)
+             AS n_tokens,
+           md5(array_to_string(ts[chunk_id * {CHUNK_STRIDE} + 1 :
+                                  chunk_id * {CHUNK_STRIDE} + {CHUNK_W}], ' '))
+             AS chunk_hash
+    FROM ids
+    """,
+    tags=("curation", "chunking"),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: each document split into {CHUNK_W}-token
+    windows at stride {CHUNK_STRIDE} (trailing shorter chunk kept), the
+    long-document -> context-window step of a training pipeline. Chunk
+    identity is an md5 over the joined window, so the output hashes without
+    carrying chunk text. One explode, no shuffle at all — embarrassingly
+    parallel over documents."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.where(F.length(F.trim("text")) > 0)
+            .select("doc_id", whitespace_tokens("text").alias("ts")))
+    n = F.size("ts")
+    # ceil((n - W) / stride) + 1 windows cover all n tokens; floor would
+    # leave up to stride-1 trailing tokens unchunked
+    n_chunks = 1 + F.floor((F.greatest(n - CHUNK_W, F.lit(0))
+                            + (CHUNK_STRIDE - 1)) / CHUNK_STRIDE).cast("long")
+    chunk = F.slice("ts", F.col("chunk_id").cast("int") * CHUNK_STRIDE + 1,
+                    CHUNK_W)
+    return (toks
+            .select("doc_id", "ts",
+                    F.explode(F.sequence(F.lit(0).cast("long"),
+                                         n_chunks - 1)).alias("chunk_id"))
+            .select("doc_id", "chunk_id",
+                    F.size(chunk).cast("long").alias("n_tokens"),
+                    F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash")))
+
+
+@register(
+    "packed_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({sql_whitespace_tokens('text')}) AS n
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    offs AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS off
+      FROM toks
+    )
+    SELECT off // {PACK_TARGET} AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens
+    FROM offs GROUP BY 1
+    """,
+    tags=("curation", "packing"),
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: documents concatenated in doc_id
+    order, cut into {PACK_TARGET}-token contexts; each doc is assigned to
+    the bin where it STARTS (exclusive running token offset div target) —
+    the packing accounting of LLM pretraining loaders. One window cumsum +
+    one aggregate; at 100 TB the ORDER BY becomes a range partition over
+    doc_id, which parquet's sorted layout gives without a sort."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.where(F.length(F.trim("text")) > 0)
+            .select("doc_id", F.size(whitespace_tokens("text")).alias("n")))
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offs = toks.withColumn("off", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    return (offs.groupBy((F.col("off") / PACK_TARGET).cast("long")
+                         .alias("bin_id"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n").cast("long").alias("n_tokens")))
+
+
+@register(
+    "hash_split_counts",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN bucket < {SPLIT_BOUNDS[0]} THEN 'train'
+                WHEN bucket < {SPLIT_BOUNDS[1]} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM (SELECT lang,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100 AS bucket
+          FROM documents)
+    GROUP BY 1, 2
+    """,
+    tags=("curation", "split"),
+)
+def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent id
+    hash (md5(doc_id) mod 100 against fixed bounds) — reproducible across
+    engines and runs, no RNG state, stable under corpus growth (a doc's
+    split never changes when other docs are added; a seeded sample's
+    does). Returns per-(lang, split) counts."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("long") % 100)
+    split = (F.when(bucket < SPLIT_BOUNDS[0], "train")
+             .when(bucket < SPLIT_BOUNDS[1], "val")
+             .otherwise("test"))
+    return (docs.groupBy("lang", split.alias("split"))
+            .agg(F.count("*").alias("n_docs")))
+
+
+@register(
+    "mixture_weights",
+    oracle="""
+    WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n, COUNT(*) AS k FROM per)
+    SELECT per.source, per.n_docs,
+           CAST(per.n_docs AS DOUBLE) / tot.n AS actual_share,
+           (CAST(tot.n AS DOUBLE) / tot.k) / per.n_docs AS sample_weight
+    FROM per, tot
+    """,
+    tags=("curation", "mixing"),
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: per-source document share and the per-doc
+    sampling weight that rebalances the corpus to a UNIFORM source mixture
+    (weight = target_share / actual_share scaled to mean 1) — the mixture
+    table a training loader consumes. Integer counts; each ratio is one
+    IEEE division, so the values hash exactly cross-engine."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").cast("long").alias("n"),
+                  F.count("*").alias("k"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs",
+                    (F.col("n_docs").cast("double") / F.col("n"))
+                    .alias("actual_share"),
+                    ((F.col("n").cast("double") / F.col("k")) / F.col("n_docs"))
+                    .alias("sample_weight")))

@@ -86,10 +86,8 @@ _HEAD = (
     "dedup_exact", "doc_fingerprints", "minhash_signatures",
     "minhash_near_dups", "ngram_jaccard_pairs", "simhash_signatures",
     "simhash_near_dups",
-    "ann_bruteforce_topk", "embedding_near_dup_pairs", "ann_ivf_topk",
-    "lsh_neighbor_counts",
+    "ann_bruteforce_topk", "embedding_near_dup_pairs",
     "lang_id_confusion", "doc_quality_scores", "token_counts",
-    "stratified_doc_sample",
     "multimodal_metadata", "multimodal_features",
     "tumbling_hourly_by_type", "sliding_2h_windows", "session_windows_6h",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
@@ -112,6 +110,15 @@ _HEAD = (
     # compaction, static-bin histogram
     "salted_group_members", "latest_event_per_user", "value_histogram",
     "streaming_neardup_gate",
+    # round-2 chunk/pack/split/mix curation ops
+    "doc_chunks", "packed_sequences", "hash_split_counts", "mixture_weights",
+)
+
+#: rows-only entries rotated DIRECTLY AFTER the head (i.e. first past the
+#: driver's ~50-row budget): their regression gate is pytest
+#: (recall/agreement tests), so they spend driver-budget slots last.
+_TAIL_AFTER_HEAD = (
+    "ann_ivf_topk", "lsh_neighbor_counts", "stratified_doc_sample",
 )
 
 
@@ -122,10 +129,11 @@ def _load() -> None:
 
 def all_queries() -> dict[str, QueryDef]:
     _load()
-    missing = [n for n in _HEAD if n not in _REGISTRY]
+    pinned = _HEAD + _TAIL_AFTER_HEAD
+    missing = [n for n in pinned if n not in _REGISTRY]
     if missing:
         raise RuntimeError(f"registry head names not registered: {missing}")
-    ordered = {n: _REGISTRY[n] for n in _HEAD}
+    ordered = {n: _REGISTRY[n] for n in pinned}
     ordered.update((n, d) for n, d in _REGISTRY.items() if n not in ordered)
     return ordered
 

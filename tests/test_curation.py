@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from itertools import combinations
 
+from pyspark.sql import functions as F
+
 from fts_errors_clustering_spark.plans.registry import all_queries
 
 from .conftest import SF_SMALL
@@ -91,3 +93,53 @@ def test_zipf_slope_negative(spark):
     r = _DEFS["zipf_slope"].fn(spark, SF_SMALL).first()
     assert r.slope < 0  # frequency decreases with rank by construction
     assert r.n_terms > 0
+
+
+def test_doc_chunks_cover_and_overlap(spark):
+    """Chunk geometry invariants: chunk 0 starts the doc; consecutive
+    chunks overlap by CHUNK_W - CHUNK_STRIDE tokens; the union of chunk
+    spans covers every token; only the final chunk may be short."""
+    from fts_errors_clustering_spark.operators.curation import (CHUNK_STRIDE,
+                                                                CHUNK_W)
+    from fts_errors_clustering_spark.operators.curation import doc_chunks
+    from fts_errors_clustering_spark.functions.text import whitespace_tokens
+    from fts_errors_clustering_spark.sources.readers import table
+
+    chunks = doc_chunks(spark, SF_SMALL).collect()
+    n_tok = {r.doc_id: r.n
+             for r in table(spark, SF_SMALL, "documents")
+             .where(F.length(F.trim("text")) > 0)
+             .select("doc_id", F.size(whitespace_tokens("text")).alias("n"))
+             .collect()}
+    per_doc: dict[int, list] = {}
+    for r in chunks:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(n_tok)
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        n = n_tok[doc_id]
+        assert [r.chunk_id for r in rs] == list(range(len(rs)))
+        # all but the last chunk are full-width; spans cover the doc
+        for r in rs[:-1]:
+            assert r.n_tokens == CHUNK_W
+        last = rs[-1]
+        assert last.n_tokens == n - last.chunk_id * CHUNK_STRIDE
+        assert last.chunk_id * CHUNK_STRIDE + last.n_tokens == n
+
+
+def test_packed_sequences_conserve_tokens(spark):
+    """Packing conservation: bin token counts sum to the corpus total; no
+    bin is empty; every doc's start offset maps into exactly one bin."""
+    from fts_errors_clustering_spark.operators.curation import packed_sequences
+    from fts_errors_clustering_spark.functions.text import whitespace_tokens
+    from fts_errors_clustering_spark.sources.readers import table
+
+    bins = packed_sequences(spark, SF_SMALL).collect()
+    total = (table(spark, SF_SMALL, "documents")
+             .where(F.length(F.trim("text")) > 0)
+             .select(F.sum(F.size(whitespace_tokens("text"))).alias("s"))
+             .collect()[0].s)
+    assert sum(r.n_tokens for r in bins) == total
+    assert all(r.n_docs > 0 for r in bins)
+    ids = sorted(r.bin_id for r in bins)
+    assert len(ids) == len(set(ids))

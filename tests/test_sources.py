@@ -15,6 +15,8 @@ from fts_errors_clustering_spark.sources.readers import (fetch_pages,
                                                          read_issues_json,
                                                          read_text_log)
 
+from .conftest import SF_SMALL
+
 TMP = "/root/repo/.tmp"
 
 
@@ -155,3 +157,46 @@ def test_jsonl_shards_sink(spark):
             for line in fh:
                 shard_of2[_json.loads(line)["doc_id"]] = p.split("-")[1]
     assert shard_of2 == shard_of
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed identically on the join key must SortMergeJoin
+    with NO Exchange on either side — the bucket layout IS the join
+    partitioning. This is the co-located-join credential: at 100 TB the
+    per-join shuffle of the fact table becomes a one-time write cost."""
+    import contextlib
+    import io
+    import re
+
+    from fts_errors_clustering_spark.sources.readers import table
+    from fts_errors_clustering_spark.sources.sinks import write_bucketed_table
+
+    ev = table(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
+    usr = (table(spark, SF_SMALL, "events")
+           .groupBy("user_id").count().withColumnRenamed("count", "n"))
+    write_bucketed_table(ev, "t_ev_b", "user_id", 8,
+                         path=str(tmp_path / "ev"))
+    write_bucketed_table(usr, "t_usr_b", "user_id", 8,
+                         path=str(tmp_path / "usr"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = (spark.table("t_ev_b")
+                      .join(spark.table("t_usr_b"), "user_id")
+                      .groupBy("user_id").agg(F.sum("value"), F.max("n")))
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            nodes = [m.group(1)
+                     for m in re.finditer(r"^\(\d+\) (\S+)", plan, re.M)]
+            assert "SortMergeJoin" in nodes, nodes
+            # no shuffle anywhere below the join: the only allowed Exchange
+            # is none at all, since the final groupBy key == bucket key
+            assert "Exchange" not in nodes, nodes
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ev_b")
+        spark.sql("DROP TABLE IF EXISTS t_usr_b")
