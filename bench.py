@@ -45,6 +45,11 @@ HEADLINE = [
     "duplicate_ngram_coverage",
     "curated_corpus_stats",
     "ann_batch_topk",
+    "salted_group_members",
+    "latest_event_per_user",
+    "value_histogram",
+    "doc_chunks",
+    "packed_sequences",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

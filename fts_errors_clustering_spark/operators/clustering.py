@@ -158,15 +158,25 @@ def fit_kmeans_best(df: DataFrame, k: int = 10, n_init: int = 3,
     distributed job; the reference's 100 restarts on 2.8k rows do not
     transfer to cluster scale."""
     from pyspark.ml.clustering import KMeans
-    best = None, float("inf")
-    for i in range(n_init):
-        km = KMeans(k=k, maxIter=max_iter, seed=base_seed + i,
-                    featuresCol=features_col, predictionCol="prediction")
-        model = km.fit(df)
-        cost = model.summary.trainingCost
-        if cost < best[1]:
-            best = model, cost
-    return best[0]
+    from pyspark.storagelevel import StorageLevel
+    # every restart (and every k-means|| iteration within it) re-evaluates
+    # the feature plan unless it is materialized; pin it for the loop
+    pinned = df.storageLevel == StorageLevel.NONE
+    if pinned:
+        df = df.persist()
+    try:
+        best = None, float("inf")
+        for i in range(n_init):
+            km = KMeans(k=k, maxIter=max_iter, seed=base_seed + i,
+                        featuresCol=features_col, predictionCol="prediction")
+            model = km.fit(df)
+            cost = model.summary.trainingCost
+            if cost < best[1]:
+                best = model, cost
+        return best[0]
+    finally:
+        if pinned:
+            df.unpersist()
 
 
 def _embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:

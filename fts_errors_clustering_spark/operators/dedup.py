@@ -565,7 +565,15 @@ def min_label_components(ids: DataFrame, edges: DataFrame,
     ``ids`` has one column ``id``; ``edges`` columns (a, b), directed (pass
     both directions for undirected graphs). Returns (id, component) where
     component = min member id."""
-    labels = ids.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    # init at min(id, min neighbor) — one propagation round folded into
+    # init, same as operators/dbscan.py
+    init_min = edges.groupBy("a").agg(F.min("b").alias("nlbl"))
+    labels = (ids.join(init_min, ids.id == init_min.a, "left")
+              .select("id",
+                      F.least(F.col("id"),
+                              F.coalesce(F.col("nlbl"), F.col("id")))
+                       .alias("lbl"))
+              .localCheckpoint())
     prev_sum, converged = None, False
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges.b == labels.id)
@@ -582,7 +590,8 @@ def min_label_components(ids: DataFrame, edges: DataFrame,
                           F.least(F.col("lbl"),
                                   F.coalesce(F.col("plbl"), F.col("lbl")))
                            .alias("lbl"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
+        # the certificate action materializes the lazy checkpoint — one job
         cur = labels.agg(F.sum("lbl")).first()[0]
         if cur == prev_sum:
             converged = True

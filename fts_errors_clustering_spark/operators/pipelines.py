@@ -47,7 +47,8 @@ def pipeline_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(feats.select("doc_id", "lang"), "doc_id")
                .select("doc_id", "lang", array_to_vector(
                    F.when(nrm > 0, F.transform("lsa_svd", lambda x: x / nrm))
-                    .otherwise(F.col("lsa_svd"))).alias("lsa_features")))
+                    .otherwise(F.col("lsa_svd"))).alias("lsa_features"))
+               .cache())
     model = fit_kmeans_best(reduced, k=10, n_init=2,
                             features_col="lsa_features")
     out = model.transform(reduced).cache()

@@ -133,3 +133,28 @@ def test_kmeans_n_init_cost_convergence(spark):
     assert costs[5] <= costs[3] + 1e-9
     for n in (1, 3, 5):
         assert math.isclose(costs[n], min(seed_costs[:n]), rel_tol=1e-9)
+
+
+def test_external_metrics_golden_values(spark):
+    """M13 golden: the contingency-table metric algebra must reproduce the
+    sklearn-definition values on hand-computed assignments (the reference
+    consumes sklearn.metrics directly, ``TF-IDF_K-Means_approach.ipynb:
+    8163-8171``). Values below were computed by hand from the entropy /
+    adjusted-Rand definitions (natural log, 6-decimal rounding)."""
+    from fts_errors_clustering_spark.operators.clustering import \
+        external_cluster_metrics
+
+    cases = [
+        # (labels, preds, (homogeneity, completeness, v_measure, ari))
+        (["a", "a", "a", "b", "b", "c"], [0, 0, 1, 1, 2, 2],
+         (0.543112, 0.5, 0.520665, 0.074074)),
+        (["a", "a", "b", "b"], [1, 1, 0, 0], (1.0, 1.0, 1.0, 1.0)),
+        (["a", "a", "b", "c"], [0, 0, 0, 0], (0.0, 1.0, 0.0, 0.0)),
+    ]
+    for labels, preds, want in cases:
+        df = spark.createDataFrame(list(zip(labels, preds)),
+                                   "lab string, prd int")
+        row = external_cluster_metrics(df, "lab", "prd").collect()[0]
+        got = (row.homogeneity, row.completeness, row.v_measure, row.ari)
+        for g, w in zip(got, want):
+            assert abs(g - w) < 1e-6, (labels, preds, got, want)
