@@ -48,3 +48,53 @@ def test_all_non_fit_queries_survive_empty_tables(spark, empty_dir):
         except Exception as ex:  # noqa: BLE001 — collecting a failure report
             failures.append(f"{name}: {type(ex).__name__}")
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(spark, tmp_path_factory):
+    """Fixture tables with nulls injected into the nullable payload columns
+    (text, props, value) — the shape real corpora arrive in. Ids/keys stay
+    non-null (they are join keys by contract)."""
+    from pyspark.sql import functions as F
+    out = str(tmp_path_factory.mktemp("nulls_sf"))
+    for t in TABLES:
+        df = table(spark, SF_SMALL, t)
+        if t == "documents":
+            df = df.withColumn(
+                "text", F.when(F.col("doc_id") % 19 == 0, None)
+                         .otherwise(F.col("text")))
+        if t == "events":
+            df = (df.withColumn(
+                      "props", F.when(F.col("event_id") % 17 == 0, None)
+                                .otherwise(F.col("props")))
+                    .withColumn(
+                      "value", F.when(F.col("event_id") % 23 == 0, None)
+                                .otherwise(F.col("value"))))
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def test_document_and_event_queries_survive_nulls(spark, nulls_dir):
+    """Every documents/events-family query must run on null-bearing
+    payloads (not necessarily produce the same rows — just never crash on
+    a null text/props/value)."""
+    probe = [
+        "mask_documents", "document_tokens", "doc_token_stats",
+        "doc_quality_scores", "token_counts", "lang_id_confusion",
+        "dedup_exact", "doc_fingerprints", "minhash_near_dups",
+        "ngram_jaccard_pairs", "simhash_signatures",
+        "doc_repetition_stats", "duplicate_ngram_coverage",
+        "quality_filter_funnel", "doc_chunks", "packed_sequences",
+        "hash_split_counts", "mixture_weights",
+        "json_props_flatten", "json_sum_by_type", "null_scan_fill",
+        "value_histogram", "describe_event_value", "salted_group_members",
+        "latest_event_per_user", "event_type_counts",
+    ]
+    qs = all_queries()
+    failures = []
+    for name in probe:
+        try:
+            qs[name].fn(spark, nulls_dir).collect()
+        except Exception as ex:  # noqa: BLE001 — collecting a failure report
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, failures
