@@ -11,6 +11,7 @@ the same plan writes to parquet/kafka with a real trigger.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -171,6 +172,61 @@ def _claim_bucket(key, pdfs, state):
     yield pd.DataFrame({"doc_id": docs,
                         "band": [int(key[0])] * len(docs),
                         "owner": [owner] * len(docs)})
+
+
+def run_dedup_stream_with_recovery(spark: SparkSession, sf_dir: str,
+                                   checkpoint_dir: str,
+                                   stop_after_batches: int = 2) -> DataFrame:
+    """The stateful first-seen dedup run in TWO sessions against one
+    checkpoint: start, kill the query after ``stop_after_batches``
+    micro-batches (a crash stand-in), then restart from the checkpoint and
+    drain. The state store + WAL must resume exactly — every distinct text
+    emitted once across both incarnations, none lost, none duplicated
+    (asserted by the caller against the batch dedup).
+
+    This is the recovery contract a 100 TB continuous-ingest gate runs
+    on: the checkpoint (offsets + state) is the source of truth, process
+    lifetime is incidental."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    staged = _stage_documents_staggered(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    out_dir = os.path.join(checkpoint_dir, "out")
+    ckpt = os.path.join(checkpoint_dir, "ckpt")
+
+    def start():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(staged))
+        hashed = stream.select(F.md5("text").alias("text_hash"), "doc_id")
+        deduped = (hashed.groupBy("text_hash")
+                   .applyInPandasWithState(
+                       _first_seen, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA,
+                       "append", GroupStateTimeout.NoTimeout))
+        # FILE sink: its transaction log (_spark_metadata) is what makes
+        # the recovery exactly-once — a replayed in-flight batch overwrites
+        # its own manifest entry instead of appending duplicates
+        return (deduped.writeStream.outputMode("append")
+                .format("parquet").option("path", out_dir)
+                .option("checkpointLocation", ckpt).start())
+
+    # incarnation 1: process a couple of micro-batches, then "crash"
+    q1 = start()
+    try:
+        while len(q1.recentProgress) < stop_after_batches:
+            time.sleep(0.1)
+    finally:
+        q1.stop()
+
+    # incarnation 2: fresh query object, SAME checkpoint — resumes source
+    # offsets and the per-key state store, drains the remaining files
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(out_dir)
+    return spark.createDataFrame(rows.collect(), schema=rows.schema)
 
 
 def run_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

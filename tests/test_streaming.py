@@ -152,3 +152,31 @@ def test_streaming_neardup_gate_planted_recall(spark):
     # every planted dup's original streamed earlier and was emitted too
     for i in range(20):
         assert i in out or (i + 100000) not in out
+
+
+def test_stateful_dedup_checkpoint_recovery(spark, tmp_path):
+    """Kill the stateful dedup stream after 2 micro-batches, restart from
+    the same checkpoint, drain. The resumed state store + file-sink
+    transaction log must give EXACTLY the batch dedup result across both
+    incarnations — nothing lost to the crash, nothing emitted twice."""
+    from pyspark.sql import functions as F
+
+    from fts_errors_clustering_spark.sources.readers import table
+    from fts_errors_clustering_spark.streaming.jobs import \
+        run_dedup_stream_with_recovery
+
+    out = run_dedup_stream_with_recovery(
+        spark, SF_SMALL, str(tmp_path / "recovery")).collect()
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    staged = docs.unionByName(
+        docs.where(F.col("doc_id") < 20)
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    batch = staged.select(F.md5("text").alias("h"), "doc_id").collect()
+    groups: dict[str, set] = {}
+    for r in batch:
+        groups.setdefault(r.h, set()).add(r.doc_id)
+    # exactly one emission per distinct text across BOTH incarnations
+    assert len(out) == len(groups), (len(out), len(groups))
+    assert {r.text_hash for r in out} == set(groups)
+    for r in out:
+        assert r.doc_id in groups[r.text_hash]
