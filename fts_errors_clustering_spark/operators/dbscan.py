@@ -70,9 +70,15 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
     pairs = pairs.cache()
 
     nbc = pairs.groupBy("a").agg((F.count("*") + 1).alias("cnt"))
-    core = (ids.join(nbc, ids.id == nbc.a, "left")
-            .where(F.coalesce(F.col("cnt"), F.lit(1)) >= min_pts)
-            .select("id").cache())
+    if min_pts > 1:
+        # a point absent from `pairs` has neighborhood size 1 < min_pts, so
+        # core derives from the pair aggregate alone — no scan of `ids`
+        core = (nbc.where(F.col("cnt") >= min_pts)
+                .select(F.col("a").alias("id")).cache())
+    else:
+        core = (ids.join(nbc, ids.id == nbc.a, "left")
+                .where(F.coalesce(F.col("cnt"), F.lit(1)) >= min_pts)
+                .select("id").cache())
 
     core_a = core.select(F.col("id").alias("a"))
     core_b = core.select(F.col("id").alias("b"))

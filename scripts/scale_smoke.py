@@ -58,6 +58,11 @@ QUERIES = [
     "zipf_slope",                  # documents: explode+agg+topk
     "ann_batch_topk",              # embeddings: broadcast + salted topk
     "label_centroid_cosine",       # embeddings: posexplode long-form agg
+    "salted_group_members",        # events: two-level salted collect_set
+    "latest_event_per_user",       # events: single-window compaction
+    "value_histogram",             # events: static-bin single scan
+    "doc_chunks",                  # documents: sliding-window explode
+    "packed_sequences",            # documents: global cumsum packing
 ]
 
 
