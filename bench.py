@@ -50,6 +50,7 @@ HEADLINE = [
     "value_histogram",
     "doc_chunks",
     "packed_sequences",
+    "funnel_counts",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -136,3 +136,77 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_streaming.py."""
     from ..streaming.jobs import run_stream_stream_join
     return run_stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "funnel_counts",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+        AND e.ts <= t1.ts1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+        AND e.ts <= t2.ts2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'signup' AS name,
+           (SELECT COUNT(*) FROM t1) AS n_users
+    UNION ALL
+    SELECT 2, 'signup>click', (SELECT COUNT(*) FROM t2)
+    UNION ALL
+    SELECT 3, 'signup>click>purchase', (SELECT COUNT(*) FROM t3)
+    """,
+    tags=("windows", "funnel"),
+)
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence funnel: users whose first signup is followed
+    by a click within 24h, then a purchase within 24h of that click,
+    counted per step (first-touch attribution). ONE shuffle total —
+    all three step timestamps are stacked conditional-min WINDOWS over the
+    same user partition (each step's min is conditioned on following the
+    previous step's time), then a tiny global aggregate; the join-per-step
+    formulation the oracle spells out would shuffle events once per step.
+    The classic behavioral-analytics op the reference's relational layer
+    stops short of."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    with1 = ev.withColumn("ts1", t1)
+    day = F.expr("INTERVAL 24 HOURS")
+    t2 = F.min(F.when((F.col("event_type") == "click")
+                      & (F.col("ts") > F.col("ts1"))
+                      & (F.col("ts") <= F.col("ts1") + day),
+                      F.col("ts"))).over(w)
+    with2 = with1.withColumn("ts2", t2)
+    t3 = F.min(F.when((F.col("event_type") == "purchase")
+                      & (F.col("ts") > F.col("ts2"))
+                      & (F.col("ts") <= F.col("ts2") + day),
+                      F.col("ts"))).over(w)
+    with3 = with2.withColumn("ts3", t3)
+    per_user = (with3.groupBy("user_id")
+                .agg(F.max("ts1").alias("ts1"), F.max("ts2").alias("ts2"),
+                     F.max("ts3").alias("ts3")))
+    steps = per_user.agg(
+        F.count("ts1").alias("c1"), F.count("ts2").alias("c2"),
+        F.count("ts3").alias("c3"))
+    kv = F.explode(F.array(
+        F.struct(F.lit(1).alias("step"), F.lit("signup").alias("name"),
+                 F.col("c1").alias("n_users")),
+        F.struct(F.lit(2).alias("step"), F.lit("signup>click").alias("name"),
+                 F.col("c2").alias("n_users")),
+        F.struct(F.lit(3).alias("step"),
+                 F.lit("signup>click>purchase").alias("name"),
+                 F.col("c3").alias("n_users"))))
+    return (steps.select(kv.alias("s"))
+            .select(F.col("s.step").cast("int").alias("step"),
+                    "s.name", "s.n_users"))

@@ -88,7 +88,7 @@ _HEAD = (
     "simhash_near_dups",
     "ann_bruteforce_topk", "embedding_near_dup_pairs",
     "lang_id_confusion", "doc_quality_scores", "token_counts",
-    "multimodal_metadata", "multimodal_features",
+    "multimodal_metadata",
     "tumbling_hourly_by_type", "sliding_2h_windows", "session_windows_6h",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
     "streaming_interval_join",
@@ -112,6 +112,7 @@ _HEAD = (
     "streaming_neardup_gate",
     # round-2 chunk/pack/split/mix curation ops
     "doc_chunks", "packed_sequences", "hash_split_counts", "mixture_weights",
+    "funnel_counts",
 )
 
 #: rows-only entries rotated DIRECTLY AFTER the head (i.e. first past the
@@ -119,6 +120,7 @@ _HEAD = (
 #: (recall/agreement tests), so they spend driver-budget slots last.
 _TAIL_AFTER_HEAD = (
     "ann_ivf_topk", "lsh_neighbor_counts", "stratified_doc_sample",
+    "multimodal_features",
 )
 
 

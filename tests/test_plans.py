@@ -130,3 +130,14 @@ def test_value_histogram_single_scan(spark):
     nodes = _tree_nodes(plan)
     assert nodes.count("Scan") == 1, nodes
     assert nodes.count("Exchange") == 1, nodes
+
+
+def test_funnel_single_user_shuffle_no_joins(spark):
+    """The funnel must be the stacked-window plan: one exchange on
+    user_id (+ the 1-row global aggregate exchange), and NO join — the
+    join-per-step formulation the oracle spells out would re-shuffle
+    events once per funnel step."""
+    plan = _plan(_DEFS["funnel_counts"].fn(spark, SF_SMALL))
+    nodes = _tree_nodes(plan)
+    assert nodes.count("Exchange") <= 2, nodes
+    assert not any("Join" in n for n in nodes), nodes
