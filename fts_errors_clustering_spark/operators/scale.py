@@ -122,3 +122,35 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy(bucket.alias("bucket"))
             .agg(F.count("*").alias("n"),
                  dec_sum("value", 6).alias("sum_value")))
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle=f"""
+    WITH long AS (
+      UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+               FROM lineitem)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE val
+    )
+    SELECT measure, COUNT(*) AS n,
+           {sql_dec_sum('val', 6)} AS sum_val,
+           MIN(val) AS min_val, MAX(val) AS max_val
+    FROM long GROUP BY measure
+    """,
+    tags=("scale", "relational", "unpivot"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (the inverse of the A6 pivot surface): the four
+    lineitem measures melted to (measure, val) and aggregated per measure.
+    ``DataFrame.unpivot`` plans as a single Expand over one scan — one
+    pass regardless of measure count, where a per-measure UNION would scan
+    the table once per column."""
+    li = table(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.unpivot([], measures, "measure", "val")
+    return (long.groupBy("measure")
+            .agg(F.count("*").alias("n"),
+                 dec_sum("val", 6).alias("sum_val"),
+                 F.min("val").alias("min_val"),
+                 F.max("val").alias("max_val")))
