@@ -51,6 +51,10 @@ HEADLINE = [
     "doc_chunks",
     "packed_sequences",
     "funnel_counts",
+    "token_budget_selection",
+    "importance_weights_dsir",
+    "quality_threshold_by_lang",
+    "distribution_drift_psi",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

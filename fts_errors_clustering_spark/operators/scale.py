@@ -154,3 +154,48 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dec_sum("val", 6).alias("sum_val"),
                  F.min("val").alias("min_val"),
                  F.max("val").alias("max_val")))
+
+
+#: replication factor for the salted skew join — at 100 TB sized to
+#: (hot-key rows / target task size), exactly like N_SALT above
+N_REP = 8
+
+
+@register(
+    "skew_join_segments",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           {sql_dec_sum('e.value', 6)} AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.value IS NOT NULL
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("scale", "skew", "join"),
+)
+def skew_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted big-big join: events (hot user_ids) x customer, spread
+    by salting the FACT side with pmod(event_id, N_REP) and REPLICATING
+    the dimension row N_REP times — each hot key's rows land in N_REP
+    tasks instead of one straggler. The oracle is the plain join.
+
+    This is the manual form of AQE's skew-join splitting, needed when the
+    skew is known ahead of time (a hot tenant/user) or when AQE's
+    post-shuffle split can't help (e.g. the skewed side feeds a
+    non-splittable downstream op). The join is hinted SHUFFLE_MERGE so the
+    salted key shape is visible in the plan — with a broadcastable dim
+    you'd broadcast instead and salting would be moot; the pattern targets
+    dims too big to broadcast (replication multiplies only the SMALL side).
+    """
+    ev = (table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .withColumn("salt", F.pmod(F.col("event_id"), F.lit(N_REP))))
+    cust = (table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .withColumn("salt", F.explode(
+                F.sequence(F.lit(0), F.lit(N_REP - 1)).cast("array<bigint>"))))
+    j = ev.join(cust.hint("shuffle_merge"),
+                (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt))
+    return (j.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("n_events"),
+                 dec_sum("value", 6).alias("sum_value")))

@@ -51,6 +51,7 @@ _MODULES = (
     "fts_errors_clustering_spark.operators.textstats",
     "fts_errors_clustering_spark.operators.multimodal",
     "fts_errors_clustering_spark.operators.curation",
+    "fts_errors_clustering_spark.operators.selection",
     "fts_errors_clustering_spark.operators.scale",
     "fts_errors_clustering_spark.operators.windows",
     "fts_errors_clustering_spark.operators.pipelines",
@@ -82,7 +83,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _HEAD = (
     # dbscan / dedup / similarity / textstats / multimodal / windows /
     # pipelines — families with no driver CORRECTNESS row in round 1
-    "dbscan_labels", "dbscan_summary", "dbscan_labels_lsh",
+    "dbscan_labels", "dbscan_summary",
     "dedup_exact", "doc_fingerprints", "minhash_signatures",
     "minhash_near_dups", "ngram_jaccard_pairs", "simhash_signatures",
     "simhash_near_dups",
@@ -90,10 +91,7 @@ _HEAD = (
     "lang_id_confusion", "doc_quality_scores", "token_counts",
     "multimodal_metadata",
     "tumbling_hourly_by_type", "sliding_2h_windows", "session_windows_6h",
-    "streaming_tumbling_hourly", "streaming_stateful_dedup",
-    "streaming_interval_join",
     "pipeline_tfidf_kmeans", "pipeline_word2vec_dbscan",
-    "knn_mean_distance", "knn_knee_epsilon",
     # round-1 driver hash FAILs, re-verified after the oracle CAST fix
     "top_users_share", "json_sum_by_type",
     # new this round, each needing its first driver row: real truncated SVD
@@ -113,14 +111,31 @@ _HEAD = (
     # round-2 chunk/pack/split/mix curation ops
     "doc_chunks", "packed_sequences", "hash_split_counts", "mixture_weights",
     "funnel_counts",
+    # round-2 unpivot + the selection/monitoring family (token-budget
+    # histogram cutoff, DSIR importance weights, per-lang adaptive quality
+    # gate, week-over-week PSI drift) — each needs its first driver row
+    "unpivot_lineitem_measures",
+    "token_budget_selection", "importance_weights_dsir",
+    "quality_threshold_by_lang", "distribution_drift_psi",
+    "skew_join_segments",
 )
 
 #: rows-only entries rotated DIRECTLY AFTER the head (i.e. first past the
 #: driver's ~50-row budget): their regression gate is pytest
 #: (recall/agreement tests), so they spend driver-budget slots last.
 _TAIL_AFTER_HEAD = (
+    # real-readStream twins of the oracle-checked batch window queries in
+    # the head: rows-only by design (their hard gate is the equality-with-
+    # batch and recovery tests), rotated past the driver budget in favour
+    # of the oracle-checked selection family; streaming_neardup_gate stays
+    # in the head as the newest stateful operator.
+    "streaming_tumbling_hourly", "streaming_stateful_dedup",
+    "streaming_interval_join",
     "ann_ivf_topk", "lsh_neighbor_counts", "stratified_doc_sample",
-    "multimodal_features",
+    "multimodal_features", "semantic_dedup_ivf", "dbscan_labels_lsh",
+    # r1-proven oracle entries rotated out of the driver window to make
+    # room (their regression gate remains the local parity sweep)
+    "knn_mean_distance", "knn_knee_epsilon",
 )
 
 

@@ -63,6 +63,10 @@ QUERIES = [
     "value_histogram",             # events: static-bin single scan
     "doc_chunks",                  # documents: sliding-window explode
     "packed_sequences",            # documents: global cumsum packing
+    "token_budget_selection",      # documents: histogram cutoff, no sort
+    "importance_weights_dsir",     # documents: feature explode + bcast model
+    "quality_threshold_by_lang",   # documents: per-group P25 + bcast gate
+    "distribution_drift_psi",      # events: one (week,bin) agg drives all
 ]
 
 

@@ -141,3 +141,17 @@ def test_funnel_single_user_shuffle_no_joins(spark):
     nodes = _tree_nodes(plan)
     assert nodes.count("Exchange") <= 2, nodes
     assert not any("Join" in n for n in nodes), nodes
+
+
+def test_skew_join_salted_smj(spark):
+    """The skew-salted join must sort-merge on the SALTED composite key
+    (user_id, salt) — if the salt column falls out of the join condition
+    the hot key collapses back into one task."""
+    plan = _plan(_DEFS["skew_join_segments"].fn(spark, SF_SMALL))
+    nodes = _tree_nodes(plan)
+    assert any("SortMergeJoin" in n for n in nodes), nodes
+    import re
+    lk = re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", plan)
+    rk = re.search(r"Right keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert lk and "salt" in lk.group(1), plan
+    assert rk and "salt" in rk.group(1), plan
