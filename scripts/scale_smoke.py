@@ -71,6 +71,12 @@ QUERIES = [
 
 
 def stage(spark) -> None:
+    # dims stay fixture-sized (the 10x run scales the FACT side only —
+    # exactly the skew-join scenario); staged idempotently on their own
+    # marker so older staged dirs pick them up
+    if not os.path.exists(os.path.join(OUT, "customer.parquet")):
+        (table(spark, SRC, "customer").write.mode("overwrite")
+         .parquet(os.path.join(OUT, "customer.parquet")))
     if os.path.exists(os.path.join(OUT, "_STAGED")):
         return
     reps = F.explode(F.array(*[F.lit(k) for k in range(REPLICAS)])).alias("k")
@@ -112,7 +118,10 @@ def main() -> None:
     stage(spark)
     defs = all_queries()
     results = {}
-    for name in QUERIES:
+    # optional argv subset: scripts/scale_smoke.py q1 q2 ... (fast loop
+    # while iterating on one family; default = full list + recall gates)
+    names = sys.argv[1:] or QUERIES
+    for name in names:
         fn = defs[name].fn
         t0 = time.perf_counter()
         n_small = fn(spark, SRC).count()
@@ -126,6 +135,9 @@ def main() -> None:
             "rows_small": n_small, "rows_big": n_big,
         }
         print(json.dumps({name: results[name]}), flush=True)
+
+    if sys.argv[1:]:
+        return  # subset run: skip the full-list recall gates
 
     # planted-dup recall must SURVIVE the scale-up: the fixed df<=50 cap
     # regression returned 0 pairs at 10x (every planted shingle blocked);
