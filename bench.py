@@ -55,6 +55,7 @@ HEADLINE = [
     "importance_weights_dsir",
     "quality_threshold_by_lang",
     "distribution_drift_psi",
+    "silhouette_by_label",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -254,3 +254,282 @@ def word2vec_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
     return out.select("doc_id", F.size(arr).cast("long").alias("dim"),
                       F.round(norm, 6).alias("l2_norm"))
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed silhouette (squared-Euclidean decomposition)
+# ---------------------------------------------------------------------------
+
+_SIL_DEC = ("CAST(CAST(SUM(CAST({x} AS DECIMAL(27,18))) AS VARCHAR) "
+            "AS DOUBLE)")
+
+
+@register(
+    "silhouette_by_label",
+    oracle=f"""
+    WITH pe AS (
+      SELECT vec_id, label, p.pos AS pos, CAST(p.val AS DOUBLE) AS val
+      FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> struct_pack(pos := i, val := embedding[i]))) AS p
+        FROM embeddings
+      )
+    ),
+    n2 AS (
+      SELECT vec_id, label, {_SIL_DEC.format(x='val * val')} AS n2
+      FROM pe GROUP BY vec_id, label
+    ),
+    ls AS (
+      SELECT label AS lab2, pos, {_SIL_DEC.format(x='val')} AS s
+      FROM pe GROUP BY label, pos
+    ),
+    lq AS (
+      SELECT label AS lab2, {_SIL_DEC.format(x='n2')} AS q,
+             COUNT(*) AS n_l
+      FROM n2 GROUP BY label
+    ),
+    dots AS (
+      SELECT pe.vec_id, ls.lab2, {_SIL_DEC.format(x='pe.val * ls.s')} AS dt
+      FROM pe JOIN ls ON ls.pos = pe.pos
+      GROUP BY pe.vec_id, ls.lab2
+    ),
+    d2 AS (
+      SELECT n2.vec_id, n2.label, d.lab2, lq.n_l,
+             lq.n_l * n2.n2 - 2 * d.dt + lq.q AS d2sum
+      FROM dots d
+      JOIN n2 ON n2.vec_id = d.vec_id
+      JOIN lq ON lq.lab2 = d.lab2
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             MIN(CASE WHEN lab2 = label THEN d2sum / (n_l - 1) END) AS a,
+             MIN(CASE WHEN lab2 <> label THEN d2sum / n_l END) AS b
+      FROM d2 GROUP BY vec_id, label
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND({_SIL_DEC.format(x='(b - a) / GREATEST(a, b)')} / COUNT(*),
+                 6) AS mean_silhouette
+    FROM ab GROUP BY label
+    """,
+    tags=("clustering", "metrics", "vectors"),
+)
+def silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT silhouette per ground-truth label over ``embeddings`` — the
+    metric the reference samples (sklearn ``silhouette_score`` with
+    ``sample_size=1000``, ``TF-IDF_K-Means_approach.ipynb:8163-8171``)
+    because its all-pairs form is O(n^2); with SQUARED Euclidean distance
+    the per-cluster mean distance decomposes over cluster sums
+
+        sum_{y in L} |x - y|^2  =  n_L |x|^2  -  2 x . S_L  +  Q_L
+
+    (S_L = per-dimension component sums, Q_L = sum of member norms), so
+    the exact metric is O(n * k * d): one long-form pass for the
+    |labels| x dim sum table (map-side combined), a pos-equijoin of the
+    point stream against that broadcast-sized table for all point-cluster
+    dots, and tiny per-point min/agg. a(i) excludes self (sklearn
+    semantics, denominator n_C - 1); b(i) = min over other clusters;
+    s(i) = (b - a) / max(a, b). All sums are per-term DECIMAL (exact,
+    order-independent), so Spark and DuckDB produce bit-identical doubles.
+
+    MLlib's ClusteringEvaluator implements the same decomposition but
+    with a(i) including self; this operator pins the sklearn definition
+    the reference actually reports, and the cross-engine oracle (not a
+    library call) is the correctness anchor.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    pe = (emb.select("vec_id", "label",
+                     F.posexplode("embedding").alias("pos0", "valf"))
+          .select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+                  F.col("valf").cast("double").alias("val")))
+    n2 = (pe.groupBy("vec_id", "label")
+          .agg(_dec_term_sum(F.col("val") * F.col("val")).alias("n2")))
+    ls = (pe.groupBy(F.col("label").alias("lab2"), F.col("pos"))
+          .agg(_dec_term_sum(F.col("val")).alias("s")))
+    lq = (n2.groupBy(F.col("label").alias("lab2"))
+          .agg(_dec_term_sum(F.col("n2")).alias("q"),
+               F.count("*").alias("n_l")))
+    dots = (pe.join(F.broadcast(ls), "pos")
+            .groupBy("vec_id", "lab2")
+            .agg(_dec_term_sum(F.col("val") * F.col("s")).alias("dt")))
+    d2 = (dots.join(n2, "vec_id")
+          .join(F.broadcast(lq), "lab2")
+          .select("vec_id", "label", "lab2", "n_l",
+                  (F.col("n_l") * F.col("n2") - 2 * F.col("dt") + F.col("q"))
+                  .alias("d2sum")))
+    ab = (d2.groupBy("vec_id", "label")
+          .agg(F.min(F.when(F.col("lab2") == F.col("label"),
+                            F.col("d2sum") / (F.col("n_l") - 1))).alias("a"),
+               F.min(F.when(F.col("lab2") != F.col("label"),
+                            F.col("d2sum") / F.col("n_l"))).alias("b")))
+    sil = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return (ab.groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 F.round(_dec_term_sum(sil) / F.count("*"), 6)
+                 .alias("mean_silhouette")))
+
+
+@register(
+    "internal_cluster_metrics",
+    oracle=f"""
+    WITH pe AS (
+      SELECT vec_id, label, p.pos AS pos, CAST(p.val AS DOUBLE) AS val
+      FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> struct_pack(pos := i, val := embedding[i]))) AS p
+        FROM embeddings
+      )
+    ),
+    n2 AS (
+      SELECT vec_id, label, {_SIL_DEC.format(x='val * val')} AS n2
+      FROM pe GROUP BY vec_id, label
+    ),
+    cent AS (  -- per-label component means (exact)
+      SELECT label, pos, {_SIL_DEC.format(x='val')} / COUNT(*) AS m
+      FROM pe GROUP BY label, pos
+    ),
+    gcent AS (  -- global component means (exact)
+      SELECT pos, {_SIL_DEC.format(x='val')} / COUNT(*) AS g
+      FROM pe GROUP BY pos
+    ),
+    lstat AS (  -- |mu_L|^2 and mu_L . mu per label (exact folds)
+      SELECT c.label,
+             {_SIL_DEC.format(x='c.m * c.m')} AS mu2,
+             {_SIL_DEC.format(x='c.m * gc.g')} AS mug
+      FROM cent c JOIN gcent gc ON gc.pos = c.pos
+      GROUP BY c.label
+    ),
+    lq AS (
+      SELECT label, COUNT(*) AS n_l, {_SIL_DEC.format(x='n2')} AS q
+      FROM n2 GROUP BY label
+    ),
+    g2 AS (SELECT {_SIL_DEC.format(x='g * g')} AS g2 FROM gcent),
+    own AS (  -- per-point dot with OWN centroid
+      SELECT pe.vec_id, pe.label, {_SIL_DEC.format(x='pe.val * c.m')} AS xm
+      FROM pe JOIN cent c ON c.label = pe.label AND c.pos = pe.pos
+      GROUP BY pe.vec_id, pe.label
+    ),
+    scat AS (  -- s_L = mean |x - mu_L|
+      SELECT o.label,
+             {_SIL_DEC.format(
+                 x='SQRT(GREATEST(n2.n2 - 2 * o.xm + l.mu2, 0))')}
+               / COUNT(*) AS s
+      FROM own o
+      JOIN n2 ON n2.vec_id = o.vec_id
+      JOIN lstat l ON l.label = o.label
+      GROUP BY o.label
+    ),
+    cdot AS (  -- dot(mu_i, mu_j) for i != j (exact fold per pair)
+      SELECT a.label AS la, b.label AS lb,
+             {_SIL_DEC.format(x='a.m * b.m')} AS ab
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+      GROUP BY a.label, b.label
+    ),
+    pairs AS (  -- max R_ij per cluster i
+      SELECT cd.la,
+             MAX((sa.s + sb.s) /
+                 SQRT(GREATEST(la2.mu2 - 2 * cd.ab + lb2.mu2, 1e-300)))
+               AS rmax
+      FROM cdot cd
+      JOIN scat sa ON sa.label = cd.la
+      JOIN scat sb ON sb.label = cd.lb
+      JOIN lstat la2 ON la2.label = cd.la
+      JOIN lstat lb2 ON lb2.label = cd.lb
+      GROUP BY cd.la
+    ),
+    tot AS (  -- per-term exact sums over the k label rows
+      SELECT SUM(l.n_l) AS n, COUNT(*) AS k,
+             {_SIL_DEC.format(x='l.q - l.n_l * ls.mu2')} AS w,
+             {_SIL_DEC.format(
+                 x='l.n_l * (ls.mu2 - 2 * ls.mug + (SELECT g2 FROM g2))')}
+               AS b
+      FROM lq l JOIN lstat ls ON ls.label = l.label
+    )
+    SELECT CAST(n AS BIGINT) AS n_points, CAST(k AS BIGINT) AS n_labels,
+           ROUND((b / (k - 1)) / (w / (n - k)), 6) AS calinski_harabasz,
+           (SELECT ROUND({_SIL_DEC.format(x='rmax')} / COUNT(*), 6)
+            FROM pairs) AS davies_bouldin
+    FROM tot
+    """,
+    tags=("clustering", "metrics", "vectors"),
+)
+def internal_cluster_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz and Davies-Bouldin over the ground-truth labels —
+    the two internal quality indices sklearn ships beside silhouette, both
+    decomposable over per-label sums and so EXACTLY computable at scale:
+
+    - CH = (B/(k-1)) / (W/(n-k)); between-scatter
+      B = sum_L n_L |mu_L - mu|^2 expands to n_L (|mu_L|^2 - 2 mu_L.mu +
+      |mu|^2), within-scatter W = sum_L (Q_L - n_L |mu_L|^2) — nothing but
+      per-label component means, member-norm sums, and the global mean.
+    - DB = mean_i max_{j != i} (s_i + s_j) / |mu_i - mu_j| with
+      s_L = mean |x - mu_L|; the only corpus-sized pass beyond the sums is
+      the per-point dot with its OWN centroid (a (label,pos)-equijoin of
+      n*d rows, map-side combined).
+
+    Every multi-term reduction goes through per-term DECIMAL sums
+    (order-independent) and the scalar algebra is identical expression-
+    for-expression with the oracle, so the doubles match bit-for-bit;
+    textbook-definition numpy agreement is pinned in tests.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    pe = (emb.select("vec_id", "label",
+                     F.posexplode("embedding").alias("pos0", "valf"))
+          .select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+                  F.col("valf").cast("double").alias("val")))
+    dec = _dec_term_sum
+    n2 = (pe.groupBy("vec_id", "label")
+          .agg(dec(F.col("val") * F.col("val")).alias("n2")))
+    cent = (pe.groupBy("label", "pos")
+            .agg((dec(F.col("val")) / F.count("*")).alias("m")))
+    gcent = (pe.groupBy("pos")
+             .agg((dec(F.col("val")) / F.count("*")).alias("g")))
+    lstat = (cent.join(F.broadcast(gcent), "pos")
+             .groupBy("label")
+             .agg(dec(F.col("m") * F.col("m")).alias("mu2"),
+                  dec(F.col("m") * F.col("g")).alias("mug")))
+    lq = (n2.groupBy("label")
+          .agg(F.count("*").alias("n_l"), dec(F.col("n2")).alias("q")))
+    g2 = gcent.agg(dec(F.col("g") * F.col("g")).alias("g2"))
+    own = (pe.join(F.broadcast(cent), ["label", "pos"])
+           .groupBy("vec_id", "label")
+           .agg(dec(F.col("val") * F.col("m")).alias("xm")))
+    scat = (own.join(n2, ["vec_id", "label"])
+            .join(F.broadcast(lstat), "label")
+            .groupBy("label")
+            .agg((dec(F.sqrt(F.greatest(
+                F.col("n2") - 2 * F.col("xm") + F.col("mu2"), F.lit(0.0))))
+                / F.count("*")).alias("s")))
+    ca = cent.select(F.col("label").alias("la"), "pos", F.col("m").alias("ma"))
+    cb = cent.select(F.col("label").alias("lb"),
+                     F.col("pos").alias("posb"), F.col("m").alias("mb"))
+    cdot = (ca.join(cb, (F.col("pos") == F.col("posb")) &
+                    (F.col("la") != F.col("lb")))
+            .groupBy("la", "lb")
+            .agg(dec(F.col("ma") * F.col("mb")).alias("ab")))
+    sa = scat.select(F.col("label").alias("la"), F.col("s").alias("s_a"))
+    sb = scat.select(F.col("label").alias("lb"), F.col("s").alias("s_b"))
+    la2 = lstat.select(F.col("label").alias("la"), F.col("mu2").alias("mu2_a"))
+    lb2 = lstat.select(F.col("label").alias("lb"), F.col("mu2").alias("mu2_b"))
+    pairs = (cdot.join(F.broadcast(sa), "la").join(F.broadcast(sb), "lb")
+             .join(F.broadcast(la2), "la").join(F.broadcast(lb2), "lb")
+             .groupBy("la")
+             .agg(F.max((F.col("s_a") + F.col("s_b")) /
+                        F.sqrt(F.greatest(
+                            F.col("mu2_a") - 2 * F.col("ab") + F.col("mu2_b"),
+                            F.lit(1e-300)))).alias("rmax")))
+    db = pairs.agg(F.round(dec(F.col("rmax")) / F.count("*"), 6)
+                   .alias("davies_bouldin"))
+    tot = (lq.join(F.broadcast(lstat), "label")
+           .crossJoin(F.broadcast(g2))
+           .agg(F.sum("n_l").alias("n"), F.count("*").alias("k"),
+                dec(F.col("q") - F.col("n_l") * F.col("mu2")).alias("w"),
+                dec(F.col("n_l") * (F.col("mu2") - 2 * F.col("mug")
+                                    + F.col("g2"))).alias("b")))
+    ch = tot.select(F.col("n").cast("long").alias("n_points"),
+                    F.col("k").cast("long").alias("n_labels"),
+                    F.round((F.col("b") / (F.col("k") - 1))
+                            / (F.col("w") / (F.col("n") - F.col("k"))), 6)
+                    .alias("calinski_harabasz"))
+    return ch.crossJoin(F.broadcast(db))

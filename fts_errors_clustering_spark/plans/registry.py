@@ -84,9 +84,8 @@ _HEAD = (
     # dbscan / dedup / similarity / textstats / multimodal / windows /
     # pipelines — families with no driver CORRECTNESS row in round 1
     "dbscan_labels", "dbscan_summary",
-    "dedup_exact", "doc_fingerprints", "minhash_signatures",
-    "minhash_near_dups", "ngram_jaccard_pairs", "simhash_signatures",
-    "simhash_near_dups",
+    "dedup_exact", "doc_fingerprints",
+    "minhash_near_dups", "ngram_jaccard_pairs", "simhash_near_dups",
     "ann_bruteforce_topk", "embedding_near_dup_pairs",
     "lang_id_confusion", "doc_quality_scores", "token_counts",
     "multimodal_metadata",
@@ -118,6 +117,9 @@ _HEAD = (
     "token_budget_selection", "importance_weights_dsir",
     "quality_threshold_by_lang", "distribution_drift_psi",
     "skew_join_segments",
+    # exact distributed internal cluster metrics (decomposed over
+    # per-label sums: silhouette, Calinski-Harabasz, Davies-Bouldin)
+    "silhouette_by_label", "internal_cluster_metrics",
 )
 
 #: rows-only entries rotated DIRECTLY AFTER the head (i.e. first past the
@@ -133,6 +135,7 @@ _TAIL_AFTER_HEAD = (
     "streaming_interval_join",
     "ann_ivf_topk", "lsh_neighbor_counts", "stratified_doc_sample",
     "multimodal_features", "semantic_dedup_ivf", "dbscan_labels_lsh",
+    "minhash_signatures", "simhash_signatures",
     # r1-proven oracle entries rotated out of the driver window to make
     # room (their regression gate remains the local parity sweep)
     "knn_mean_distance", "knn_knee_epsilon",

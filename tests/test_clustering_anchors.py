@@ -158,3 +158,67 @@ def test_external_metrics_golden_values(spark):
         got = (row.homogeneity, row.completeness, row.v_measure, row.ari)
         for g, w in zip(got, want):
             assert abs(g - w) < 1e-6, (labels, preds, got, want)
+
+
+def test_silhouette_matches_bruteforce(spark):
+    """silhouette_by_label's decomposed O(n*k*d) form must equal the
+    textbook O(n^2) squared-Euclidean silhouette (sklearn semantics:
+    a(i) excludes self) computed densely in numpy."""
+    import numpy as np
+
+    from fts_errors_clustering_spark.plans.registry import all_queries
+    from fts_errors_clustering_spark.sources.readers import table
+
+    from .conftest import SF_SMALL
+
+    rows = (table(spark, SF_SMALL, "embeddings")
+            .select("vec_id", "label", "embedding").collect())
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    y = np.array([r.label for r in rows])
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    sil = np.zeros(len(X))
+    for i in range(len(X)):
+        own = y == y[i]
+        a = d2[i, own].sum() / (own.sum() - 1)
+        b = min(d2[i, y == L].mean() for L in np.unique(y) if L != y[i])
+        sil[i] = (b - a) / max(a, b)
+    expect = {int(L): sil[y == L].mean() for L in np.unique(y)}
+
+    got = all_queries()["silhouette_by_label"].fn(spark, SF_SMALL).collect()
+    assert {r.label for r in got} == set(expect)
+    for r in got:
+        assert abs(r.mean_silhouette - expect[r.label]) < 2e-6, (
+            r.label, r.mean_silhouette, expect[r.label])
+        assert -1.0 <= r.mean_silhouette <= 1.0
+
+
+def test_internal_metrics_match_bruteforce(spark):
+    """internal_cluster_metrics' decomposed CH and DB must equal the
+    textbook definitions computed densely in numpy."""
+    import numpy as np
+
+    from fts_errors_clustering_spark.plans.registry import all_queries
+    from fts_errors_clustering_spark.sources.readers import table
+
+    from .conftest import SF_SMALL
+
+    rows = (table(spark, SF_SMALL, "embeddings")
+            .select("vec_id", "label", "embedding").collect())
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    y = np.array([r.label for r in rows])
+    labels = np.unique(y)
+    n, k = len(X), len(labels)
+    mu = X.mean(axis=0)
+    mus = {L: X[y == L].mean(axis=0) for L in labels}
+    B = sum((y == L).sum() * ((mus[L] - mu) ** 2).sum() for L in labels)
+    W = sum(((X[y == L] - mus[L]) ** 2).sum() for L in labels)
+    ch = (B / (k - 1)) / (W / (n - k))
+    s = {L: np.linalg.norm(X[y == L] - mus[L], axis=1).mean() for L in labels}
+    db = np.mean([max((s[i] + s[j]) / np.linalg.norm(mus[i] - mus[j])
+                      for j in labels if j != i) for i in labels])
+
+    got = (all_queries()["internal_cluster_metrics"]
+           .fn(spark, SF_SMALL).first())
+    assert got.n_points == n and got.n_labels == k
+    assert abs(got.calinski_harabasz - ch) < 1e-5, (got.calinski_harabasz, ch)
+    assert abs(got.davies_bouldin - db) < 1e-5, (got.davies_bouldin, db)

@@ -25,7 +25,7 @@ FIT_BASED = {
     "kmeans_quality", "lsa_features", "lsa_svd_features",
     "lsh_neighbor_counts",
     "pipeline_tfidf_kmeans", "pipeline_word2vec_dbscan",
-    "tfidf_pipeline_features", "word2vec_doc_vectors",
+    "semantic_dedup_ivf", "tfidf_pipeline_features", "word2vec_doc_vectors",
 }
 
 
