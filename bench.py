@@ -56,6 +56,10 @@ HEADLINE = [
     "quality_threshold_by_lang",
     "distribution_drift_psi",
     "silhouette_by_label",
+    "bm25_search",
+    "incremental_dedup_counts",
+    "rolling_7d_user_value",
+    "global_value_rank",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

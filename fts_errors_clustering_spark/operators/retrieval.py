@@ -1,0 +1,209 @@
+"""Ranked retrieval + incremental corpus maintenance.
+
+Two capabilities a user of the reference's tf-idf stack reaches for next:
+
+1. ``bm25_search`` — Okapi BM25 ranked retrieval over the corpus for a
+   fixed query set. The reference builds tf-idf matrices for clustering
+   (``/root/reference/notebooks/TF-IDF_K-Means_approach.ipynb:5514-5599``)
+   but has no search surface; BM25 is the standard lexical-ranking
+   completion of that stack (Robertson & Zaragoza 2009, public formula;
+   Lucene's idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+2. ``incremental_dedup_counts`` — the shipping form of exact dedup: a NEW
+   batch of documents arrives and must be reconciled against the already-
+   ingested corpus (drop exact matches against history, then drop
+   intra-batch duplicates keeping the lowest doc_id). Complements
+   ``dedup_exact``/``dedup_clusters`` (operators/dedup.py), which dedup a
+   corpus against itself.
+
+Scale posture:
+- BM25 joins the (doc, term) postings against a literal broadcast query
+  table FIRST, so only the postings of query terms survive the scan —
+  at 100 TB the shuffle carries |query_terms| posting lists, not the
+  corpus. Corpus-wide stats (N, avgdl, df) are aggregates that partially
+  combine map-side; df joins back as a broadcast (|query terms| rows).
+- Incremental dedup shuffles 16-byte digests only (never bodies), as a
+  sort-merge anti-join on the digest — both sides can be arbitrarily
+  large; no broadcast assumption.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_whitespace_tokens
+from ..plans.registry import register
+from ..sources.readers import table
+from .textprep import document_tokens
+
+# BM25 constants (standard defaults; identical literals on both engines so
+# the doubles are bit-identical).
+_K1 = 1.2
+_B = 0.75
+
+#: fixed benchmark query set (literal on both engines).
+_QUERIES = (
+    (1, "merge"), (1, "sort"), (1, "window"),
+    (2, "hash"), (2, "join"), (2, "spark"),
+    (3, "slow"), (3, "query"), (3, "scan"),
+)
+
+_TOKS_CTE = f"""
+    toks AS (SELECT doc_id, unnest({sql_whitespace_tokens('text')}) AS token
+             FROM documents WHERE length(trim(text)) > 0)
+"""
+
+_Q_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _QUERIES)
+
+
+_BM25_ORACLE = f"""
+    WITH {_TOKS_CTE},
+    cnts AS (SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY doc_id, token),
+    lens AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS dl FROM cnts GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM lens),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM cnts GROUP BY token),
+    q(query_id, token) AS (VALUES {_Q_VALUES}),
+    scored AS (
+        SELECT q.query_id, c.doc_id,
+               LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * ((c.cnt * ({_K1} + 1.0)) /
+                    (c.cnt + {_K1} * (1.0 - {_B} + {_B} * (l.dl / s.avgdl)))) AS w
+        FROM q
+        JOIN cnts c ON q.token = c.token
+        JOIN dfreq d ON c.token = d.token
+        JOIN lens l ON c.doc_id = l.doc_id
+        CROSS JOIN stats s),
+    agg AS (SELECT query_id, doc_id,
+                   ROUND(CAST(CAST(SUM(CAST(w AS DECIMAL(27,18))) AS VARCHAR)
+                              AS DOUBLE), 6) AS score
+            FROM scored GROUP BY query_id, doc_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+    FROM agg
+    QUALIFY rn <= 10
+    """
+
+
+def bm25_rank(toks: DataFrame, q: DataFrame, top_k: int = 10) -> DataFrame:
+    """Core BM25 ranking over a (doc_id, token) stream for a (query_id,
+    token) query table; returns top-``top_k`` (query_id, doc_id, score, rn).
+
+    Plan shape: one aggregation of the exploded token stream into sparse
+    (doc, term, cnt) postings; doc length via a window over the postings
+    (reuses the exchange); the query table broadcasts into the postings
+    join so only query-term postings flow further; corpus stats (N, avgdl)
+    broadcast as a 1-row aggregate; df computed corpus-wide then broadcast
+    (≤ |vocabulary| rows, and only query terms survive the join). The
+    per-(query, doc) sum runs in DECIMAL so both engines hold bit-identical
+    totals (functions/numeric rationale); ranking keys on the ROUNDED score
+    so cross-engine ULP noise cannot flip rank order.
+    """
+    cnts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+
+    wdoc = Window.partitionBy("doc_id")
+    posts = cnts.withColumn("dl", F.sum("cnt").over(wdoc))
+
+    lens = cnts.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
+
+    dfreq = cnts.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) /
+                (F.col("df") + F.lit(0.5)))
+    tf_part = ((F.col("cnt") * F.lit(_K1 + 1.0)) /
+               (F.col("cnt") + F.lit(_K1) *
+                (F.lit(1.0 - _B) + F.lit(_B) * (F.col("dl") / F.col("avgdl")))))
+    scored = (posts.join(F.broadcast(q), "token")
+              .join(F.broadcast(dfreq.join(F.broadcast(q.select("token").distinct()),
+                                           "token")), "token")
+              .crossJoin(F.broadcast(stats))
+              .select("query_id", "doc_id", (idf * tf_part).alias("w")))
+
+    agg = (scored.groupBy("query_id", "doc_id")
+           .agg(F.round(F.sum(F.col("w").cast("decimal(27,18)"))
+                        .cast("string").cast("double"), 6).alias("score")))
+    wrank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (agg.withColumn("rn", F.row_number().over(wrank).cast("long"))
+            .where(F.col("rn") <= top_k)
+            .select("query_id", "doc_id", "score", "rn"))
+
+
+@register("bm25_search", oracle=_BM25_ORACLE, tags=("text", "retrieval"))
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query of the fixed literal query set, over the
+    documents table (see ``bm25_rank`` for the plan-shape rationale)."""
+    toks = document_tokens(spark, sf_dir)
+    q = spark.createDataFrame(list(_QUERIES), "query_id long, token string")
+    return bm25_rank(toks, q, top_k=10)
+
+
+@register(
+    "incremental_dedup_counts",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS h
+        FROM documents WHERE length(trim(text)) > 0),
+    hist AS (SELECT DISTINCT h FROM base WHERE doc_id % 10 <> 0),
+    batch AS (SELECT doc_id, source, h FROM base WHERE doc_id % 10 = 0),
+    flagged AS (
+        SELECT b.doc_id, b.source, b.h,
+               CASE WHEN hist.h IS NOT NULL THEN 1 ELSE 0 END AS hist_dup
+        FROM batch b LEFT JOIN hist ON b.h = hist.h),
+    ranked AS (
+        SELECT *, CASE WHEN hist_dup = 0 AND ROW_NUMBER() OVER (
+                           PARTITION BY h ORDER BY doc_id) > 1
+                       THEN 1 ELSE 0 END AS batch_dup
+        FROM flagged)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(hist_dup) AS BIGINT) AS n_hist_dup,
+           CAST(SUM(batch_dup) AS BIGINT) AS n_batch_dup,
+           CAST(COUNT(*) - SUM(hist_dup) - SUM(batch_dup) AS BIGINT) AS n_kept
+    FROM ranked
+    GROUP BY source
+    """,
+    tags=("dedup", "incremental"),
+)
+def incremental_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile an incoming batch against the already-ingested corpus.
+
+    The batch is simulated deterministically as ``doc_id % 10 == 0`` (the
+    rest is "history"). A batch doc is dropped if its content digest
+    already exists in history (anti-join semantics) or if an earlier batch
+    doc (lower doc_id) carries the same digest; per-source counts of each
+    outcome are reported — the dataset-card numbers an ingest job emits.
+
+    Scale: both sides reduce to 16-byte digests before the join; the
+    hist side is distinct-ed (digest-only shuffle) and the join is a plain
+    sort-merge left join on the digest — no size assumption on either side.
+    Intra-batch dedup is one window over the same digest key, reusing the
+    partitioning.
+    """
+    docs = table(spark, sf_dir, "documents")
+    base = (docs.where(F.length(F.trim("text")) > 0)
+            .select("doc_id", "source",
+                    F.md5(F.lower(F.trim("text"))).alias("h")))
+    hist = (base.where(F.col("doc_id") % 10 != 0)
+            .select("h").distinct().withColumn("in_hist", F.lit(1)))
+    batch = base.where(F.col("doc_id") % 10 == 0)
+
+    flagged = (batch.join(hist, "h", "left")
+               .withColumn("hist_dup",
+                           F.when(F.col("in_hist").isNotNull(), 1).otherwise(0)))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = flagged.withColumn(
+        "batch_dup",
+        F.when((F.col("hist_dup") == 0) & (F.row_number().over(w) > 1), 1)
+         .otherwise(0))
+    return (ranked.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_new"),
+                 F.sum("hist_dup").cast("long").alias("n_hist_dup"),
+                 F.sum("batch_dup").cast("long").alias("n_batch_dup"),
+                 (F.count("*") - F.sum("hist_dup") - F.sum("batch_dup"))
+                 .cast("long").alias("n_kept")))

@@ -156,6 +156,88 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("val").alias("max_val")))
 
 
+@register("hll_rollup_daily_users", oracle=None, tags=("scale", "approx", "sketch"))
+def hll_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count rollup: per-(day, event_type) HLL
+    sketches (DataSketches ``hll_sketch_agg``) union-merged up to
+    per-event_type totals, next to the exact count for the error-bound test.
+
+    This is THE metric-store pattern at 100 TB: the expensive pass over the
+    fact table happens once per day writing ~1 KB sketches; every later
+    rollup (weekly, all-time, any type subset) merges sketches WITHOUT
+    rescanning events — distinct counts are not otherwise re-aggregatable
+    (a sum of daily distincts overcounts returning users). Rows-only by
+    design (sketch estimates have no DuckDB twin); the ≤2 % relative-error
+    bound vs the exact distinct is asserted in tests/test_plans.py's
+    sibling (test_hll_rollup_error_bound).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+             .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch")))
+    merged = (daily.groupBy("event_type")
+              .agg(F.count("*").cast("long").alias("n_days"),
+                   F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+                    .alias("approx_users")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return merged.join(exact, "event_type")
+
+
+@register(
+    "global_value_rank",
+    oracle="""
+    SELECT event_id, value,
+           CAST(ROW_NUMBER() OVER (ORDER BY value, event_id) AS BIGINT) AS rk
+    FROM events WHERE value IS NOT NULL
+    """,
+    tags=("scale", "sort", "rank"),
+)
+def global_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL row rank over the whole table WITHOUT the
+    single-partition window (``ROW_NUMBER() OVER (ORDER BY ...)`` with no
+    PARTITION BY collapses all rows into one task — the canonical global-
+    sort scale-killer).
+
+    Two-phase range composition instead:
+    1. quantile split points over the sort key (collected once to the
+       driver as plain literals, so bucket assignment is an explicit,
+       job-stable function of the row — unlike ``repartitionByRange``,
+       whose sampled boundaries are re-drawn per job);
+    2. per-bucket row counts (one tiny aggregate) prefix-summed on the
+       driver into rank offsets;
+    3. within-bucket ``row_number`` (shuffle on the bucket id only) plus
+       the bucket's offset = the exact global rank.
+
+    Ties at split points stay within one bucket because bucketing is
+    strictly-greater-than on the value; the (value, event_id) tiebreak
+    makes the total order — and therefore the result — deterministic.
+    Cost: two scans + one bucket-keyed shuffle, all parallel; the driver
+    only ever sees ≤ n_buckets numbers.
+    """
+    n_buckets = 32
+    ev = (table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_id", "value"))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(ev.stat.approxQuantile("value", qs, 0.001)))
+    bucket = sum((F.when(F.col("value") > F.lit(b), 1).otherwise(0)
+                  for b in bounds), F.lit(0)).alias("bucket")
+    bucketed = ev.select("event_id", "value", bucket)
+    counts = {r["bucket"]: r["n"] for r in
+              bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for b in range(len(bounds) + 1):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("bucket"))
+    w = Window.partitionBy("bucket").orderBy("value", "event_id")
+    return (bucketed
+            .withColumn("rk", (off_expr + F.row_number().over(w)).cast("long"))
+            .select("event_id", "value", "rk"))
+
+
 #: replication factor for the salted skew join — at 100 TB sized to
 #: (hot-key rows / target task size), exactly like N_SALT above
 N_REP = 8

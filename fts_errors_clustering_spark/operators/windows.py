@@ -93,6 +93,45 @@ def session_windows_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events"))
 
 
+@register(
+    "rolling_7d_user_value",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS VARCHAR)
+                AS DOUBLE) AS sum_value_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    """,
+    tags=("windows", "rolling"),
+)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 7-day activity per user (event count + exact
+    value sum) — the RANGE-frame rolling aggregate the tumbling/sliding/
+    session trio doesn't cover: the frame is anchored at EACH row, not at
+    grid-aligned boundaries.
+
+    Spark's range frame orders by a numeric key, so ts maps to epoch
+    micros (order- and distance-preserving; the oracle's
+    ``RANGE INTERVAL 7 DAY PRECEDING`` over the timestamp is the identical
+    frame, peers-at-CURRENT-ROW included in both engines). The rolling sum
+    runs in DECIMAL so both engines hold bit-identical totals.
+
+    Scale: one exchange on user_id, one sort per partition; the frame is
+    evaluated by Spark's sliding window-frame executor without
+    re-aggregating from scratch per row.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-7 * 86400 * 1_000_000, 0))
+    return ev.select(
+        "user_id", "event_id",
+        F.count("*").over(w).cast("long").alias("n_7d"),
+        F.sum(F.col("value").cast("decimal(27,6)")).over(w)
+         .cast("string").cast("double").alias("sum_value_7d"))
+
+
 @register("streaming_tumbling_hourly", oracle=None, tags=("windows", "streaming"))
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling aggregation executed as a REAL Structured Streaming

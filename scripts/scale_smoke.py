@@ -67,6 +67,11 @@ QUERIES = [
     "importance_weights_dsir",     # documents: feature explode + bcast model
     "quality_threshold_by_lang",   # documents: per-group P25 + bcast gate
     "distribution_drift_psi",      # events: one (week,bin) agg drives all
+    "bm25_search",                 # documents: query-term-pruned postings
+    "incremental_dedup_counts",    # documents: digest SMJ + batch window
+    "rolling_7d_user_value",       # events: RANGE-frame trailing window
+    "global_value_rank",           # events: bucketed two-phase global rank
+    "hll_rollup_daily_users",      # events: sketch agg + union merge
 ]
 
 

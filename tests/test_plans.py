@@ -155,3 +155,22 @@ def test_skew_join_salted_smj(spark):
     rk = re.search(r"Right keys \[\d+\]: \[([^\]]*)\]", plan)
     assert lk and "salt" in lk.group(1), plan
     assert rk and "salt" in rk.group(1), plan
+
+
+def test_global_rank_no_single_partition_window(spark):
+    """global_value_rank's whole point: the exact global ROW_NUMBER must NOT
+    plan as an Exchange SinglePartition + global Window (the one-task
+    global-sort scale-killer); the window must partition on the bucket id."""
+    plan = _plan(_DEFS["global_value_rank"].fn(spark, SF_SMALL))
+    assert "SinglePartition" not in plan, plan
+    assert "bucket" in plan
+
+
+def test_hll_rollup_error_bound(spark):
+    """Merged daily HLL sketches must estimate per-type distinct users
+    within the sketch's configured error (lgK=14 → well under 2%)."""
+    rows = _DEFS["hll_rollup_daily_users"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days >= 1
+        assert abs(r.approx_users - r.exact_users) / max(r.exact_users, 1) <= 0.02
