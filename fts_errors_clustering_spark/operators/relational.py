@@ -780,3 +780,55 @@ def value_decile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.min("value").alias("lo"),
                  F.max("value").alias("hi")))
+
+
+@register(
+    "winsorized_value_stats",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    clipped AS (
+      SELECT e.event_type, LEAST(GREATEST(e.value, c.p01), c.p99) AS v
+      FROM events e JOIN cuts c ON e.event_type = c.event_type
+      WHERE e.value IS NOT NULL
+    )
+    SELECT event_type, COUNT(*) AS n,
+           ROUND({sql_dec_avg('v', 6)}, 6) AS mean_w,
+           ROUND({sql_dec_std('v', 6)}, 6) AS std_w,
+           MIN(v) AS min_w, MAX(v) AS max_w
+    FROM clipped GROUP BY event_type
+    """,
+    tags=("relational", "robust"),
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (winsorized) per-type stats: clip ``value`` to the exact
+    per-type [P1, P99] band, then mean/std/min/max of the clipped measure —
+    the outlier-resistant twin of ``describe_event_value`` (A2), and the
+    standard pre-normalization step before feeding heavy-tailed telemetry
+    into a model.
+
+    Scale: the cutoff table is |event_type| rows (exact percentile = one
+    shuffle on the group key) and broadcasts back into the clipping scan;
+    the final aggregate partially combines map-side. Spark ``percentile``
+    and DuckDB ``quantile_cont`` agree bit-for-bit (the
+    `value_percentiles_by_type` precedent), and the clipped mean/std use
+    the DECIMAL-exact forms from functions/numeric.
+    """
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cuts = (ev.groupBy("event_type")
+            .agg(F.expr("percentile(value, 0.01)").alias("p01"),
+                 F.expr("percentile(value, 0.99)").alias("p99")))
+    clipped = (ev.join(F.broadcast(cuts), "event_type")
+               .select("event_type",
+                       F.least(F.greatest(F.col("value"), F.col("p01")),
+                               F.col("p99")).alias("v")))
+    return (clipped.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(dec_avg("v", 6), 6).alias("mean_w"),
+                 F.round(dec_std("v", 6), 6).alias("std_w"),
+                 F.min("v").alias("min_w"),
+                 F.max("v").alias("max_w")))

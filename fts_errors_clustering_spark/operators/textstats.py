@@ -334,3 +334,83 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("lp").cast("decimal(27,18)"))
                           .cast("string").cast("double") / F.count("*"), 6)
                   .alias("avg_logprob")))
+
+
+@register(
+    "pmi_top_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_whitespace_tokens('lower(text)')} AS ts
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    bigrams AS (
+      SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+        SELECT unnest(list_transform(range(1, len(ts)),
+                      i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))) AS b
+        FROM toks WHERE len(ts) >= 2
+      )
+    ),
+    uni AS (SELECT t, COUNT(*) AS c FROM
+            (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t_toks FROM uni),
+    bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2),
+    btot AS (SELECT CAST(SUM(c12) AS DOUBLE) AS t_bg FROM bg),
+    scored AS (
+      SELECT b.w1, b.w2, b.c12,
+             ROUND(LN((b.c12 / (SELECT t_bg FROM btot)) /
+                      ((u1.c / (SELECT t_toks FROM tot)) *
+                       (u2.c / (SELECT t_toks FROM tot)))), 6) AS pmi
+      FROM bg b JOIN uni u1 ON b.w1 = u1.t JOIN uni u2 ON b.w2 = u2.t
+      WHERE b.c12 >= 5
+    )
+    SELECT w1, w2, c12, pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rn
+    FROM scored
+    QUALIFY rn <= 20
+    """,
+    tags=("textstats", "collocations"),
+)
+def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-token pairs by pointwise mutual
+    information ``ln(p(w1,w2) / (p(w1)·p(w2)))`` with a min-count floor of
+    5 — the classic phrase-detection signal (word2vec-style phrase merging
+    uses exactly this statistic before training).
+
+    Scale: one bigram explode feeds a vocabulary-sized bigram-count
+    aggregate; unigram counts and the two scalar totals broadcast back into
+    the (vocab-sized, count-floored) scoring join; ranking keys on the
+    ROUNDED pmi so cross-engine libm noise cannot flip rank order. Nothing
+    corpus-sized survives past the two aggregates.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.where(F.length(F.trim("text")) > 0)
+            .select("doc_id",
+                    whitespace_tokens(F.lower(F.col("text"))).alias("ts")))
+    bg_rows = (toks.where(F.size("ts") >= 2)
+               .select(F.explode(F.transform(
+                   F.sequence(F.lit(0), F.size("ts") - 2),
+                   lambda i: F.struct(F.col("ts").getItem(i).alias("w1"),
+                                      F.col("ts").getItem(i + 1).alias("w2"))))
+                   .alias("b"))
+               .select("b.w1", "b.w2"))
+    uni = (toks.select(F.explode("ts").alias("t"))
+           .groupBy("t").agg(F.count("*").alias("c")))
+    tot = uni.agg(F.sum("c").cast("double").alias("t_toks"))
+    bg = bg_rows.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    btot = bg.agg(F.sum("c12").cast("double").alias("t_bg"))
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c_w2"))
+    pmi = F.round(F.log((F.col("c12") / F.col("t_bg")) /
+                        ((F.col("c_w1") / F.col("t_toks")) *
+                         (F.col("c_w2") / F.col("t_toks")))), 6)
+    scored = (bg.where(F.col("c12") >= 5)
+              .join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
+              .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(btot))
+              .select("w1", "w2", "c12", pmi.alias("pmi")))
+    # distributed top-k (TakeOrderedAndProject) BEFORE the rank window, so
+    # the single-partition row_number only ever sees 20 rows even when the
+    # floored bigram-type table is large
+    top = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(20)
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (top.withColumn("rn", F.row_number().over(w).cast("long"))
+            .select("w1", "w2", "c12", "pmi", "rn"))

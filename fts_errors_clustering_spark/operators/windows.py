@@ -249,3 +249,95 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (steps.select(kv.alias("s"))
             .select(F.col("s.step").cast("int").alias("step"),
                     "s.name", "s.n_users"))
+
+
+@register(
+    "debounced_event_counts",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id)
+                     >= INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS kept
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
+    FROM gaps GROUP BY event_type
+    """,
+    tags=("windows", "throttle"),
+)
+def debounced_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce/throttle semantics: an event is KEPT iff it is the first of
+    its (user, event_type) key or arrived >= 1h after the previous RAW
+    event of that key (gap measured against the raw predecessor, not the
+    previous kept event — the stateless lag formulation; ties broken by
+    event_id so the verdicts are deterministic). Reported as per-type
+    kept/dropped counts — the alert-fatigue / duplicate-notification
+    suppression pass of an event pipeline.
+
+    Scale: one window over (user_id, event_type) — a single exchange on
+    the same key the sessionizer uses — then a 5-row aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_ok = (F.lag("ts").over(w).isNull() |
+              (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+               >= 3600))
+    kept = F.when(gap_ok, 1).otherwise(0)
+    return (ev.withColumn("kept", kept)
+            .groupBy("event_type")
+            .agg(F.sum("kept").cast("long").alias("n_kept"),
+                 (F.count("*") - F.sum("kept")).cast("long").alias("n_dropped")))
+
+
+@register(
+    "event_trigram_journeys",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t3
+      FROM events
+    ),
+    counted AS (
+      SELECT t1, t2, t3, COUNT(*) AS n FROM seq
+      WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY t1, t2, t3
+    )
+    SELECT t1, t2, t3, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, t1, t2, t3) AS BIGINT) AS rn
+    FROM counted
+    QUALIFY rn <= 20
+    """,
+    tags=("windows", "sequence"),
+)
+def event_trigram_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the 20 most frequent consecutive 3-step
+    event-type sequences across users (per-user time order, event_id
+    tiebreak) — the "what do users do next" behavioral query the funnel
+    operator's fixed pattern generalizes.
+
+    Scale: one window exchange on user_id produces the trigram stream
+    in-place (lead, no self-joins); the count aggregate is
+    |event_type|^3-bounded, and the final top-20 is a distributed
+    TakeOrderedAndProject before a 20-row rank window.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"))
+    counted = (seq.where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+               .groupBy("t1", "t2", "t3").agg(F.count("*").alias("n")))
+    top = counted.orderBy(F.desc("n"), "t1", "t2", "t3").limit(20)
+    wr = Window.orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
+    return (top.withColumn("rn", F.row_number().over(wr).cast("long"))
+            .select("t1", "t2", "t3", "n", "rn"))

@@ -72,6 +72,10 @@ QUERIES = [
     "rolling_7d_user_value",       # events: RANGE-frame trailing window
     "global_value_rank",           # events: bucketed two-phase global rank
     "hll_rollup_daily_users",      # events: sketch agg + union merge
+    "pmi_top_collocations",        # documents: bigram stats + top-20
+    "debounced_event_counts",      # events: per-key lag + 5-row agg
+    "event_trigram_journeys",      # events: lead-window trigram stream
+    "winsorized_value_stats",      # events: exact P1/P99 clip + stats
 ]
 
 

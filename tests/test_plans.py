@@ -174,3 +174,53 @@ def test_hll_rollup_error_bound(spark):
     for r in rows:
         assert r.n_days >= 1
         assert abs(r.approx_users - r.exact_users) / max(r.exact_users, 1) <= 0.02
+
+
+#: queries whose plans legitimately contain a BroadcastNestedLoopJoin: every
+#: entry's BNLJ side is a 1-row aggregate (scalar corpus totals / stats /
+#: cutoffs) or a literal ≤10-row parameter table — bounded by construction,
+#: reviewed by hand. Anything NOT listed here must plan without BNLJ.
+_BNLJ_OK: set[str] = {
+    "ann_bruteforce_topk",       # 1-row query vector
+    "ann_batch_topk",            # literal query batch
+    "embedding_near_dup_pairs",  # scalar norm/total row
+    "top_users_share",           # scalar grand total
+    "knn_knee_sweep",            # 7-literal-row smoothing values
+    "bigram_logprob_scores",     # scalar vocabulary size
+    "mixture_weights",           # scalar corpus totals
+    "token_budget_selection",    # scalar budget cutoff
+    "distribution_drift_psi",    # scalar baseline totals
+    "internal_cluster_metrics",  # 1-row global centroid
+    "pmi_top_collocations",      # scalar token/bigram totals
+    "vocabulary_set_ops",        # 1-row set-op counts
+    "term_idf",                  # scalar n_docs
+    "tfidf_top_terms",           # scalar n_docs
+    "bm25_search",               # 1-row (N, avgdl) stats
+    "flagship_top_error_users",  # scalar grand total
+    "describe_event_type",       # 1-row mode aggregate
+}
+
+#: CartesianProduct allowed only against a literal parameter table
+_CART_OK: set[str] = {"knn_knee_sweep"}  # curve x 7 literal S values
+
+
+def test_plan_lint_no_cartesian_or_unbounded_nested_loop(spark):
+    """Repo-wide plan lint: NO registered batch query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only for the
+    hand-reviewed 1-row-broadcast cases in _BNLJ_OK. Model-backed and
+    streaming queries are excluded (building them trains models / runs
+    streams); their plan shapes are pinned by their own tests."""
+    skip_tags = {"ml", "pipeline", "streaming", "stateful"}
+    checked = 0
+    failures = []
+    for name, qd in _DEFS.items():
+        if skip_tags & set(qd.tags):
+            continue
+        plan = _plan(qd.fn(spark, SF_SMALL))
+        if name not in _CART_OK and "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if name not in _BNLJ_OK and "BroadcastNestedLoopJoin" in plan:
+            failures.append(f"{name}: BroadcastNestedLoopJoin")
+        checked += 1
+    assert checked > 50, f"lint swept only {checked} queries"
+    assert not failures, failures
