@@ -64,6 +64,9 @@ HEADLINE = [
     "debounced_event_counts",
     "event_trigram_journeys",
     "winsorized_value_stats",
+    "chi2_priority_status",
+    "hourly_resampled_counts",
+    "daily_cumulative_events",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -832,3 +832,56 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(dec_std("v", 6), 6).alias("std_w"),
                  F.min("v").alias("min_w"),
                  F.max("v").alias("max_w")))
+
+
+@register(
+    "chi2_priority_status",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c, COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, SUM(o) AS row_tot FROM obs GROUP BY r),
+    ct AS (SELECT c, SUM(o) AS col_tot FROM obs GROUP BY c),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    terms AS (
+      SELECT obs.o,
+             (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+              / CAST((SELECT n FROM n) AS DOUBLE)) AS e
+      FROM obs JOIN rt ON obs.r = rt.r JOIN ct ON obs.c = ct.c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(27,18)))
+                      AS VARCHAR) AS DOUBLE), 6) AS chi2
+    FROM terms
+    """,
+    tags=("relational", "stats"),
+)
+def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic over the A6 contingency
+    table (order priority x status): ``sum (obs-exp)^2 / exp`` with
+    ``exp = row_tot * col_tot / n`` — the significance companion to the
+    crosstab surface (is the association real or marginal noise?).
+
+    Scale: ONE aggregate over the fact table produces the contingency
+    cells; row/column margins and n derive from those <= |R|x|C| rows, so
+    everything past the first shuffle is cell-count-sized. The per-cell
+    terms sum in DECIMAL for a cross-engine-exact statistic.
+    """
+    orders = table(spark, sf_dir, "orders")
+    obs = (orders.groupBy(F.col("o_orderpriority").alias("r"),
+                          F.col("o_orderstatus").alias("c"))
+           .agg(F.count("*").alias("o")).cache())
+    rt = obs.groupBy("r").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = (F.col("row_tot").cast("double") * F.col("col_tot").cast("double")
+         / F.col("n").cast("double"))
+    terms = (obs.join(F.broadcast(rt), "r").join(F.broadcast(ct), "c")
+             .crossJoin(F.broadcast(n))
+             .select("o", e.alias("e")))
+    chi2 = ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+    return terms.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum(chi2.cast("decimal(27,18)"))
+                .cast("string").cast("double"), 6).alias("chi2"))

@@ -341,3 +341,89 @@ def event_trigram_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
     return (top.withColumn("rn", F.row_number().over(wr).cast("long"))
             .select("t1", "t2", "t3", "n", "rn"))
+
+
+@register(
+    "hourly_resampled_counts",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                    (SELECT h1 FROM bounds),
+                                    INTERVAL 1 HOUR)) AS hour_start
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.hour_start, t.event_type,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM grid g
+    CROSS JOIN types t
+    LEFT JOIN counts c
+      ON c.hour_start = g.hour_start AND c.event_type = t.event_type
+    """,
+    tags=("windows", "resample"),
+)
+def hourly_resampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid resampling with zero-fill: per-(hour, event_type) event
+    counts on a DENSE hourly grid spanning [min ts, max ts] — the gap-free
+    series every downstream charting/anomaly job needs (a groupBy alone
+    silently drops empty buckets).
+
+    Scale: the fact table contributes one aggregate (hour x type cells);
+    the grid is generated from a 1-row min/max aggregate via ``sequence``
+    (rows = span hours x |types|, time-bounded, NOT data-sized) and joins
+    the cells as the probe side. Zero-fill is a left join + coalesce.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                    F.date_trunc("hour", F.max("ts")).alias("h1"))
+    grid = bounds.select(F.explode(F.sequence(
+        "h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour_start"))
+    types = ev.select("event_type").distinct()
+    counts = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+                         "event_type")
+              .agg(F.count("*").alias("n")))
+    return (grid.crossJoin(F.broadcast(types))
+            .join(counts, ["hour_start", "event_type"], "left")
+            .select("hour_start", "event_type",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+
+
+@register(
+    "daily_cumulative_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+    FROM daily
+    """,
+    tags=("windows", "running-total"),
+)
+def daily_cumulative_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals: per-type daily counts with a cumulative sum over
+    days — the growth-curve view (events-to-date) of the tumbling family.
+
+    Scale: the window runs over the DAILY AGGREGATE (|types| x |days|
+    rows), never the raw events — the only fact-sized operation is the
+    first groupBy, which partially combines map-side.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+             .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return daily.select("event_type", "day", "n",
+                        F.sum("n").over(w).cast("long").alias("cum_n"))

@@ -76,6 +76,9 @@ QUERIES = [
     "debounced_event_counts",      # events: per-key lag + 5-row agg
     "event_trigram_journeys",      # events: lead-window trigram stream
     "winsorized_value_stats",      # events: exact P1/P99 clip + stats
+    "hourly_resampled_counts",     # events: 1-row bounds -> dense grid
+    "daily_cumulative_events",     # events: window over daily aggregate
+    "chi2_priority_status",        # orders: contingency cells + margins
 ]
 
 
@@ -83,9 +86,10 @@ def stage(spark) -> None:
     # dims stay fixture-sized (the 10x run scales the FACT side only —
     # exactly the skew-join scenario); staged idempotently on their own
     # marker so older staged dirs pick them up
-    if not os.path.exists(os.path.join(OUT, "customer.parquet")):
-        (table(spark, SRC, "customer").write.mode("overwrite")
-         .parquet(os.path.join(OUT, "customer.parquet")))
+    for dim in ("customer", "orders"):
+        if not os.path.exists(os.path.join(OUT, f"{dim}.parquet")):
+            (table(spark, SRC, dim).write.mode("overwrite")
+             .parquet(os.path.join(OUT, f"{dim}.parquet")))
     if os.path.exists(os.path.join(OUT, "_STAGED")):
         return
     reps = F.explode(F.array(*[F.lit(k) for k in range(REPLICAS)])).alias("k")

@@ -198,6 +198,8 @@ _BNLJ_OK: set[str] = {
     "bm25_search",               # 1-row (N, avgdl) stats
     "flagship_top_error_users",  # scalar grand total
     "describe_event_type",       # 1-row mode aggregate
+    "chi2_priority_status",      # scalar grand total n
+    "hourly_resampled_counts",   # |event_type|-row distinct-types side
 }
 
 #: CartesianProduct allowed only against a literal parameter table
