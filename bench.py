@@ -67,6 +67,7 @@ HEADLINE = [
     "chi2_priority_status",
     "hourly_resampled_counts",
     "daily_cumulative_events",
+    "shipping_priority_topk",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -885,3 +885,56 @@ def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_cells"),
         F.round(F.sum(chi2.cast("decimal(27,18)"))
                 .cast("string").cast("double"), 6).alias("chi2"))
+
+
+@register(
+    "shipping_priority_topk",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           ROUND(CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                    AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE), 4)
+             AS revenue,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-06-01'
+      AND l.l_shipdate > DATE '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate, orderkey
+    LIMIT 10
+    """,
+    tags=("relational", "join", "topk"),
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped BUILDING-segment
+    orders by outstanding revenue as of the 1998-06-01 cutoff (fixture
+    dates span 1995-2001; the fixture orders table carries o_orderpriority
+    rather than TPC-H's o_shippriority) — the classic
+    filter-join-agg-topk composition over the three biggest tables.
+
+    Scale: both date/segment predicates push into the scans; the
+    customer-side filter reduces it to a broadcastable key list for the
+    orders join; the revenue aggregate runs in DECIMAL (exact and
+    order-independent, so the top-10 cut is deterministic); the final
+    top-10 is a distributed TakeOrderedAndProject, never a global sort.
+    """
+    c = (table(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    o = (table(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate") < F.lit("1998-06-01").cast("date"))
+         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    l = (table(spark, sf_dir, "lineitem")
+         .where(F.col("l_shipdate") > F.lit("1998-06-01").cast("date"))
+         .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    j = (l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+                l.l_orderkey == o.o_orderkey))
+    agg = (j.groupBy(F.col("l_orderkey").alias("orderkey"),
+                     F.col("o_orderdate").alias("orderdate"),
+                     F.col("o_orderpriority").alias("priority"))
+           .agg(F.round(F.sum(rev.cast("decimal(27,6)"))
+                        .cast("string").cast("double"), 4).alias("revenue")))
+    return (agg.orderBy(F.desc("revenue"), "orderdate", "orderkey").limit(10)
+            .select("orderkey", "revenue", "orderdate", "priority"))

@@ -93,20 +93,22 @@ def bm25_rank(toks: DataFrame, q: DataFrame, top_k: int = 10) -> DataFrame:
     token) query table; returns top-``top_k`` (query_id, doc_id, score, rn).
 
     Plan shape: one aggregation of the exploded token stream into sparse
-    (doc, term, cnt) postings; doc length via a window over the postings
-    (reuses the exchange); the query table broadcasts into the postings
-    join so only query-term postings flow further; corpus stats (N, avgdl)
-    broadcast as a 1-row aggregate; df computed corpus-wide then broadcast
-    (≤ |vocabulary| rows, and only query terms survive the join). The
+    (doc, term, cnt) postings; the query table broadcasts into the postings
+    join so only query-term postings flow further; doc lengths are a
+    map-side-combined aggregate joined AFTER that filter (windowing dl over
+    the full postings would sort the whole stream first); corpus stats
+    (N, avgdl) broadcast as a 1-row aggregate; df computed corpus-wide then
+    broadcast (≤ |vocabulary| rows, and only query terms survive the join). The
     per-(query, doc) sum runs in DECIMAL so both engines hold bit-identical
     totals (functions/numeric rationale); ranking keys on the ROUNDED score
     so cross-engine ULP noise cannot flip rank order.
     """
     cnts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
 
-    wdoc = Window.partitionBy("doc_id")
-    posts = cnts.withColumn("dl", F.sum("cnt").over(wdoc))
-
+    # doc lengths as an aggregate JOINED AFTER the query-term filter — a
+    # window-over-doc_id dl would sort the FULL postings stream before the
+    # filter ever sees it; the aggregate partially combines map-side and
+    # only the (tiny) query-term postings join against it
     lens = cnts.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("dl"))
     stats = lens.agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -119,9 +121,10 @@ def bm25_rank(toks: DataFrame, q: DataFrame, top_k: int = 10) -> DataFrame:
     tf_part = ((F.col("cnt") * F.lit(_K1 + 1.0)) /
                (F.col("cnt") + F.lit(_K1) *
                 (F.lit(1.0 - _B) + F.lit(_B) * (F.col("dl") / F.col("avgdl")))))
-    scored = (posts.join(F.broadcast(q), "token")
+    scored = (cnts.join(F.broadcast(q), "token")
               .join(F.broadcast(dfreq.join(F.broadcast(q.select("token").distinct()),
                                            "token")), "token")
+              .join(lens, "doc_id")
               .crossJoin(F.broadcast(stats))
               .select("query_id", "doc_id", (idf * tf_part).alias("w")))
 
