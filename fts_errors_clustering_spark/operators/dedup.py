@@ -714,3 +714,49 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(ratio >= 0.2)
             .select("doc_id", "n_overlap", "n_shingles",
                     F.round(ratio, 6).alias("overlap_ratio")))
+
+
+@register(
+    "canonical_by_quality",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS h,
+             length(text) AS quality
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+                                   ORDER BY quality DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
+    FROM ranked GROUP BY source
+    """,
+    tags=("dedup", "curation"),
+)
+def canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-keep exact dedup: within each content-digest group keep the
+    HIGHEST-QUALITY copy (length proxy here; doc_id tiebreak), not the
+    lowest id — the policy a real corpus pipeline wants when duplicates
+    differ in provenance (keep the cleanest copy, drop the rest).
+    Complements ``dedup_exact`` (min-id keep) and
+    ``incremental_dedup_counts`` (batch-vs-history); reported as per-source
+    total vs canonical counts.
+
+    Scale: one window over the 16-byte digest key — the same digest-only
+    shuffle as every exact-dedup op here; bodies never move.
+    """
+    from pyspark.sql import Window as W
+    docs = table(spark, sf_dir, "documents")
+    scored = (docs.where(F.length(F.trim("text")) > 0)
+              .select("doc_id", "source",
+                      F.md5(F.lower(F.trim("text"))).alias("h"),
+                      F.length("text").alias("quality")))
+    w = W.partitionBy("h").orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return (ranked.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                  .cast("long").alias("n_canonical")))

@@ -938,3 +938,59 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("string").cast("double"), 4).alias("revenue")))
     return (agg.orderBy(F.desc("revenue"), "orderdate", "orderkey").limit(10)
             .select("orderkey", "revenue", "orderdate", "priority"))
+
+
+@register(
+    "nation_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+               AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, ROUND(revenue, 4) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+             AS share_of_region
+    FROM rev
+    """,
+    tags=("relational", "join", "window"),
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent reporting: each nation's lineitem revenue and its
+    share of the region total — the ratio-to-parent window every BI rollup
+    needs (revenue_by_region's sibling with the denominator computed
+    in-plan, not by a second query).
+
+    Scale: the fact scan aggregates once to |nation| rows; the share is a
+    window over that aggregate (region-partitioned, 25-row input), so the
+    denominator costs nothing extra. Revenue sums in DECIMAL; the share
+    divides two bit-identical doubles.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey",
+                                              "n_name")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev_expr = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .groupBy(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"))
+           .agg(F.sum(rev_expr.cast("decimal(27,6)"))
+                .cast("string").cast("double").alias("revenue")))
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region", "nation", F.round("revenue", 4).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6)
+         .alias("share_of_region"))

@@ -427,3 +427,16 @@ def daily_cumulative_events(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, 0))
     return daily.select("event_type", "day", "n",
                         F.sum("n").over(w).cast("long").alias("cum_n"))
+
+
+@register("streaming_debounce_gate", oracle=None,
+          tags=("windows", "streaming", "stateful", "throttle"))
+def streaming_debounce_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key cooldown gate (``applyInPandasWithState``): the
+    KEPT-gap debounce recursion (see ``streaming/jobs.run_debounce_stream``)
+    — the stateful twin of the oracle-checked raw-gap
+    ``debounced_event_counts``. Rows-only in the driver; single-batch
+    equality with an in-pandas reference and cross-batch invariants in
+    tests/test_streaming.py."""
+    from ..streaming.jobs import run_debounce_stream
+    return run_debounce_stream(spark, sf_dir)

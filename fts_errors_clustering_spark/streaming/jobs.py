@@ -346,3 +346,78 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (pairs.groupBy("event_id")
            .agg(F.count("*").cast("long").alias("n_prior_1h")))
     return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
+# --- custom stateful operator: per-key cooldown (debounce) gate --------------
+
+DEBOUNCE_OUT_SCHEMA = "user_id long, event_type string, event_id long, kept boolean"
+DEBOUNCE_STATE_SCHEMA = "last_kept_us long"
+
+_COOLDOWN_US = 3_600_000_000  # 1 hour
+
+
+def _cooldown_gate(key, pdfs, state):
+    """applyInPandasWithState hook for one (user_id, event_type) key: keep
+    an event iff >= 1h has passed since the last KEPT event — the
+    recursive kept-gap semantics no window expression can state (each
+    verdict depends on the previous verdict, not the previous row).
+    Events are processed in event-time order within the micro-batch; the
+    last kept timestamp is the only state (one long per key)."""
+    import pandas as pd
+    batch = pd.concat([p for p in pdfs if len(p)], ignore_index=True) \
+        if pdfs else pd.DataFrame()
+    if not len(batch):
+        return
+    batch = batch.sort_values(["ts", "event_id"])
+    last = int(state.get[0]) if state.exists else None
+    kept = []
+    for t in batch.itertuples():
+        us = t.ts.value // 1000  # pandas ns -> micros
+        ok = last is None or us - last >= _COOLDOWN_US
+        if ok:
+            last = us
+        kept.append(ok)
+    state.update((int(last),))
+    yield pd.DataFrame({
+        "user_id": [int(key[0])] * len(batch),
+        "event_type": [str(key[1])] * len(batch),
+        "event_id": batch["event_id"].astype("int64").tolist(),
+        "kept": kept,
+    })
+
+
+def run_debounce_stream(spark: SparkSession, sf_dir: str,
+                        single_batch: bool = False) -> DataFrame:
+    """Streaming debounce gate: per-(user, event_type) cooldown verdicts as
+    a custom stateful operator. Unlike the BATCH ``debounced_event_counts``
+    (stateless raw-gap lag — oracle-checkable), this implements the
+    stricter KEPT-gap recursion (>= 1h since the last kept event), which is
+    inherently sequential per key: exactly the shape
+    ``applyInPandasWithState`` exists for. State = one epoch-micros long
+    per key; the store shards by key hash and scales horizontally.
+
+    ``single_batch=True`` drains the staged fixture in one micro-batch
+    (deterministic event-time order end to end), which the test compares
+    against an in-pandas reference; the default multi-batch run exercises
+    cross-batch state carry-over."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    staged = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    reader = spark.readStream.schema(schema)
+    if not single_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(staged).select(
+        "user_id", "event_type", "event_id", "ts")
+    gated = (stream.groupBy("user_id", "event_type")
+             .applyInPandasWithState(
+                 _cooldown_gate, DEBOUNCE_OUT_SCHEMA, DEBOUNCE_STATE_SCHEMA,
+                 "append", GroupStateTimeout.NoTimeout))
+    name = "debounce_" + uuid.uuid4().hex[:12]
+    q = (gated.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name)
+    return spark.createDataFrame(rows.collect(), schema=rows.schema)

@@ -180,3 +180,44 @@ def test_stateful_dedup_checkpoint_recovery(spark, tmp_path):
     assert {r.text_hash for r in out} == set(groups)
     for r in out:
         assert r.doc_id in groups[r.text_hash]
+
+
+def test_streaming_debounce_single_batch_matches_reference(spark):
+    """Single-batch drain (deterministic event-time order end to end) must
+    equal the in-pandas kept-gap cooldown reference exactly."""
+    from fts_errors_clustering_spark.sources.readers import table
+    from fts_errors_clustering_spark.streaming.jobs import run_debounce_stream
+
+    out = run_debounce_stream(spark, SF_SMALL, single_batch=True)
+    got = {r.event_id: r.kept for r in out.collect()}
+
+    ev = (table(spark, SF_SMALL, "events")
+          .select("user_id", "event_type", "event_id", "ts").toPandas())
+    ref = {}
+    for _, g in ev.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["ts", "event_id"])
+        last = None
+        for r in g.itertuples():
+            us = r.ts.value // 1000
+            ok = last is None or us - last >= 3_600_000_000
+            if ok:
+                last = us
+            ref[r.event_id] = ok
+    assert got == ref
+
+
+def test_streaming_debounce_cross_batch_invariants(spark):
+    """Multi-batch run (state carried across micro-batches): every event
+    gets exactly one verdict and every key keeps at least one event."""
+    import collections
+
+    from fts_errors_clustering_spark.sources.readers import table
+    from fts_errors_clustering_spark.streaming.jobs import run_debounce_stream
+
+    rows = run_debounce_stream(spark, SF_SMALL).collect()
+    n_events = table(spark, SF_SMALL, "events").count()
+    assert len(rows) == n_events
+    kept_by_key = collections.defaultdict(list)
+    for r in rows:
+        kept_by_key[(r.user_id, r.event_type)].append(r.kept)
+    assert all(any(v) for v in kept_by_key.values())
