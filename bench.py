@@ -68,6 +68,9 @@ HEADLINE = [
     "hourly_resampled_counts",
     "daily_cumulative_events",
     "shipping_priority_topk",
+    "nation_revenue_share",
+    "canonical_by_quality",
+    "hourly_anomaly_scores",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -11,7 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dec_sum, sql_dec_sum
+from ..functions.numeric import (dec_avg, dec_std, dec_sum, sql_dec_avg,
+                                 sql_dec_std, sql_dec_sum)
 from ..plans.registry import register
 from ..sources.readers import table
 
@@ -440,3 +441,74 @@ def streaming_debounce_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py."""
     from ..streaming.jobs import run_debounce_stream
     return run_debounce_stream(spark, sf_dir)
+
+
+@register(
+    "hourly_anomaly_scores",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                    (SELECT h1 FROM bounds),
+                                    INTERVAL 1 HOUR)) AS hour_start
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT g.hour_start, t.event_type,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM grid g CROSS JOIN types t
+      LEFT JOIN counts c
+        ON c.hour_start = g.hour_start AND c.event_type = t.event_type
+    ),
+    stats AS (
+      SELECT event_type, {sql_dec_avg('n', 0)} AS mean_n,
+             {sql_dec_std('n', 0)} AS std_n
+      FROM dense GROUP BY event_type
+    )
+    SELECT d.hour_start, d.event_type, d.n,
+           ROUND((d.n - s.mean_n) / s.std_n, 6) AS z
+    FROM dense d JOIN stats s ON d.event_type = s.event_type
+    WHERE ABS((d.n - s.mean_n) / s.std_n) >= 2.0
+    """,
+    tags=("windows", "anomaly"),
+)
+def hourly_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours whose per-type event count deviates
+    >= 2 sigma from that type's mean over the DENSE hourly grid — the
+    zero-filled grid matters, because a silent outage hour (n=0) is
+    exactly the anomaly a sparse groupBy would never emit.
+
+    Scale: the fact table is touched once (the hourly aggregate); the
+    grid, per-type stats (decimal-exact mean/std), and z-scores all derive
+    from grid-sized tables. The sigma threshold makes the output
+    alert-sized.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                    F.date_trunc("hour", F.max("ts")).alias("h1"))
+    grid = bounds.select(F.explode(F.sequence(
+        "h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour_start"))
+    types = ev.select("event_type").distinct()
+    counts = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+                         "event_type")
+              .agg(F.count("*").alias("n")))
+    dense = (grid.crossJoin(F.broadcast(types))
+             .join(counts, ["hour_start", "event_type"], "left")
+             .select("hour_start", "event_type",
+                     F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+    stats = (dense.groupBy("event_type")
+             .agg(dec_avg("n", 0).alias("mean_n"),
+                  dec_std("n", 0).alias("std_n")))
+    z = (F.col("n") - F.col("mean_n")) / F.col("std_n")
+    return (dense.join(F.broadcast(stats), "event_type")
+            .where(F.abs(z) >= 2.0)
+            .select("hour_start", "event_type", "n",
+                    F.round(z, 6).alias("z")))

@@ -200,6 +200,7 @@ _BNLJ_OK: set[str] = {
     "describe_event_type",       # 1-row mode aggregate
     "chi2_priority_status",      # scalar grand total n
     "hourly_resampled_counts",   # |event_type|-row distinct-types side
+    "hourly_anomaly_scores",     # |event_type|-row distinct-types side
 }
 
 #: CartesianProduct allowed only against a literal parameter table
