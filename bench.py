@@ -71,6 +71,7 @@ HEADLINE = [
     "nation_revenue_share",
     "canonical_by_quality",
     "hourly_anomaly_scores",
+    "weekly_cohort_retention",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -512,3 +512,65 @@ def hourly_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.abs(z) >= 2.0)
             .select("hour_start", "event_type", "n",
                     F.round(z, 6).alias("z")))
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size
+      FROM firsts GROUP BY cohort_week
+    ),
+    active AS (
+      SELECT DISTINCT f.cohort_week, e.user_id,
+             CAST(datediff('week', f.cohort_week,
+                           date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    ret AS (
+      SELECT cohort_week, week_offset, COUNT(*) AS n_active
+      FROM active GROUP BY cohort_week, week_offset
+    )
+    SELECT r.cohort_week, r.week_offset, r.n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(CAST(r.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+    """,
+    tags=("windows", "cohort"),
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, then for
+    each (cohort, week-offset) the count and share of the cohort still
+    active — the standard retention triangle the funnel/journey operators
+    don't cover.
+
+    Scale: one window-free pass computes each user's cohort (groupBy
+    user), one distinct-ifying aggregate computes (cohort, offset, user)
+    activity, and everything after is cohort-x-offset-sized. The
+    user-cohort table joins back to events on user_id — the same key the
+    first aggregate shuffled on, so the exchange is reusable; no
+    broadcast assumption (users are the big dimension at 100 TB).
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    sizes = (firsts.groupBy("cohort_week")
+             .agg(F.count("*").alias("cohort_size")))
+    week_off = ((F.unix_date(F.to_date(F.date_trunc("week", F.col("ts"))))
+                 - F.unix_date(F.to_date(F.col("cohort_week")))) / 7)
+    active = (ev.join(firsts, "user_id")
+              .select("cohort_week", "user_id",
+                      week_off.cast("long").alias("week_offset"))
+              .distinct())
+    ret = (active.groupBy("cohort_week", "week_offset")
+           .agg(F.count("*").alias("n_active")))
+    return (ret.join(F.broadcast(sizes), "cohort_week")
+            .select("cohort_week", "week_offset", "n_active",
+                    F.col("cohort_size").cast("long").alias("cohort_size"),
+                    F.round(F.col("n_active").cast("double")
+                            / F.col("cohort_size"), 6).alias("retention")))
