@@ -1,5 +1,5 @@
 """Vector similarity search over the ``embeddings`` table — the ANN
-extension family (BASELINE.json north star), three tiers:
+extension family (BASELINE.json north star), four tiers:
 
 1. ``ann_bruteforce_topk`` — exact cosine top-k for a query vector via a
    broadcast join: the correctness baseline, oracle-checked.
@@ -11,6 +11,9 @@ extension family (BASELINE.json north star), three tiers:
    ``approxSimilarityJoin``: Spark-native candidate generation for
    all-pairs workloads (also the drop-in pair generator for DBSCAN at
    scale — operators/dbscan.py step 1).
+4. ``ann_pq_topk`` — product quantization (Jegou et al. 2011): the
+   compressed memory-tier index — M_SUB-byte codes per vector, query-time
+   asymmetric-distance lookups, exact re-rank of the candidate set.
 
 Plus ``embedding_near_dup_pairs``: cosine >= threshold near-dup detection
 with planted exact duplicates, oracle-checked (the embedding-space member
@@ -275,3 +278,128 @@ def lsh_neighbor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.where(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
             .groupBy(F.col("datasetA.vec_id").alias("vec_id"))
             .agg(F.count("*").alias("n_neighbors")))
+
+
+# --- tier 4: product quantization (Jegou et al. 2011, public method) ---------
+
+M_SUB = 8                 # subspaces
+SUB_DIM = DIM // M_SUB    # dims per subspace
+PQ_K = 32                 # centroids per subspace codebook
+PQ_CAND = 100             # approx candidates kept for exact re-rank
+
+
+PQ_SAMPLE = 4096          # codebook training sample (driver-side numpy)
+
+
+def _lloyd(X, k: int, seed: int, iters: int = 25):
+    """Driver-side Lloyd's k-means (k-means++ init) on a small numpy
+    sample — PQ codebooks train on a few thousand subvectors by design
+    (Jegou et al. train on samples), so a full distributed fit per
+    subspace would be M_SUB jobs of pure overhead."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding
+    cents = [X[rng.integers(len(X))]]
+    for _ in range(k - 1):
+        d2 = np.min([((X - c) ** 2).sum(1) for c in cents], axis=0)
+        p = d2 / max(d2.sum(), 1e-12)
+        cents.append(X[rng.choice(len(X), p=p)])
+    C = np.array(cents)
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        a = d.argmin(1)
+        for j in range(k):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return C
+
+
+def fit_pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
+    """Per-subspace codebooks: split each vector into M_SUB contiguous
+    SUB_DIM-slices and quantize each slice independently (k=PQ_K per
+    subspace) with Lloyd's on a PQ_SAMPLE-row driver sample (the
+    broadcast-class collect every PQ implementation makes — codebooks are
+    trained on samples, applied distributed). Returns M_SUB codebooks."""
+    import numpy as np
+    rows = (emb.select("embedding").limit(PQ_SAMPLE).collect())
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    return [
+        [[float(x) for x in c]
+         for c in _lloyd(X[:, m * SUB_DIM:(m + 1) * SUB_DIM], PQ_K, 42 + m)]
+        for m in range(M_SUB)
+    ]
+
+
+def pq_encode(emb: DataFrame, books) -> DataFrame:
+    """Attach the PQ code columns (one small int per subspace): per
+    subspace, squared distance to each of the PQ_K centroids as an array
+    fold, argmin via array_position — all JVM column algebra, codegen-
+    bounded at M_SUB x PQ_K small folds. The encoded corpus is
+    M_SUB bytes/vector of payload instead of DIM floats (32x here)."""
+    cols = []
+    for m, book in enumerate(books):
+        sub = F.slice("embedding", m * SUB_DIM + 1, SUB_DIM).cast("array<double>")
+        dists = F.array(*[
+            F.aggregate(F.zip_with(sub, F.array(*[F.lit(x) for x in c]),
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, v: acc + v)
+            for c in book])
+        cols.append((F.array_position(dists, F.array_min(dists)) - 1)
+                    .cast("int").alias(f"code{m}"))
+    return emb.select("vec_id", "embedding", *cols)
+
+
+@register("ann_pq_topk", oracle=None, tags=("similarity", "vectors", "ml"))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN (rows-only: KMeans-backed): product-quantization codes +
+    asymmetric distance. The corpus is scanned as M_SUB-byte codes; the
+    query's per-(subspace, centroid) squared-distance table (M_SUB x PQ_K
+    doubles, computed on the driver) broadcasts as literal lookup arrays,
+    so the approximate distance is M_SUB ``element_at`` lookups per vector
+    — no float vector math in the scan. Top-PQ_CAND approx candidates are
+    exact-cosine re-ranked to the final top-{TOP_K}. Recall vs the exact
+    baseline asserted in tests/test_similarity.py.
+
+    At 100 TB this is the memory-tier index: 32x smaller than raw floats,
+    scan-friendly (codes are parquet ints), with the codebooks (M_SUB x
+    PQ_K x SUB_DIM floats) trivially broadcastable. IVF cells compose with
+    it (IVF-PQ) by running this scan per probed cell."""
+    import math
+    raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # L2-normalize the indexed vectors: on the unit sphere, squared L2 is
+    # a monotone function of cosine (||a-b||^2 = 2 - 2cos), so the
+    # L2-trained codebooks and L2 asymmetric distance RANK by cosine —
+    # without this, high-cosine/different-magnitude neighbors fall outside
+    # the candidate set no matter how many candidates are kept
+    nrm = F.sqrt(F.aggregate(F.col("embedding").cast("array<double>"),
+                             F.lit(0.0), lambda a, x: a + x * x))
+    emb = raw.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x / nrm).alias("embedding"))
+    books = fit_pq_codebooks(emb)
+    coded = pq_encode(emb, books)
+
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == QUERY_ID).first().embedding]
+    # asymmetric distance table: ||q_sub - centroid||^2 per (subspace, code)
+    tables = [[math.fsum((qv[m * SUB_DIM + i] - c[i]) ** 2
+                         for i in range(SUB_DIM)) for c in book]
+              for m, book in enumerate(books)]
+    adist = None
+    for m in range(M_SUB):
+        term = F.element_at(F.array(*[F.lit(d) for d in tables[m]]),
+                            F.col(f"code{m}") + 1)
+        adist = term if adist is None else adist + term
+    cand = (coded.where(F.col("vec_id") != QUERY_ID)
+            .select("vec_id", "embedding", adist.alias("adist"))
+            .orderBy(F.asc("adist"), F.asc("vec_id")).limit(PQ_CAND))
+
+    q = (raw.where(F.col("vec_id") == QUERY_ID)
+         .select(F.col("embedding").alias("qv")))
+    rer = (cand.select("vec_id").join(raw, "vec_id")
+           .crossJoin(F.broadcast(q))
+           .select("vec_id", cosine("embedding", "qv", DIM).alias("cos")))
+    return (rer.orderBy(F.desc("cos"), F.asc("vec_id")).limit(TOP_K)
+            .select("vec_id", F.round("cos", 6).alias("cosine")))

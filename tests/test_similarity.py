@@ -113,3 +113,38 @@ def test_ivf_partition_at_rest_prunes_cells(spark, tmp_path):
     # the pruned read touches only the probed cells' directories
     dirs = [d for d in os.listdir(out) if d.startswith("cell=")]
     assert len(dirs) == 8
+
+
+def test_pq_recall_vs_exact(spark):
+    """PQ tier: top-10 after asymmetric-distance candidates + exact
+    re-rank must recover most of the exact cosine top-10 (the fixture
+    query's neighbors are near-ties around cosine ~0.3, so perfect recall
+    is not expected from a 32x-compressed index; >= 0.6 is the pinned
+    floor, measured 0.8)."""
+    from fts_errors_clustering_spark.plans.registry import all_queries
+    defs = all_queries()
+    pq = {r.vec_id for r in defs["ann_pq_topk"].fn(spark, SF_SMALL).collect()}
+    ex = {r.vec_id for r in
+          defs["ann_bruteforce_topk"].fn(spark, SF_SMALL).collect()}
+    assert len(pq & ex) / len(ex) >= 0.6
+
+
+def test_pq_codes_compact_and_deterministic(spark):
+    """Every PQ code must lie in [0, PQ_K) and encoding must be
+    deterministic across two invocations (codebooks are seeded)."""
+    from fts_errors_clustering_spark.operators.similarity import (
+        M_SUB, PQ_K, fit_pq_codebooks, pq_encode)
+    from fts_errors_clustering_spark.sources.readers import table
+    from pyspark.sql import functions as F
+    emb = table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    books = fit_pq_codebooks(emb)
+    assert len(books) == M_SUB and all(len(b) == PQ_K for b in books)
+    coded = pq_encode(emb, books)
+    for m in range(M_SUB):
+        mm = coded.agg(F.min(f"code{m}"), F.max(f"code{m}")).first()
+        assert 0 <= mm[0] and mm[1] < PQ_K
+    again = {r.vec_id: tuple(r[f"code{m}"] for m in range(M_SUB))
+             for r in pq_encode(emb, fit_pq_codebooks(emb)).collect()}
+    first = {r.vec_id: tuple(r[f"code{m}"] for m in range(M_SUB))
+             for r in coded.collect()}
+    assert first == again
