@@ -403,3 +403,132 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("vec_id", cosine("embedding", "qv", DIM).alias("cos")))
     return (rer.orderBy(F.desc("cos"), F.asc("vec_id")).limit(TOP_K)
             .select("vec_id", F.round("cos", 6).alias("cosine")))
+
+
+# --- tier 4b: IVF-PQ composition (residual-encoded, the big-corpus index) ----
+
+IVFPQ_CELLS = 8
+IVFPQ_PROBE = 3
+
+
+def ivfpq_topk(raw: DataFrame, query_id: int = QUERY_ID) -> DataFrame:
+    """IVF-PQ core over a (vec_id, embedding) frame — see ``ann_ivfpq_topk``.
+
+    IVF-PQ: the coarse-quantizer cells of ``ann_ivf_topk`` composed with
+    the PQ codes of ``ann_pq_topk``, encoding RESIDUALS (x - cell centroid)
+    as classic IVF-PQ does — residuals concentrate around 0, so the same
+    codebook budget quantizes them with far less distortion than raw
+    vectors.
+
+    All training happens on a driver-side sample (numpy Lloyd's: one k=8
+    coarse codebook + M_SUB residual codebooks); everything corpus-sized is
+    JVM column algebra: cell assignment and code assignment are argmin
+    folds over literal centroids, the probe-time approximate distance is
+    M_SUB ``element_at`` lookups against the PROBED CELL's distance table
+    (tables differ per cell because the query residual does). Candidates
+    come only from the N_PROBE nearest cells — at rest, files partitioned
+    by cell make that a pruned scan — and the final top-k is an exact
+    cosine re-rank of PQ_CAND survivors against the raw vectors.
+    """
+    import math
+
+    import numpy as np
+    nrm = F.sqrt(F.aggregate(F.col("embedding").cast("array<double>"),
+                             F.lit(0.0), lambda a, x: a + x * x))
+    emb = raw.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x / nrm).alias("embedding"))
+
+    sample = np.array([r.embedding for r in
+                       emb.select("embedding").limit(PQ_SAMPLE).collect()],
+                      dtype=np.float64)
+    coarse = _lloyd(sample, IVFPQ_CELLS, seed=7)
+    # residual codebooks, per subspace, trained on sample residuals
+    s_cells = ((sample[:, None, :] - coarse[None, :, :]) ** 2).sum(2).argmin(1)
+    resid = sample - coarse[s_cells]
+    books = [
+        [[float(x) for x in c]
+         for c in _lloyd(resid[:, m * SUB_DIM:(m + 1) * SUB_DIM], PQ_K, 77 + m)]
+        for m in range(M_SUB)
+    ]
+
+    # corpus-side: cell = argmin over the 8 coarse centroids (JVM folds)
+    cell_d = F.array(*[
+        F.aggregate(F.zip_with("embedding",
+                               F.array(*[F.lit(float(x)) for x in c]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, v: acc + v)
+        for c in coarse])
+    centro = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    with_cell = emb.select(
+        "vec_id", "embedding",
+        (F.array_position(cell_d, F.array_min(cell_d)) - 1).cast("int")
+        .alias("cell"))
+    residual = F.zip_with("embedding",
+                          F.element_at(centro, F.col("cell") + 1),
+                          lambda a, b: a - b)
+    with_res = with_cell.select("vec_id", "cell", residual.alias("res"))
+    code_cols = []
+    for m, book in enumerate(books):
+        sub = F.slice("res", m * SUB_DIM + 1, SUB_DIM)
+        dists = F.array(*[
+            F.aggregate(F.zip_with(sub, F.array(*[F.lit(x) for x in c]),
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, v: acc + v)
+            for c in book])
+        code_cols.append((F.array_position(dists, F.array_min(dists)) - 1)
+                         .cast("int").alias(f"code{m}"))
+    coded = with_res.select("vec_id", "cell", *code_cols)
+
+    # query-side: probe the N_PROBE nearest cells; one distance table per
+    # probed cell (query residual differs per cell)
+    qn = [float(x) for x in
+          emb.where(F.col("vec_id") == query_id).first().embedding]
+    qd = [(i, sum((qn[j] - coarse[i][j]) ** 2 for j in range(DIM)))
+          for i in range(IVFPQ_CELLS)]
+    probes = [i for i, _ in sorted(qd, key=lambda t: t[1])[:IVFPQ_PROBE]]
+    tables = {}
+    for p in probes:
+        qr = [qn[j] - float(coarse[p][j]) for j in range(DIM)]
+        tables[p] = [[math.fsum((qr[m * SUB_DIM + i] - c[i]) ** 2
+                                for i in range(SUB_DIM)) for c in books[m]]
+                     for m in range(M_SUB)]
+
+    def _adist(p: int):
+        acc = None
+        for m in range(M_SUB):
+            term = F.element_at(
+                F.array(*[F.lit(d) for d in tables[p][m]]),
+                F.col(f"code{m}") + 1)
+            acc = term if acc is None else acc + term
+        return acc
+
+    adist = F.when(F.col("cell") == probes[0], _adist(probes[0]))
+    for p in probes[1:]:
+        adist = adist.when(F.col("cell") == p, _adist(p))
+    cand = (coded.where(F.col("cell").isin([int(p) for p in probes]) &
+                        (F.col("vec_id") != query_id))
+            .select("vec_id", adist.alias("adist"))
+            .orderBy(F.asc("adist"), F.asc("vec_id")).limit(PQ_CAND))
+
+    q = (raw.where(F.col("vec_id") == query_id)
+         .select(F.col("embedding").alias("qv")))
+    rer = (cand.select("vec_id").join(raw, "vec_id")
+           .crossJoin(F.broadcast(q))
+           .select("vec_id", cosine("embedding", "qv", DIM).alias("cos")))
+    return (rer.orderBy(F.desc("cos"), F.asc("vec_id")).limit(TOP_K)
+            .select("vec_id", F.round("cos", 6).alias("cosine")))
+
+
+@register("ann_ivfpq_topk", oracle=None, tags=("similarity", "vectors", "ml"))
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-{TOP_K} on the fixture embeddings (see ``ivfpq_topk``).
+    Rows-only; planted-neighbor rank-1 recovery and agreement floors in
+    tests/test_similarity.py. Caveat measured on the fixture: the query's
+    true top-10 sit at cosine ~0.3 (noise-level), so they scatter across
+    coarse cells and ANY inverted-file index probe-loses some — the
+    planted-neighbor test is the semantically meaningful gate; the
+    agreement floor documents the noise-regime behavior."""
+    return ivfpq_topk(table(spark, sf_dir, "embeddings")
+                      .select("vec_id", "embedding"))
