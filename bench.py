@@ -72,6 +72,7 @@ HEADLINE = [
     "canonical_by_quality",
     "hourly_anomaly_scores",
     "weekly_cohort_retention",
+    "small_quantity_revenue",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -994,3 +994,53 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region", "nation", F.round("revenue", 4).alias("revenue"),
         F.round(F.col("revenue") / F.sum("revenue").over(w), 6)
          .alias("share_of_region"))
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH avgq AS (
+      SELECT l_partkey, 0.2 * (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6)))
+                                    AS VARCHAR) AS DOUBLE) / COUNT(*)) AS cutoff
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           ROUND(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6)))
+                      AS VARCHAR) AS DOUBLE) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN avgq a ON l.l_partkey = a.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity < a.cutoff
+    GROUP BY p.p_brand
+    """,
+    tags=("relational", "join", "subquery"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue), per brand: lineitems
+    whose quantity is below 20% of that part's average quantity, summed as
+    yearly-average revenue — the classic CORRELATED SCALAR SUBQUERY
+    (per-outer-row aggregate), decorrelated into one per-part aggregate +
+    an equi-join, which is exactly how a 100 TB engine must plan it (a
+    re-evaluated subquery per row is quadratic).
+
+    Scale: one map-side-combined aggregate over lineitem builds the
+    |parts|-row cutoff table; the join back is on the same l_partkey the
+    aggregate shuffled on (exchange reuse); part is a broadcast dim. All
+    money/quantity sums are DECIMAL-exact.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    avgq = (li.groupBy("l_partkey")
+            .agg((F.lit(0.2) * (F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+                                .cast("string").cast("double") / F.count("*")))
+                 .alias("cutoff")))
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = (li.join(avgq, "l_partkey")
+         .where(F.col("l_quantity") < F.col("cutoff"))
+         .join(F.broadcast(p), li.l_partkey == p.p_partkey))
+    return (j.groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.count("*").cast("long").alias("n_small_lines"),
+                 F.round(F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+                         .cast("string").cast("double") / F.lit(7.0), 4)
+                 .alias("avg_yearly")))
