@@ -73,6 +73,8 @@ HEADLINE = [
     "hourly_anomaly_scores",
     "weekly_cohort_retention",
     "small_quantity_revenue",
+    "hybrid_search_rrf",
+    "quality_signal_correlation",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

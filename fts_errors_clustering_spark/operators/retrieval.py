@@ -210,3 +210,112 @@ def incremental_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("batch_dup").cast("long").alias("n_batch_dup"),
                  (F.count("*") - F.sum("hist_dup") - F.sum("batch_dup"))
                  .cast("long").alias("n_kept")))
+
+
+# --- hybrid retrieval: BM25 + embedding cosine, fused by RRF -----------------
+
+from ..functions.vectors import cosine, sql_cosine  # noqa: E402
+
+_EMB_DIM = 64
+_RRF_K = 60         # standard reciprocal-rank-fusion constant
+_FUSE_DEPTH = 50    # per-ranker candidate depth before fusion
+_SEM_QUERY = 0      # embeddings row used as the semantic query
+_LEX_QUERY = 1      # _QUERIES id used as the lexical query
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    cnts AS (SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY doc_id, token),
+    lens AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS dl FROM cnts GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM cnts GROUP BY token),
+    q(query_id, token) AS (VALUES {_Q_VALUES}),
+    scored AS (
+        SELECT c.doc_id,
+               LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * ((c.cnt * ({_K1} + 1.0)) /
+                    (c.cnt + {_K1} * (1.0 - {_B} + {_B} * (l.dl / s.avgdl)))) AS w
+        FROM q
+        JOIN cnts c ON q.token = c.token
+        JOIN dfreq d ON c.token = d.token
+        JOIN lens l ON c.doc_id = l.doc_id
+        CROSS JOIN stats s
+        WHERE q.query_id = {_LEX_QUERY}),
+    lexagg AS (SELECT doc_id,
+                      ROUND(CAST(CAST(SUM(CAST(w AS DECIMAL(27,18))) AS VARCHAR)
+                                 AS DOUBLE), 6) AS score
+               FROM scored GROUP BY doc_id),
+    lex AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS r_lex
+            FROM lexagg
+            QUALIFY r_lex <= {_FUSE_DEPTH}),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = {_SEM_QUERY}),
+    semscored AS (
+        SELECT e.vec_id AS doc_id,
+               {sql_cosine('e.embedding', 'q.v', _EMB_DIM)} AS cos
+        FROM embeddings e, qv q WHERE e.vec_id <> {_SEM_QUERY}),
+    sem AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+                        AS BIGINT) AS r_sem
+            FROM semscored
+            QUALIFY r_sem <= {_FUSE_DEPTH}),
+    fused AS (
+        SELECT doc_id,
+               COALESCE(1.0 / ({_RRF_K} + l.r_lex), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + s.r_sem), 0.0) AS rrf
+        FROM lex l FULL JOIN sem s USING (doc_id))
+    SELECT doc_id, ROUND(rrf, 6) AS rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rn
+    FROM fused
+    QUALIFY rn <= 10
+    """,
+    tags=("retrieval", "hybrid", "vectors"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 lexical ranking (query {_LEX_QUERY}) and
+    embedding-cosine semantic ranking (query vector {_SEM_QUERY}) fused by
+    reciprocal-rank fusion ``sum 1/(60 + rank)`` — the standard two-ranker
+    composition (Cormack et al. 2009) a retrieval stack ships once it has
+    both an inverted index and an ANN index. Doc ids align with vec ids in
+    the fixtures, standing in for a real doc↔embedding mapping.
+
+    Scale: each ranker keeps only its top-{_FUSE_DEPTH} (BM25 via the
+    query-term-pruned postings plan, cosine via TakeOrderedAndProject);
+    fusion is a full outer join of two {_FUSE_DEPTH}-row tables — rank
+    integers make the RRF arithmetic bit-identical across engines.
+    """
+    toks = document_tokens(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(qid, t) for qid, t in _QUERIES if qid == _LEX_QUERY],
+        "query_id long, token string")
+    lex = (bm25_rank(toks, q, top_k=_FUSE_DEPTH)
+           .select("doc_id", F.col("rn").alias("r_lex")))
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = (emb.where(F.col("vec_id") == _SEM_QUERY)
+          .select(F.col("embedding").alias("v")))
+    semscored = (emb.where(F.col("vec_id") != _SEM_QUERY)
+                 .crossJoin(F.broadcast(qv))
+                 .select(F.col("vec_id").alias("doc_id"),
+                         cosine("embedding", "v", _EMB_DIM).alias("cos")))
+    from pyspark.sql import Window
+    sem_top = (semscored.orderBy(F.desc("cos"), F.asc("doc_id"))
+               .limit(_FUSE_DEPTH))
+    wsem = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    sem = (sem_top.withColumn("r_sem", F.row_number().over(wsem).cast("long"))
+           .select("doc_id", "r_sem"))
+
+    fused = (lex.join(sem, "doc_id", "full_outer")
+             .select("doc_id",
+                     (F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")),
+                                 F.lit(0.0)) +
+                      F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_sem")),
+                                 F.lit(0.0))).alias("rrf")))
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+    wr = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (top.withColumn("rn", F.row_number().over(wr).cast("long"))
+            .select("doc_id", F.round("rrf", 6).alias("rrf"), "rn"))

@@ -414,3 +414,77 @@ def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
     return (top.withColumn("rn", F.row_number().over(w).cast("long"))
             .select("w1", "w2", "c12", "pmi", "rn"))
+
+
+# correlation between the two doc-level quality signals: compose the two
+# registered oracles as CTEs so the definitions can never drift apart
+from ..plans.registry import _REGISTRY as _REG  # noqa: E402
+
+_SUM6 = ("CAST(CAST(SUM(CAST({x} AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)")
+_SUMP = ("CAST(CAST(SUM(CAST(CAST({a} AS DECIMAL(19,6)) * "
+         "CAST({b} AS DECIMAL(19,6)) AS DECIMAL(33,12))) AS VARCHAR) "
+         "AS DOUBLE)")
+
+
+@register(
+    "quality_signal_correlation",
+    oracle=f"""
+    WITH q AS ({_REG['doc_quality_scores'].oracle}),
+    b AS ({_REG['bigram_logprob_scores'].oracle}),
+    j AS (
+      SELECT q.quality AS x, b.avg_logprob AS y
+      FROM q JOIN b ON q.doc_id = b.doc_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             {_SUM6.format(x='x')} AS sx,
+             {_SUM6.format(x='y')} AS sy,
+             {_SUMP.format(a='x', b='y')} AS sxy,
+             {_SUMP.format(a='x', b='x')} AS sxx,
+             {_SUMP.format(a='y', b='y')} AS syy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND((n * sxy - sx * sy) /
+                 (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+             AS pearson_r
+    FROM s
+    """,
+    tags=("textstats", "stats"),
+)
+def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-agreement diagnostic: Pearson correlation between the
+    heuristic quality score and the bigram-LM mean log-probability, per
+    corpus — the calibration question (do the cheap filter and the LM
+    filter agree?) every multi-signal curation pipeline asks before
+    weighting its gates.
+
+    Both inputs are the ROUNDED registered signals (identical across
+    engines by their own oracle gates); the five moment sums run in
+    DECIMAL (6dp inputs → 12dp products, exact), so the correlation is a
+    deterministic double both engines agree on bit-for-bit. One join on
+    doc_id + one aggregate; nothing wider than a row of moments leaves the
+    reducers.
+    """
+    q = doc_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    b = bigram_logprob_scores(spark, sf_dir).select("doc_id", "avg_logprob")
+    j = q.join(b, "doc_id").select(F.col("quality").alias("x"),
+                                   F.col("avg_logprob").alias("y"))
+
+    def s6(c):
+        return F.sum(F.col(c).cast("decimal(27,6)")).cast("string").cast("double")
+
+    def sp(a, c):
+        return (F.sum((F.col(a).cast("decimal(19,6)") *
+                       F.col(c).cast("decimal(19,6)")).cast("decimal(33,12)"))
+                .cast("string").cast("double"))
+
+    s = j.agg(F.count("*").cast("double").alias("n"),
+              s6("x").alias("sx"), s6("y").alias("sy"),
+              sp("x", "y").alias("sxy"), sp("x", "x").alias("sxx"),
+              sp("y", "y").alias("syy"))
+    r = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) /
+         (F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) *
+          F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))))
+    return s.select(F.col("n").cast("long").alias("n_docs"),
+                    F.round(r, 6).alias("pearson_r"))

@@ -21,7 +21,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 #: queries whose core IS a model fit — empty fits throw in every framework
 FIT_BASED = {
-    "ann_ivf_topk", "dbscan_labels_lsh", "kmeans_cluster_sizes",
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk",
+    "dbscan_labels_lsh", "kmeans_cluster_sizes",
     "kmeans_quality", "lsa_features", "lsa_svd_features",
     "lsh_neighbor_counts",
     "pipeline_tfidf_kmeans", "pipeline_word2vec_dbscan",

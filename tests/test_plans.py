@@ -201,6 +201,8 @@ _BNLJ_OK: set[str] = {
     "chi2_priority_status",      # scalar grand total n
     "hourly_resampled_counts",   # |event_type|-row distinct-types side
     "hourly_anomaly_scores",     # |event_type|-row distinct-types side
+    "hybrid_search_rrf",         # 1-row BM25 stats + 1-row query vector
+    "quality_signal_correlation",  # scalar vocabulary size (bigram CTE)
 }
 
 #: CartesianProduct allowed only against a literal parameter table
