@@ -152,3 +152,61 @@ def test_knee_sweep_consistent_with_argmax(spark):
     assert max(r.epsilon for r in sweep) == chosen.pop()
     argmax = all_queries()["knn_knee_epsilon"].fn(spark, SF_SMALL).first()
     assert argmax.epsilon <= max(r.epsilon for r in sweep) + 1e-9
+
+
+@SET
+@given(st.lists(st.lists(st.sampled_from("abcde"), min_size=1, max_size=12),
+                min_size=2, max_size=12))
+def test_bm25_matches_python_reference(spark, corpora):
+    """bm25_rank against a pure-Python BM25 on random tiny corpora: scores
+    (rounded 6dp) and ranking must agree exactly."""
+    import math
+
+    from fts_errors_clustering_spark.operators.retrieval import (_B, _K1,
+                                                                 bm25_rank)
+    docs = [(i, toks) for i, toks in enumerate(corpora)]
+    toks_df = spark.createDataFrame(
+        [(i, t) for i, ts in docs for t in ts], "doc_id long, token string")
+    qterm = corpora[0][0]  # guaranteed present
+    q = spark.createDataFrame([(1, qterm)], "query_id long, token string")
+    got = {r.doc_id: r.score
+           for r in bm25_rank(toks_df, q, top_k=100).collect()}
+
+    n = len(docs)
+    dls = {i: len(ts) for i, ts in docs}
+    avgdl = sum(dls.values()) / n
+    df_t = sum(1 for _, ts in docs if qterm in ts)
+    idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+    ref = {}
+    for i, ts in docs:
+        tf = ts.count(qterm)
+        if tf:
+            ref[i] = round(idf * (tf * (_K1 + 1.0)) /
+                           (tf + _K1 * (1.0 - _B + _B * (dls[i] / avgdl))), 6)
+    assert got == ref
+
+
+@SET
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=60))
+def test_global_rank_matches_sorted_order(spark, values):
+    """global_value_rank's bucket+offset composition must equal the plain
+    sorted order on random values (duplicates included)."""
+    import os
+    import tempfile
+
+    from fts_errors_clustering_spark.plans.registry import all_queries
+    rows = [(i, float(v)) for i, v in enumerate(values + values[:3])]
+    with tempfile.TemporaryDirectory() as td:
+        (spark.createDataFrame(rows, "event_id long, value double")
+         .selectExpr("event_id", "CAST(event_id AS BIGINT) AS user_id",
+                     "'x' AS event_type",
+                     "TIMESTAMP '2024-01-01 00:00:00' AS ts",
+                     "value", "'{}' AS props")
+         .write.mode("overwrite").parquet(os.path.join(td, "events.parquet")))
+        got = {r.event_id: r.rk for r in
+               all_queries()["global_value_rank"].fn(spark, td).collect()}
+    expected = {eid: rk + 1 for rk, (eid, _) in
+                enumerate(sorted(rows, key=lambda t: (t[1], t[0])))}
+    assert got == expected
