@@ -75,6 +75,9 @@ HEADLINE = [
     "small_quantity_revenue",
     "hybrid_search_rrf",
     "quality_signal_correlation",
+    "event_transition_matrix",
+    "decayed_user_scores",
+    "user_event_entropy",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -574,3 +574,125 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cohort_size").cast("long").alias("cohort_size"),
                     F.round(F.col("n_active").cast("double")
                             / F.col("cohort_size"), 6).alias("retention")))
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS t1,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t2
+      FROM events
+    ),
+    c AS (SELECT t1, t2, COUNT(*) AS n FROM seq
+          WHERE t2 IS NOT NULL GROUP BY t1, t2),
+    tot AS (SELECT t1, SUM(n) AS n1 FROM c GROUP BY t1)
+    SELECT c.t1, c.t2, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / tot.n1, 6) AS p
+    FROM c JOIN tot ON c.t1 = tot.t1
+    """,
+    tags=("windows", "sequence", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next = t2 | current = t1) with counts — the behavioral-model summary
+    the trigram miner's raw sequences roll up to.
+
+    Scale: one lead-window exchange on user_id; everything after is
+    |event_type|^2-sized. The probability divides two exact integers —
+    bit-identical across engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("event_type").alias("t1"),
+                    F.lead("event_type").over(w).alias("t2"))
+    c = (seq.where(F.col("t2").isNotNull())
+         .groupBy("t1", "t2").agg(F.count("*").alias("n")))
+    tot = c.groupBy("t1").agg(F.sum("n").alias("n1"))
+    return (c.join(F.broadcast(tot), "t1")
+            .select("t1", "t2", "n",
+                    F.round(F.col("n").cast("double") / F.col("n1"), 6)
+                     .alias("p")))
+
+
+@register(
+    "decayed_user_scores",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+    terms AS (
+      SELECT user_id,
+             value * EXP(-(CAST(epoch_us((SELECT tmax FROM mx)) - epoch_us(ts)
+                           AS DOUBLE) / 1e6) / 604800.0) AS w
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(CAST(SUM(CAST(w AS DECIMAL(27,18))) AS VARCHAR)
+                      AS DOUBLE), 6) AS decayed_score
+    FROM terms GROUP BY user_id
+    """,
+    tags=("windows", "decay"),
+)
+def decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity: per user the sum of ``value`` decayed
+    exponentially with age (one-week time constant, anchored at the
+    corpus max ts) — the freshness-weighted engagement score every
+    ranking/retention model starts from.
+
+    Scale: the anchor is a 1-row aggregate broadcast into the scan; the
+    per-event weight is a deterministic double (identical exp inputs on
+    both engines), summed in DECIMAL so the per-user totals are exact and
+    order-independent; one map-side-combined groupBy.
+    """
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    age_s = (F.unix_micros("tmax") - F.unix_micros("ts")).cast("double") / F.lit(1e6)
+    terms = (ev.crossJoin(F.broadcast(mx))
+             .select("user_id",
+                     (F.col("value") * F.exp(-age_s / F.lit(604800.0)))
+                      .alias("w")))
+    return (terms.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum(F.col("w").cast("decimal(27,18)"))
+                         .cast("string").cast("double"), 6)
+                  .alias("decayed_score")))
+
+
+@register(
+    "user_event_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, SUM(n) AS nt FROM c GROUP BY user_id),
+    terms AS (
+      SELECT c.user_id,
+             -(CAST(c.n AS DOUBLE) / tot.nt) * LN(CAST(c.n AS DOUBLE) / tot.nt)
+               AS h
+      FROM c JOIN tot ON c.user_id = tot.user_id
+    )
+    SELECT user_id,
+           ROUND(CAST(CAST(SUM(CAST(h AS DECIMAL(27,18))) AS VARCHAR)
+                      AS DOUBLE), 6) AS entropy
+    FROM terms GROUP BY user_id
+    """,
+    tags=("windows", "entropy"),
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    distribution (nats) — 0 for single-behavior users, ln(5) for uniform —
+    the segmentation feature separating specialists from generalists.
+
+    Scale: one (user, type) aggregate; per-user totals derive from those
+    ≤ |users| x |types| rows on the same user_id partitioning; the p·ln p
+    terms are deterministic doubles summed in DECIMAL.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("nt"))
+    p = F.col("n").cast("double") / F.col("nt")
+    terms = c.join(tot, "user_id").select("user_id", (-p * F.log(p)).alias("h"))
+    return (terms.groupBy("user_id")
+            .agg(F.round(F.sum(F.col("h").cast("decimal(27,18)"))
+                         .cast("string").cast("double"), 6).alias("entropy")))

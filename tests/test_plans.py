@@ -203,6 +203,7 @@ _BNLJ_OK: set[str] = {
     "hourly_anomaly_scores",     # |event_type|-row distinct-types side
     "hybrid_search_rrf",         # 1-row BM25 stats + 1-row query vector
     "quality_signal_correlation",  # scalar vocabulary size (bigram CTE)
+    "decayed_user_scores",       # 1-row max-ts anchor
 }
 
 #: CartesianProduct allowed only against a literal parameter table
