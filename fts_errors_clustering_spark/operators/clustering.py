@@ -224,7 +224,8 @@ def kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def fit_word2vec(docs_tokens: DataFrame, vector_size: int = 32,
                  window: int = 5, min_count: int = 1, max_iter: int = 8,
-                 seed: int = 42, tokens_col: str = "tokens"):
+                 seed: int = 42, tokens_col: str = "tokens",
+                 cache_key=None):
     """M14 ``train_word2vec`` (gensim CBOW, size=200/window=5/min_count=1/
     iter=1000 — ``word2vec_dbscan_approach.ipynb:133-145``) as
     ``ml.feature.Word2Vec``. The transform IS M15 sentence2vec: Spark
@@ -232,10 +233,19 @@ def fit_word2vec(docs_tokens: DataFrame, vector_size: int = 32,
     for empty docs — exactly the mean-pool semantics minus the reference's
     ragged-empty bug (SURVEY.md M15, 2.9.2)."""
     from pyspark.ml.feature import Word2Vec
-    w2v = Word2Vec(vectorSize=vector_size, windowSize=window,
-                   minCount=min_count, maxIter=max_iter, seed=seed,
-                   inputCol=tokens_col, outputCol="doc_vec")
-    return w2v.fit(docs_tokens)
+
+    from .model_cache import memo
+
+    def build():
+        w2v = Word2Vec(vectorSize=vector_size, windowSize=window,
+                       minCount=min_count, maxIter=max_iter, seed=seed,
+                       inputCol=tokens_col, outputCol="doc_vec")
+        return w2v.fit(docs_tokens)
+
+    key = None if cache_key is None else (
+        "w2v", cache_key, vector_size, window, min_count, max_iter, seed,
+        tokens_col)
+    return memo(key, build)
 
 
 @register("word2vec_doc_vectors", oracle=None, tags=("clustering", "ml"))
@@ -247,7 +257,7 @@ def word2vec_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (docs.where(F.length(F.trim("text")) > 0)
                 .select("doc_id",
                         whitespace_tokens(mask_error_text("text")).alias("tokens")))
-    model = fit_word2vec(toks)
+    model = fit_word2vec(toks, cache_key=sf_dir)
     out = model.transform(toks)
     from pyspark.ml.functions import vector_to_array
     arr = vector_to_array("doc_vec")

