@@ -78,6 +78,7 @@ HEADLINE = [
     "event_transition_matrix",
     "decayed_user_scores",
     "user_event_entropy",
+    "hourly_session_concurrency",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -696,3 +696,62 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (terms.groupBy("user_id")
             .agg(F.round(F.sum(F.col("h").cast("decimal(27,18)"))
                          .cast("string").cast("double"), 6).alias("entropy")))
+
+
+@register(
+    "hourly_session_concurrency",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 6 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, session_no,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM numbered GROUP BY user_id, session_no
+    ),
+    covered AS (
+      SELECT s.user_id,
+             unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS hour_start
+      FROM sessions s
+    )
+    SELECT hour_start, COUNT(*) AS n_active_sessions
+    FROM covered GROUP BY hour_start
+    """,
+    tags=("windows", "interval", "concurrency"),
+)
+def hourly_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap aggregation: how many 6h-gap sessions are ACTIVE in
+    each hour (a session covers every hour bucket from its first to its
+    last event) — the capacity-planning / peak-concurrency view that
+    point-in-time counts miss.
+
+    Scale: sessions derive from one user-partitioned window pass; each
+    session explodes into its covered hour buckets (bounded by session
+    length — watermarked 6h-gap sessions cannot grow unboundedly), and the
+    final count partially combines map-side. This trades the classic
+    sweep-line's GLOBAL boundary sort (a single-partition running sum) for
+    a bounded explode — the shape that survives 1000 executors.
+    """
+    ev = table(spark, sf_dir, "events")
+    sess = (ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+            .agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                 F.date_trunc("hour", F.max("ts")).alias("h1")))
+    covered = sess.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR")))
+         .alias("hour_start"))
+    return (covered.groupBy("hour_start")
+            .agg(F.count("*").alias("n_active_sessions")))
