@@ -79,6 +79,7 @@ HEADLINE = [
     "decayed_user_scores",
     "user_event_entropy",
     "hourly_session_concurrency",
+    "data_quality_report",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

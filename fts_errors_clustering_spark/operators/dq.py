@@ -1,0 +1,109 @@
+"""Declarative data-quality checks — the Deequ/expectations pattern as one
+oracle-checkable report: every ingest of the reference's daily batches
+(SURVEY.md section 3.1) would gate on exactly these before publishing a
+partition, and the reference's own defect list (SURVEY.md section 2.9:
+row-count drift, blank messages discovered late) is what happens without
+them.
+
+Each check is an aggregate over one table; the report unions the check
+rows (check name, measured metric, threshold, pass verdict). All metrics
+are exact ratios of integer counts — bit-identical across engines.
+
+Scale: every check is a map-side-combinable aggregate or a digest-keyed
+distinct; the report is a UNION of 1-row aggregates — one scan per table
+feeding multiple checks via a shared aggregate where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.readers import table
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+    WITH ev AS (
+      SELECT COUNT(*) AS n,
+             COUNT(DISTINCT event_id) AS n_ids,
+             COUNT(*) - COUNT(value) AS n_null_value,
+             COUNT(*) FILTER (WHERE ts < TIMESTAMP '2000-01-01'
+                              OR ts > TIMESTAMP '2100-01-01') AS n_bad_ts
+      FROM events
+    ),
+    refint AS (
+      SELECT COUNT(*) AS n_orphans FROM (
+        SELECT DISTINCT e.user_id FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+        WHERE c.c_custkey IS NULL
+      )
+    ),
+    docs AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE length(trim(text)) = 0) AS n_blank
+      FROM documents
+    )
+    SELECT 'events_id_unique' AS check_name,
+           CAST(n_ids AS DOUBLE) / n AS metric, 1.0 AS threshold,
+           n_ids = n AS passed
+    FROM ev
+    UNION ALL
+    SELECT 'events_value_null_ratio', CAST(n_null_value AS DOUBLE) / n, 0.5,
+           CAST(n_null_value AS DOUBLE) / n <= 0.5 FROM ev
+    UNION ALL
+    SELECT 'events_ts_in_range', CAST(n_bad_ts AS DOUBLE), 0.0,
+           n_bad_ts = 0 FROM ev
+    UNION ALL
+    SELECT 'events_user_refint_orphans', CAST(n_orphans AS DOUBLE), 0.0,
+           n_orphans = 0 FROM refint
+    UNION ALL
+    SELECT 'documents_blank_ratio', CAST(n_blank AS DOUBLE) / n, 0.1,
+           CAST(n_blank AS DOUBLE) / n <= 0.1 FROM docs
+    """,
+    tags=("dq", "relational"),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publish gate: id uniqueness, null-ratio bound, timestamp range,
+    user→customer referential integrity (orphan count), blank-document
+    ratio — one row per check with the measured metric and verdict."""
+    ev = table(spark, sf_dir, "events")
+    docs = table(spark, sf_dir, "documents")
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+
+    e = ev.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        (F.count("*") - F.count("value")).alias("n_null_value"),
+        F.count(F.when((F.col("ts") < F.lit("2000-01-01").cast("timestamp")) |
+                       (F.col("ts") > F.lit("2100-01-01").cast("timestamp")),
+                       1)).alias("n_bad_ts")).cache()
+    orphans = (ev.select("user_id").distinct()
+               .join(cust, ev.user_id == cust.c_custkey, "left_anti")
+               .agg(F.count("*").alias("n_orphans")))
+    d = docs.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.length(F.trim("text")) == 0, 1)).alias("n_blank"))
+
+    def row(src, name, metric, threshold, passed):
+        return src.select(F.lit(name).alias("check_name"),
+                          metric.alias("metric"),
+                          F.lit(threshold).alias("threshold"),
+                          passed.alias("passed"))
+
+    nv = F.col("n_null_value").cast("double") / F.col("n")
+    nb = F.col("n_blank").cast("double") / F.col("n")
+    return (
+        row(e, "events_id_unique",
+            F.col("n_ids").cast("double") / F.col("n"), 1.0,
+            F.col("n_ids") == F.col("n"))
+        .unionByName(row(e, "events_value_null_ratio", nv, 0.5, nv <= 0.5))
+        .unionByName(row(e, "events_ts_in_range",
+                         F.col("n_bad_ts").cast("double"), 0.0,
+                         F.col("n_bad_ts") == 0))
+        .unionByName(row(orphans, "events_user_refint_orphans",
+                         F.col("n_orphans").cast("double"), 0.0,
+                         F.col("n_orphans") == 0))
+        .unionByName(row(d, "documents_blank_ratio", nb, 0.1, nb <= 0.1)))

@@ -57,6 +57,7 @@ _MODULES = (
     "fts_errors_clustering_spark.operators.pipelines",
     "fts_errors_clustering_spark.operators.knn",
     "fts_errors_clustering_spark.operators.retrieval",
+    "fts_errors_clustering_spark.operators.dq",
     "fts_errors_clustering_spark.operators.relational",
     "fts_errors_clustering_spark.operators.asof",
     "fts_errors_clustering_spark.operators.textprep",
