@@ -47,12 +47,13 @@ from ..sources.readers import table
       FROM documents
     )
     SELECT 'events_id_unique' AS check_name,
-           CAST(n_ids AS DOUBLE) / n AS metric, 1.0 AS threshold,
+           CAST(n_ids AS DOUBLE) / GREATEST(n, 1) AS metric, 1.0 AS threshold,
            n_ids = n AS passed
     FROM ev
     UNION ALL
-    SELECT 'events_value_null_ratio', CAST(n_null_value AS DOUBLE) / n, 0.5,
-           CAST(n_null_value AS DOUBLE) / n <= 0.5 FROM ev
+    SELECT 'events_value_null_ratio',
+           CAST(n_null_value AS DOUBLE) / GREATEST(n, 1), 0.5,
+           CAST(n_null_value AS DOUBLE) / GREATEST(n, 1) <= 0.5 FROM ev
     UNION ALL
     SELECT 'events_ts_in_range', CAST(n_bad_ts AS DOUBLE), 0.0,
            n_bad_ts = 0 FROM ev
@@ -60,8 +61,9 @@ from ..sources.readers import table
     SELECT 'events_user_refint_orphans', CAST(n_orphans AS DOUBLE), 0.0,
            n_orphans = 0 FROM refint
     UNION ALL
-    SELECT 'documents_blank_ratio', CAST(n_blank AS DOUBLE) / n, 0.1,
-           CAST(n_blank AS DOUBLE) / n <= 0.1 FROM docs
+    SELECT 'documents_blank_ratio',
+           CAST(n_blank AS DOUBLE) / GREATEST(n, 1), 0.1,
+           CAST(n_blank AS DOUBLE) / GREATEST(n, 1) <= 0.1 FROM docs
     """,
     tags=("dq", "relational"),
 )
@@ -93,12 +95,14 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lit(threshold).alias("threshold"),
                           passed.alias("passed"))
 
-    nv = F.col("n_null_value").cast("double") / F.col("n")
-    nb = F.col("n_blank").cast("double") / F.col("n")
+    # GREATEST(n, 1) denominators keep the ratios defined on EMPTY tables
+    # (a publish gate must run on an empty partition, verdicts intact)
+    nv = F.col("n_null_value").cast("double") / F.greatest(F.col("n"), F.lit(1))
+    nb = F.col("n_blank").cast("double") / F.greatest(F.col("n"), F.lit(1))
     return (
         row(e, "events_id_unique",
-            F.col("n_ids").cast("double") / F.col("n"), 1.0,
-            F.col("n_ids") == F.col("n"))
+            F.col("n_ids").cast("double") / F.greatest(F.col("n"), F.lit(1)),
+            1.0, F.col("n_ids") == F.col("n"))
         .unionByName(row(e, "events_value_null_ratio", nv, 0.5, nv <= 0.5))
         .unionByName(row(e, "events_ts_in_range",
                          F.col("n_bad_ts").cast("double"), 0.0,
