@@ -80,6 +80,8 @@ HEADLINE = [
     "user_event_entropy",
     "hourly_session_concurrency",
     "data_quality_report",
+    "weighted_doc_sample",
+    "weekly_growth_by_type",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

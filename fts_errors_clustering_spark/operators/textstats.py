@@ -488,3 +488,46 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
           F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))))
     return s.select(F.col("n").cast("long").alias("n_docs"),
                     F.round(r, 6).alias("pearson_r"))
+
+
+@register(
+    "weighted_doc_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             POW(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) / 4294967296.0,
+                 1.0 / n_chars) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, ROUND(k, 12) AS key,
+           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(k, 12) DESC, doc_id)
+                AS BIGINT) AS rn
+    FROM keyed
+    QUALIFY rn <= 20
+    """,
+    tags=("textstats", "sampling"),
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis 2006, public method): each doc draws key
+    ``u^(1/w)`` (weight w = n_chars, u a hash-derived uniform) and the
+    top-k keys ARE a weighted sample — the reproducible way to subsample
+    a corpus proportionally to length/quality.
+
+    The uniform comes from md5(doc_id) (not a RNG), so the sample is a
+    pure function of the data — re-runs, retries, and the DuckDB oracle
+    all agree exactly; ranking keys on the 12dp-rounded key so pow()
+    libm noise cannot flip rank order. Scale: one scan, top-k via
+    TakeOrderedAndProject — no global sort, no driver-side sampling
+    state.
+    """
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("double") / F.lit(4294967296.0))
+    k = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 12)
+    keyed = docs.select("doc_id", "n_chars", k.alias("key"))
+    top = keyed.orderBy(F.desc("key"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("key"), F.asc("doc_id"))
+    return (top.withColumn("rn", F.row_number().over(w).cast("long"))
+            .select("doc_id", "n_chars", "key", "rn"))

@@ -755,3 +755,48 @@ def hourly_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("hour_start"))
     return (covered.groupBy("hour_start")
             .agg(F.count("*").alias("n_active_sessions")))
+
+
+@register(
+    "weekly_growth_by_type",
+    oracle="""
+    WITH wk AS (
+      SELECT event_type,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, n, prev_n, wow_growth FROM (
+      SELECT event_type, week, n,
+             CAST(lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                  AS BIGINT) AS prev_n,
+             ROUND(CAST(n AS DOUBLE) /
+                   lag(n) OVER (PARTITION BY event_type ORDER BY week) - 1.0, 6)
+               AS wow_growth
+      FROM wk
+    ) WHERE prev_n IS NOT NULL
+    """,
+    tags=("windows", "growth"),
+)
+def weekly_growth_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly counts with the lag
+    ratio — the reporting twin of the PSI drift monitor (how MUCH did
+    volume move, not just whether the distribution shifted). Null growth on
+    each type's first week, by definition.
+
+    Scale: the window runs over the weekly aggregate (|types| x |weeks|
+    rows); the growth ratio divides two exact integers. Each type's
+    first week has no predecessor and is dropped (standard growth-table
+    convention).
+    """
+    ev = table(spark, sf_dir, "events")
+    wk = (ev.groupBy("event_type",
+                     F.date_trunc("week", F.col("ts")).alias("week"))
+          .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return (wk.select(
+        "event_type", "week", "n",
+        prev.cast("long").alias("prev_n"),
+        F.round(F.col("n").cast("double") / prev - F.lit(1.0), 6)
+         .alias("wow_growth"))
+        .where(F.col("prev_n").isNotNull()))
