@@ -82,6 +82,9 @@ HEADLINE = [
     "data_quality_report",
     "weighted_doc_sample",
     "weekly_growth_by_type",
+    "user_profile_similarity_topk",
+    "activity_heatmap",
+    "benford_deviation",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -1044,3 +1044,133 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
                          .cast("string").cast("double") / F.lit(7.0), 4)
                  .alias("avg_yearly")))
+
+
+@register(
+    "user_profile_similarity_topk",
+    oracle="""
+    WITH prof AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    anchor AS (SELECT event_type, n FROM prof WHERE user_id = 0),
+    dots AS (
+      SELECT p.user_id,
+             CAST(SUM(p.n * a.n) AS BIGINT) AS dot
+      FROM prof p JOIN anchor a ON p.event_type = a.event_type
+      WHERE p.user_id <> 0
+      GROUP BY p.user_id
+    ),
+    norms AS (
+      SELECT user_id, SQRT(CAST(SUM(n * n) AS DOUBLE)) AS nrm
+      FROM prof GROUP BY user_id
+    ),
+    scored AS (
+      SELECT d.user_id,
+             ROUND(d.dot / ((SELECT nrm FROM norms WHERE user_id = 0)
+                            * n2.nrm), 6) AS cosine
+      FROM dots d JOIN norms n2 ON d.user_id = n2.user_id
+    )
+    SELECT user_id, cosine,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, user_id) AS BIGINT)
+             AS rn
+    FROM scored
+    QUALIFY rn <= 10
+    """,
+    tags=("relational", "similarity"),
+)
+def user_profile_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral look-alikes: top-10 users most similar to user 0 by
+    cosine over their event-type count profiles — the collaborative-
+    filtering neighbor query, computed long-form (profile rows, not dense
+    vectors).
+
+    Scale: profiles are one aggregate; the anchor profile (≤ |types| rows)
+    broadcasts into the dot-product join, so similarity against one
+    anchor never shuffles the full profile table by anything but its own
+    aggregate key. Dots and squared norms are exact integers; the cosine
+    divides deterministic doubles, ranked after 6dp rounding.
+    """
+    ev = table(spark, sf_dir, "events")
+    prof = (ev.groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n")).cache())
+    anchor = (prof.where(F.col("user_id") == 0)
+              .select("event_type", F.col("n").alias("an")))
+    norms = (prof.groupBy("user_id")
+             .agg(F.sqrt(F.sum(F.col("n") * F.col("n")).cast("double"))
+                  .alias("nrm")))
+    a_nrm = norms.where(F.col("user_id") == 0).select(
+        F.col("nrm").alias("anrm"))
+    dots = (prof.where(F.col("user_id") != 0)
+            .join(F.broadcast(anchor), "event_type")
+            .groupBy("user_id")
+            .agg(F.sum(F.col("n") * F.col("an")).cast("long").alias("dot")))
+    scored = (dots.join(norms, "user_id")
+              .crossJoin(F.broadcast(a_nrm))
+              .select("user_id",
+                      F.round(F.col("dot") / (F.col("anrm") * F.col("nrm")), 6)
+                       .alias("cosine")))
+    top = scored.orderBy(F.desc("cosine"), F.asc("user_id")).limit(10)
+    w = Window.orderBy(F.desc("cosine"), F.asc("user_id"))
+    return (top.withColumn("rn", F.row_number().over(w).cast("long"))
+            .select("user_id", "cosine", "rn"))
+
+
+@register(
+    "activity_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("relational", "calendar"),
+)
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heatmap: event counts by ISO day-of-week x hour-of-day
+    — the calendar-profile view behind load forecasting. One scan, a
+    ≤168-cell aggregate."""
+    ev = table(spark, sf_dir, "events")
+    return (ev.groupBy(
+        F.dayofweek(F.date_sub(F.col("ts"), 1)).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"))
+        .agg(F.count("*").alias("n")))
+
+
+@register(
+    "benford_deviation",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM events WHERE value >= 1
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS t FROM obs)
+    SELECT obs.d,
+           obs.n,
+           ROUND(CAST(obs.n AS DOUBLE) / (SELECT t FROM tot), 6) AS observed_p,
+           ROUND(LOG10(1.0 + 1.0 / obs.d), 6) AS benford_p
+    FROM obs
+    """,
+    tags=("relational", "stats"),
+)
+def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of ``value`` (>= 1) next to Benford's
+    law expectation ``log10(1 + 1/d)`` — the forensic sanity check for
+    fabricated or truncated measures (synthetic uniform values visibly
+    violate it, by design). Digit extraction goes through a DECIMAL(18,6)
+    string so both engines see the identical canonical text.
+
+    Scale: one scan into a <=9-row aggregate."""
+    ev = table(spark, sf_dir, "events").where(F.col("value") >= 1)
+    d = (F.substring(F.col("value").cast("decimal(18,6)").cast("string"), 1, 1)
+         .cast("long"))
+    obs = ev.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    return (obs.crossJoin(F.broadcast(tot))
+            .select("d", "n",
+                    F.round(F.col("n").cast("double") / F.col("t"), 6)
+                     .alias("observed_p"),
+                    F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")), 6)
+                     .alias("benford_p")))

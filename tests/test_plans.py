@@ -204,6 +204,8 @@ _BNLJ_OK: set[str] = {
     "hybrid_search_rrf",         # 1-row BM25 stats + 1-row query vector
     "quality_signal_correlation",  # scalar vocabulary size (bigram CTE)
     "decayed_user_scores",       # 1-row max-ts anchor
+    "user_profile_similarity_topk",  # 1-row anchor norm
+    "benford_deviation",         # 1-row digit total
 }
 
 #: CartesianProduct allowed only against a literal parameter table
