@@ -85,6 +85,7 @@ HEADLINE = [
     "user_profile_similarity_topk",
     "activity_heatmap",
     "benford_deviation",
+    "lang_token_divergence",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

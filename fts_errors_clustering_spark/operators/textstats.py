@@ -531,3 +531,104 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("key"), F.asc("doc_id"))
     return (top.withColumn("rn", F.row_number().over(w).cast("long"))
             .select("doc_id", "n_chars", "key", "rn"))
+
+
+@register(
+    "lang_token_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({sql_whitespace_tokens('lower(text)')}) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    cnt AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token),
+    tot AS (SELECT lang, SUM(n) AS nt FROM cnt GROUP BY lang),
+    pairs AS (
+      SELECT a.lang AS l1, b.lang AS l2
+      FROM tot a JOIN tot b ON a.lang < b.lang
+    ),
+    termsA AS (
+      SELECT p.l1, p.l2,
+             0.5 * (CAST(a.n AS DOUBLE) / ta.nt)
+                 * LN((CAST(a.n AS DOUBLE) / ta.nt) /
+                      (((CAST(a.n AS DOUBLE) / ta.nt) +
+                        (CAST(COALESCE(b.n, 0) AS DOUBLE) / tb.nt)) / 2.0)) AS h
+      FROM pairs p
+      JOIN cnt a ON a.lang = p.l1
+      JOIN tot ta ON ta.lang = p.l1
+      JOIN tot tb ON tb.lang = p.l2
+      LEFT JOIN cnt b ON b.lang = p.l2 AND b.token = a.token
+    ),
+    termsB AS (
+      SELECT p.l1, p.l2,
+             0.5 * (CAST(b.n AS DOUBLE) / tb.nt)
+                 * LN((CAST(b.n AS DOUBLE) / tb.nt) /
+                      (((CAST(COALESCE(a.n, 0) AS DOUBLE) / ta.nt) +
+                        (CAST(b.n AS DOUBLE) / tb.nt)) / 2.0)) AS h
+      FROM pairs p
+      JOIN cnt b ON b.lang = p.l2
+      JOIN tot ta ON ta.lang = p.l1
+      JOIN tot tb ON tb.lang = p.l2
+      LEFT JOIN cnt a ON a.lang = p.l1 AND a.token = b.token
+    ),
+    allterms AS (SELECT * FROM termsA UNION ALL SELECT * FROM termsB)
+    SELECT l1, l2,
+           ROUND(CAST(CAST(SUM(CAST(h AS DECIMAL(27,18))) AS VARCHAR)
+                      AS DOUBLE), 6) AS jsd
+    FROM allterms GROUP BY l1, l2
+    """,
+    tags=("textstats", "divergence"),
+)
+def lang_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition monitoring: Jensen-Shannon divergence between
+    every language pair's token distributions (nats; 0 = identical,
+    ln 2 = disjoint) — the drift/contrast statistic for mixture design
+    (distribution_drift_psi's cross-sectional sibling over text).
+
+    Absent tokens contribute only through the mixture m = (p+q)/2, so the
+    sum splits into two one-sided LEFT joins (tokens of each side) — no
+    full-outer-join per pair, and every join keys on (lang, token) with
+    the tiny lang totals broadcast. Terms are deterministic doubles summed
+    in DECIMAL; rounded at 6dp.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.where(F.length(F.trim("text")) > 0)
+            .select("lang",
+                    F.explode(whitespace_tokens(F.lower(F.col("text"))))
+                     .alias("token")))
+    cnt = toks.groupBy("lang", "token").agg(F.count("*").alias("n")).cache()
+    tot = cnt.groupBy("lang").agg(F.sum("n").alias("nt"))
+    pairs = (tot.select(F.col("lang").alias("l1"))
+             .join(tot.select(F.col("lang").alias("l2")),
+                   F.col("l1") < F.col("l2")))
+
+    ta = tot.select(F.col("lang").alias("l1"), F.col("nt").alias("nta"))
+    tb = tot.select(F.col("lang").alias("l2"), F.col("nt").alias("ntb"))
+    ca = cnt.select(F.col("lang").alias("al1"),
+                    F.col("token").alias("atoken"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("lang").alias("bl2"),
+                    F.col("token").alias("btoken"), F.col("n").alias("nb"))
+
+    base = (pairs.join(F.broadcast(ta), "l1").join(F.broadcast(tb), "l2"))
+
+    pa = F.col("na").cast("double") / F.col("nta")
+    qb = F.coalesce(F.col("nb"), F.lit(0)).cast("double") / F.col("ntb")
+    terms_a = (base.join(ca, F.col("l1") == F.col("al1"))
+               .join(cb, (F.col("l2") == F.col("bl2")) &
+                         (F.col("atoken") == F.col("btoken")), "left")
+               .select("l1", "l2",
+                       (F.lit(0.5) * pa *
+                        F.log(pa / ((pa + qb) / F.lit(2.0)))).alias("h")))
+
+    qb2 = F.col("nb").cast("double") / F.col("ntb")
+    pa2 = F.coalesce(F.col("na"), F.lit(0)).cast("double") / F.col("nta")
+    terms_b = (base.join(cb, F.col("l2") == F.col("bl2"))
+               .join(ca, (F.col("l1") == F.col("al1")) &
+                         (F.col("btoken") == F.col("atoken")), "left")
+               .select("l1", "l2",
+                       (F.lit(0.5) * qb2 *
+                        F.log(qb2 / ((pa2 + qb2) / F.lit(2.0)))).alias("h")))
+
+    return (terms_a.unionByName(terms_b)
+            .groupBy("l1", "l2")
+            .agg(F.round(F.sum(F.col("h").cast("decimal(27,18)"))
+                         .cast("string").cast("double"), 6).alias("jsd")))
