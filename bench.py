@@ -86,6 +86,8 @@ HEADLINE = [
     "activity_heatmap",
     "benford_deviation",
     "lang_token_divergence",
+    "fulfillment_lag_stats",
+    "boilerplate_prefix_groups",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

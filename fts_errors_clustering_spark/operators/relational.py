@@ -1174,3 +1174,46 @@ def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("observed_p"),
                     F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")), 6)
                      .alias("benford_p")))
+
+
+@register(
+    "fulfillment_lag_stats",
+    oracle=f"""
+    WITH lag AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(epoch_us(MAX(l.l_shipdate)) - epoch_us(o.o_orderdate)
+                  AS DOUBLE) / 86400e6 AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND({sql_dec_avg('days', 6)}, 4) AS mean_days,
+           MIN(days) AS min_days, MAX(days) AS max_days
+    FROM lag GROUP BY priority
+    """,
+    tags=("relational", "join", "lifecycle"),
+)
+def fulfillment_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-lifecycle duration: days from order date to the LAST lineitem
+    shipment, summarized per priority — the fulfillment-SLA view (does
+    priority actually predict speed?).
+
+    Scale: one join shuffled on the order key, per-order max as a
+    map-side-combined aggregate, then a |priorities|-row rollup; the day
+    arithmetic runs on exact epoch micros and the mean in DECIMAL.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    per_order = (l.join(o, l.l_orderkey == o.o_orderkey)
+                 .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+                 .agg(F.max("l_shipdate").alias("last_ship")))
+    days = ((F.unix_micros("last_ship") - F.unix_micros("o_orderdate"))
+            .cast("double") / F.lit(86400e6))
+    lagd = per_order.select(F.col("o_orderpriority").alias("priority"),
+                            days.alias("days"))
+    return (lagd.groupBy("priority")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.round(dec_avg("days", 6), 4).alias("mean_days"),
+                 F.min("days").alias("min_days"),
+                 F.max("days").alias("max_days")))

@@ -632,3 +632,39 @@ def lang_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l1", "l2")
             .agg(F.round(F.sum(F.col("h").cast("decimal(27,18)"))
                          .cast("string").cast("double"), 6).alias("jsd")))
+
+
+@register(
+    "boilerplate_prefix_groups",
+    oracle=f"""
+    WITH pref AS (
+      SELECT source,
+             array_to_string(list_slice({sql_whitespace_tokens('lower(text)')},
+                                        1, 5), ' ') AS prefix
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT source, prefix, COUNT(*) AS n_docs
+    FROM pref
+    GROUP BY source, prefix
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("textstats", "boilerplate"),
+)
+def boilerplate_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection: groups of >= 2 docs per source that
+    share their first-5-token prefix — the cheap screen for injected
+    headers and templated content that near-dup detectors (which need
+    substantial overlap) can miss.
+
+    Scale: prefix extraction is row-local column algebra; the aggregate
+    shuffles short prefix strings, and the HAVING floor keeps output at
+    template-group size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.lower(F.col("text")))
+    pref = (docs.where(F.length(F.trim("text")) > 0)
+            .select("source",
+                    F.concat_ws(" ", F.slice(toks, 1, 5)).alias("prefix")))
+    return (pref.groupBy("source", "prefix")
+            .agg(F.count("*").alias("n_docs"))
+            .where(F.col("n_docs") >= 2))
