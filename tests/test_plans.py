@@ -206,6 +206,7 @@ _BNLJ_OK: set[str] = {
     "decayed_user_scores",       # 1-row max-ts anchor
     "user_profile_similarity_topk",  # 1-row anchor norm
     "benford_deviation",         # 1-row digit total
+    "lang_token_divergence",     # |langs|-row l1<l2 pair self-join
 }
 
 #: CartesianProduct allowed only against a literal parameter table
