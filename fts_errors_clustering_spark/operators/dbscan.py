@@ -15,10 +15,14 @@ Spark-first decomposition (no single-node collect of the *graph*):
    swap in the LSH candidate generator (``operators/similarity.py``) —
    the downstream plan is unchanged.
 2. core points: neighborhood size (incl. self) >= min_pts — one groupBy.
-3. components: iterative min-label propagation over core-core edges,
-   with POINTER-HALVING each round (labels additionally jump to their
-   label's label), so convergence takes O(log diameter) rounds instead of
-   O(diameter) — the property that keeps chain-shaped clusters from
+3. components: two tiers, same labeling. (a) small-graph tier — when the
+   core-core edge list is driver-sized (SMALL_GRAPH_EDGES, the same budget
+   class as the broadcast kernel matrix), collect it once and run the min-
+   label rounds vectorized in numpy, skipping the per-round job-scheduling
+   floor entirely. (b) at-scale tier — iterative distributed min-label
+   propagation with POINTER-HALVING each round (labels additionally jump to
+   their label's label), so convergence takes O(log diameter) rounds instead
+   of O(diameter) — the property that keeps chain-shaped clusters from
    serializing the job at 100 TB. Labels only decrease; the label sum is
    the convergence certificate; each step localCheckpoints to truncate
    lineage.
@@ -33,6 +37,8 @@ whole operator value-checkable against a DuckDB recursive-CTE oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,6 +50,77 @@ from .pairwise import eps_pairs_broadcast
 DIM = 64
 EPS = 1.18          # fixture-calibrated: yields a core/border/noise mix
 MIN_PTS = 5         # the reference's min_samples (word2vec…:30082)
+
+#: small-graph tier cutoff: a core-core edge list at or under this many rows
+#: (2 x int64 -> ~160 MB at the cap) is collected and solved on the driver
+#: with vectorized numpy min-label propagation — the same budget class as the
+#: broadcast kernel matrix the eps-join already collects (pairwise.py header).
+#: Above the cap the distributed pointer-halving loop below runs unchanged;
+#: the tier only removes the per-round job-scheduling floor (~0.5-1 s x
+#: O(log diameter) rounds) where the graph is driver-sized anyway.
+SMALL_GRAPH_EDGES = 10_000_000
+
+
+def _components_numpy(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Min-member-id connected components of the (directed-symmetric) edge
+    list — the numpy twin of the distributed loop: per-round edge relaxation
+    (min neighbor label) + pointer doubling (label of my label), label sum as
+    the convergence certificate. Returns (node_ids, labels) over the nodes
+    that appear in the edge list."""
+    ids = np.unique(np.concatenate([a, b]))        # sorted member ids
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    lab = ids.copy()
+    prev = None
+    while True:
+        relax = lab[bi]                            # candidate label via edge
+        np.minimum.at(lab, ai, relax)
+        # pointer doubling: labels are member ids of the same component, so
+        # they key back into `ids`; jump to the label's own current label
+        lab = np.minimum(lab, lab[np.searchsorted(ids, lab)])
+        cur = int(lab.sum())
+        if cur == prev:
+            return ids, lab
+        prev = cur
+
+
+def _dbscan_numpy(all_ids: np.ndarray, a: np.ndarray, b: np.ndarray,
+                  min_pts: int) -> np.ndarray:
+    """Steps 2-5 over a driver-collected eps-pair list: core points, core
+    components, border adoption (min core-neighbor cluster), noise = -1.
+    Identical labeling to the distributed path. Returns the cluster label
+    aligned with ``all_ids``."""
+    all_ids = np.sort(all_ids)
+    labels = np.full(len(all_ids), -1, dtype=np.int64)
+    if len(a) == 0:
+        if min_pts <= 1:                           # every isolated point is
+            return all_ids.copy()                  # its own singleton core
+        return labels
+    deg_ids, deg = np.unique(a, return_counts=True)
+    if min_pts <= 1:
+        core_ids = all_ids
+    else:
+        core_ids = deg_ids[deg + 1 >= min_pts]
+    core_lab = core_ids.copy()                     # isolated core -> own id
+    a_core = np.isin(a, core_ids, assume_unique=False)
+    b_core = np.isin(b, core_ids, assume_unique=False)
+    cc = a_core & b_core
+    if cc.any():
+        nids, nlab = _components_numpy(a[cc], b[cc])
+        core_lab[np.searchsorted(core_ids, nids)] = nlab
+    pos = np.searchsorted(all_ids, core_ids)
+    labels[pos] = core_lab
+    # border: non-core a with a core neighbor b adopts min cluster over
+    # its core neighbors
+    bm = (~a_core) & b_core
+    if bm.any():
+        ba, bb = a[bm], b[bm]
+        bcl = core_lab[np.searchsorted(core_ids, bb)]
+        border_ids = np.unique(ba)
+        border_lab = np.full(len(border_ids), np.iinfo(np.int64).max)
+        np.minimum.at(border_lab, np.searchsorted(border_ids, ba), bcl)
+        labels[np.searchsorted(all_ids, border_ids)] = border_lab
+    return labels
 
 
 def eps_pairs_exact(emb: DataFrame, id_col: str, vec_col: str,
@@ -61,13 +138,29 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding", dim: int = DIM,
                   eps: float = EPS, min_pts: int = MIN_PTS,
                   pairs: DataFrame | None = None,
-                  max_iter: int = 50) -> DataFrame:
+                  max_iter: int = 50,
+                  small_graph_edges: int = SMALL_GRAPH_EDGES) -> DataFrame:
     """Full DBSCAN; returns (id_col, cluster) with cluster = min member id
     of the density-connected component, or -1 for noise."""
     ids = emb.select(F.col(id_col).alias("id"))
     if pairs is None:
         pairs = eps_pairs_broadcast(emb, id_col, vec_col, eps)
     pairs = pairs.cache()
+
+    if pairs.count() <= small_graph_edges:
+        # small-graph tier: the full eps-pair list fits the driver budget
+        # (SMALL_GRAPH_EDGES header note) — solve core/components/border/
+        # noise in one vectorized numpy pass and ship back only the final
+        # (id, cluster) rows, skipping ~8 tiny stages of scheduling floor.
+        ppdf = pairs.toPandas()
+        idpdf = ids.toPandas()
+        all_ids = np.sort(idpdf["id"].to_numpy(dtype=np.int64))
+        lab = _dbscan_numpy(all_ids,
+                            ppdf["a"].to_numpy(dtype=np.int64),
+                            ppdf["b"].to_numpy(dtype=np.int64), min_pts)
+        return spark.createDataFrame(
+            pd.DataFrame({id_col: all_ids, "cluster": lab}),
+            f"{id_col} long, cluster long")
 
     nbc = pairs.groupBy("a").agg((F.count("*") + 1).alias("cnt"))
     if min_pts > 1:
@@ -92,6 +185,26 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
     edges = (pairs.join(core_a, "a", "left_semi")
                   .join(core_b, "b", "left_semi")
                   .repartition("b").cache())
+
+    if edges.count() <= small_graph_edges:
+        # small-graph tier: the edge list fits the driver budget (see
+        # SMALL_GRAPH_EDGES) — solve components in one numpy pass instead of
+        # paying the scheduling floor per propagation round. Exactly the
+        # same labeling (min member id), so the oracle and tests don't care
+        # which tier ran.
+        epdf = edges.toPandas()
+        if len(epdf):
+            nids, nlab = _components_numpy(
+                epdf["a"].to_numpy(dtype=np.int64),
+                epdf["b"].to_numpy(dtype=np.int64))
+            lab_df = spark.createDataFrame(
+                list(zip(nids.tolist(), nlab.tolist())), "id long, nlbl long")
+            comp = (core.join(lab_df, "id", "left")
+                    .select("id", F.coalesce(F.col("nlbl"), F.col("id"))
+                             .alias("cluster")))
+        else:
+            comp = core.select("id", F.col("id").alias("cluster"))
+        return _finish_dbscan(ids, pairs, core, comp, id_col)
 
     # init labels at min(id, min core-neighbor id) — algebraically identical
     # to one min-propagation round over labels0(v)=v, so the loop starts a
@@ -139,6 +252,12 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
             "rounds (pointer-halving gives O(log diameter) — raise max_iter)")
 
     comp = labels.select("id", F.col("lbl").alias("cluster"))
+    return _finish_dbscan(ids, pairs, core, comp, id_col)
+
+
+def _finish_dbscan(ids: DataFrame, pairs: DataFrame, core: DataFrame,
+                   comp: DataFrame, id_col: str) -> DataFrame:
+    """Steps 4-5 (borders, noise) shared by both component tiers."""
     border = (pairs.join(core.select(F.col("id").alias("b")), "b", "left_semi")
               .join(core.select(F.col("id").alias("a")), "a", "left_anti")
               .join(comp.select(F.col("id").alias("b"), "cluster"), "b")

@@ -281,3 +281,99 @@ def skew_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy(F.col("c_mktsegment").alias("segment"))
             .agg(F.count("*").alias("n_events"),
                  dec_sum("value", 6).alias("sum_value")))
+
+
+#: Misra-Gries summary capacity per partition for the heavy-hitter pass.
+#: The union of per-partition summaries is a provably complete candidate
+#: set for every token with true count > (sum of per-partition decrement
+#: totals) <= n_tokens / MG_CAPACITY; the exactness certificate below
+#: checks the k-th recounted candidate clears that bound.
+MG_CAPACITY = 2048
+TOP_TOKENS = 20
+
+
+def _mg_partition_summaries(tokens: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries sketches over a one-column ``token``
+    DataFrame: emits (token, est, dec) rows where ``est`` undercounts the
+    partition-local true count by at most ``dec`` (the partition's
+    cumulative decrement). Bounded memory (``capacity`` counters) and a
+    bounded shuffle (capacity rows per partition) regardless of vocabulary
+    size — the property a plain groupBy(token) partial-aggregate loses when
+    the per-partition distinct-token count explodes at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        dec_total = 0
+        for pdf in batches:
+            for tok, c in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            excess = len(counters) - capacity
+            if excess > 0:
+                # batch decrement: drop the `excess` smallest counters by
+                # subtracting the excess-th smallest value from everyone
+                # (the vectorized form of MG's one-at-a-time decrements)
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                cut = int(np.partition(vals, excess - 1)[excess - 1])
+                dec_total += cut
+                counters = {t: c - cut for t, c in counters.items()
+                            if c > cut}
+        # one sentinel row (token='') carries this partition's decrement
+        # total; real-token rows carry dec=0, so SUM(dec) over the whole
+        # summary table is the global missed-count bound
+        yield pd.DataFrame({
+            "token": list(counters.keys()) + [""],
+            "est": list(counters.values()) + [0],
+            "dec": [0] * len(counters) + [dec_total]})
+
+    return tokens.mapInPandas(mg, "token string, est long, dec long")
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> length(t) > 0)) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT {TOP_TOKENS}
+    """,
+    tags=("scale", "heavy-hitters", "textstats"),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global top-{TOP_TOKENS} tokens via two-pass Misra-Gries:
+    per-partition bounded-memory sketches -> candidate union -> exact
+    recount restricted to candidates (broadcast semi-join) -> top-k.
+
+    Scale story: a plain ``groupBy(token).count()`` shuffles one partial
+    row per (partition, distinct token) — at web-corpus vocabulary sizes
+    that is the dominant shuffle. The MG pass caps the shuffle at
+    MG_CAPACITY rows per partition with a *certificate*: any token absent
+    from every sketch has true count <= sum(per-partition decrements), so
+    when the k-th recounted candidate exceeds that bound (checked below,
+    always true for Zipf-shaped corpora) the top-k is provably exact. On
+    certificate failure the operator falls back to the exact full
+    aggregation — correctness never depends on the sketch.
+    """
+    from ..functions.text import whitespace_tokens
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(whitespace_tokens("text")).alias("token"))
+    summaries = _mg_partition_summaries(toks, MG_CAPACITY).cache()
+    bound = summaries.agg(F.sum("dec")).first()[0] or 0
+    cands = summaries.select("token").where(F.col("token") != "").distinct()
+    recount = (toks.join(F.broadcast(cands), "token", "left_semi")
+               .groupBy("token").agg(F.count("*").alias("n"))
+               .orderBy(F.desc("n"), F.asc("token")).limit(TOP_TOKENS)
+               .cache())
+    rows_ok = recount.agg(F.min("n")).first()[0]
+    if rows_ok is None or rows_ok <= bound:
+        # certificate failed (flat distribution vs capacity): exact fallback
+        return (toks.groupBy("token").agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), F.asc("token")).limit(TOP_TOKENS))
+    return recount

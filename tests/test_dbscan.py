@@ -151,3 +151,22 @@ def test_lsh_dbscan_agrees_with_exact(spark):
     assert exact.keys() == lsh.keys()
     agree = sum(1 for k in exact if exact[k] == lsh[k])
     assert agree / len(exact) >= 0.95
+
+
+def test_small_and_distributed_tiers_agree(spark):
+    """The driver numpy tier (default at fixture scale) and the distributed
+    pointer-halving tier must produce the identical (id -> label) mapping —
+    forcing small_graph_edges=0 routes every stage through the at-scale
+    plan, keeping it regression-gated even though fixtures are driver-sized."""
+    emb = table(spark, SF_SMALL, "embeddings")
+    small = {r.vec_id: r.cluster for r in dbscan_labels(spark, emb).collect()}
+    dist = {r.vec_id: r.cluster
+            for r in dbscan_labels(spark, emb, small_graph_edges=0).collect()}
+    assert small == dist
+    # and at a min_pts edge case (every point core)
+    s1 = {r.vec_id: r.cluster
+          for r in dbscan_labels(spark, emb, min_pts=1).collect()}
+    d1 = {r.vec_id: r.cluster
+          for r in dbscan_labels(spark, emb, min_pts=1,
+                                 small_graph_edges=0).collect()}
+    assert s1 == d1
