@@ -165,15 +165,22 @@ def fit_kmeans_best(df: DataFrame, k: int = 10, n_init: int = 3,
     if pinned:
         df = df.persist()
     try:
-        best = None, float("inf")
-        for i in range(n_init):
+        # restarts are independent jobs — submit them concurrently so the
+        # per-Lloyd-iteration scheduling floor (the whole cost at small n,
+        # where each of ~50 iterations is a near-empty job) overlaps across
+        # restarts. Deterministic regardless of completion order: the kept
+        # model is min by (cost, restart index).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(i: int):
             km = KMeans(k=k, maxIter=max_iter, seed=base_seed + i,
                         featuresCol=features_col, predictionCol="prediction")
             model = km.fit(df)
-            cost = model.summary.trainingCost
-            if cost < best[1]:
-                best = model, cost
-        return best[0]
+            return model.summary.trainingCost, i, model
+
+        with ThreadPoolExecutor(max_workers=min(n_init, 4)) as ex:
+            fits = list(ex.map(one, range(n_init)))
+        return min(fits, key=lambda t: (t[0], t[1]))[2]
     finally:
         if pinned:
             df.unpersist()

@@ -60,6 +60,68 @@ MIN_PTS = 5         # the reference's min_samples (word2vec…:30082)
 #: O(log diameter) rounds) where the graph is driver-sized anyway.
 SMALL_GRAPH_EDGES = 10_000_000
 
+#: driver-kernel tier cutoff: at or under this many input rows the whole
+#: DBSCAN (distances included) runs as chunked driver-side GEMM, skipping the
+#: Arrow round-trip that materializes the eps-pair list as DataFrame rows —
+#: at a degenerate (dense-cluster) eps that list is ~n²/4 rows and its
+#: serialization dominates the run (measured 19.8 s of a 36 s DBSCAN on 5k
+#: docs / 6.3M pairs; the GEMM itself is <1 s). 20k rows × 64 f64 is ~10 MB
+#: of vectors and ≤ ~n·k edges held as int64 arrays — driver-budget class.
+#: Above the cap, or whenever a caller supplies its own candidate ``pairs``
+#: (LSH tier), the distributed plan below runs unchanged.
+DRIVER_KERNEL_ROWS = 20_000
+
+
+def _dbscan_driver_kernel(spark: SparkSession, emb: DataFrame, id_col: str,
+                          vec_col: str, eps: float, min_pts: int,
+                          edge_cap: int) -> DataFrame | None:
+    """Exact DBSCAN for driver-sized inputs: collect the (id, vector) matrix
+    once (shared ``pairwise._MATRIX_CACHE``), enumerate eps-pairs with the
+    same GEMM-prune + difference-form-recheck contract as
+    ``eps_pairs_broadcast`` (pairwise.py header), then label via
+    ``_dbscan_numpy``. Returns None when the edge list overflows ``edge_cap``
+    (caller falls through to the distributed plan)."""
+    from .pairwise import _CHUNK_BUDGET, _collect_matrix
+    ids, M = _collect_matrix(emb, id_col, vec_col)
+    n = len(ids)
+    if n == 0:
+        return spark.createDataFrame([], f"{id_col} long, cluster long")
+    eps2 = float(eps) * float(eps)
+    band = 1e-6 * max(eps2, 1.0)
+    guard = eps2 + band
+    n2 = np.einsum("ij,ij->i", M, M)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    total = 0
+    step = max(1, _CHUNK_BUDGET // n)
+    for s in range(0, n, step):
+        Mc = M[s:s + step]
+        g = n2[s:s + step][:, None] + n2[None, :] - 2.0 * (Mc @ M.T)
+        ai, bi = np.nonzero(g <= guard)
+        if ai.size:
+            # band re-check (pairwise.py eps_pairs_broadcast note): only
+            # guard-band pairs pay the difference-form gather
+            gv = g[ai, bi]
+            keep = gv <= eps2 - band
+            borderline = ~keep & (gv <= guard)
+            if borderline.any():
+                ab, bb = ai[borderline], bi[borderline]
+                d2 = np.einsum("ij,ij->i", Mc[ab] - M[bb], Mc[ab] - M[bb])
+                keep[borderline] = d2 <= eps2
+            keep &= s + ai != bi
+            out_a.append(ids[s + ai[keep]])
+            out_b.append(ids[bi[keep]])
+            total += int(keep.sum())
+            if total > edge_cap:
+                return None
+    all_ids = np.sort(ids)
+    a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+    lab = _dbscan_numpy(all_ids, a, b, min_pts)
+    return spark.createDataFrame(
+        pd.DataFrame({id_col: all_ids, "cluster": lab}),
+        f"{id_col} long, cluster long")
+
 
 def _components_numpy(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Min-member-id connected components of the (directed-symmetric) edge
@@ -139,10 +201,18 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
                   eps: float = EPS, min_pts: int = MIN_PTS,
                   pairs: DataFrame | None = None,
                   max_iter: int = 50,
-                  small_graph_edges: int = SMALL_GRAPH_EDGES) -> DataFrame:
+                  small_graph_edges: int = SMALL_GRAPH_EDGES,
+                  driver_kernel_rows: int = DRIVER_KERNEL_ROWS) -> DataFrame:
     """Full DBSCAN; returns (id_col, cluster) with cluster = min member id
     of the density-connected component, or -1 for noise."""
     ids = emb.select(F.col(id_col).alias("id"))
+    if pairs is None and emb.count() <= driver_kernel_rows:
+        # driver-kernel tier (DRIVER_KERNEL_ROWS header note): distances,
+        # components, borders all in chunked numpy — no eps-pair DataFrame.
+        out = _dbscan_driver_kernel(spark, emb, id_col, vec_col, eps,
+                                    min_pts, edge_cap=small_graph_edges)
+        if out is not None:
+            return out
     if pairs is None:
         pairs = eps_pairs_broadcast(emb, id_col, vec_col, eps)
     pairs = pairs.cache()

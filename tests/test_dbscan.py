@@ -153,20 +153,26 @@ def test_lsh_dbscan_agrees_with_exact(spark):
     assert agree / len(exact) >= 0.95
 
 
-def test_small_and_distributed_tiers_agree(spark):
-    """The driver numpy tier (default at fixture scale) and the distributed
-    pointer-halving tier must produce the identical (id -> label) mapping —
-    forcing small_graph_edges=0 routes every stage through the at-scale
-    plan, keeping it regression-gated even though fixtures are driver-sized."""
+def test_all_tiers_agree(spark):
+    """The driver-kernel tier (default at fixture scale), the Arrow-pairs +
+    numpy small-graph tier, and the fully distributed pointer-halving tier
+    must produce the identical (id -> label) mapping — forcing
+    driver_kernel_rows=0 / small_graph_edges=0 routes every stage through
+    the at-scale plans, keeping them regression-gated even though fixtures
+    are driver-sized."""
     emb = table(spark, SF_SMALL, "embeddings")
-    small = {r.vec_id: r.cluster for r in dbscan_labels(spark, emb).collect()}
+    kern = {r.vec_id: r.cluster for r in dbscan_labels(spark, emb).collect()}
+    arrow = {r.vec_id: r.cluster
+             for r in dbscan_labels(spark, emb,
+                                    driver_kernel_rows=0).collect()}
     dist = {r.vec_id: r.cluster
-            for r in dbscan_labels(spark, emb, small_graph_edges=0).collect()}
-    assert small == dist
+            for r in dbscan_labels(spark, emb, driver_kernel_rows=0,
+                                   small_graph_edges=0).collect()}
+    assert kern == arrow == dist
     # and at a min_pts edge case (every point core)
     s1 = {r.vec_id: r.cluster
           for r in dbscan_labels(spark, emb, min_pts=1).collect()}
     d1 = {r.vec_id: r.cluster
-          for r in dbscan_labels(spark, emb, min_pts=1,
+          for r in dbscan_labels(spark, emb, min_pts=1, driver_kernel_rows=0,
                                  small_graph_edges=0).collect()}
     assert s1 == d1
