@@ -88,6 +88,9 @@ HEADLINE = [
     "lang_token_divergence",
     "fulfillment_lag_stats",
     "boilerplate_prefix_groups",
+    "heavy_hitter_tokens",
+    "bpe_merge_table",
+    "bpe_tokens_per_lang",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

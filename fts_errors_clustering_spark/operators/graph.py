@@ -47,6 +47,8 @@ def _pagerank(edges: DataFrame, damping: float, n_iter: int) -> DataFrame:
           .repartition("u").cache())
     nodes = outs.select(F.col("u").alias("id")).cache()
     n = nodes.count()
+    if n == 0:  # empty graph -> empty rank table, same schema
+        return nodes.select("id", F.lit(0.0).alias("r"))
     ranks = nodes.select("id", F.lit(1.0 / n).alias("r"))
     base = (1.0 - damping) / n
     for _ in range(n_iter):

@@ -1217,3 +1217,192 @@ def fulfillment_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(dec_avg("days", 6), 4).alias("mean_days"),
                  F.min("days").alias("min_days"),
                  F.max("days").alias("max_days")))
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shapes (TPC-H Q20/Q21/Q22 adapted to the fixture
+# schema, which has no partsupp/receiptdate): the decorrelation patterns —
+# aggregate-then-semi-join, exists/not-exists chains, scalar-subquery
+# threshold — that Catalyst rewrites into joins. Each is the DataFrame
+# form of the rewrite, so the plan is the decorrelated one BY CONSTRUCTION
+# (no RewriteCorrelatedScalarSubquery risk at 100 TB).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(l_quantity) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey,
+             CAST(SUM(qty) AS BIGINT) AS total_qty,
+             COUNT(*) AS n_supp
+      FROM ps GROUP BY l_partkey
+    ),
+    dom AS (
+      SELECT ps.l_suppkey, COUNT(*) AS n_dominated
+      FROM ps JOIN tot USING (l_partkey)
+      WHERE tot.n_supp >= 2 AND ps.qty * 2 > tot.total_qty
+      GROUP BY ps.l_suppkey
+    )
+    SELECT s.s_name, n.n_name AS nation, dom.n_dominated
+    FROM dom JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY dom.n_dominated DESC, s.s_name ASC
+    LIMIT 20
+    """,
+    tags=("relational", "join", "subquery"),
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (aggregate-then-semi): suppliers shipping >50% of a
+    multi-supplier part's total quantity, counted per supplier. Two
+    stacked aggregations on the SAME grouping prefix (part, supp) ->
+    (part): the second agg reuses the first's shuffle partitioning, so
+    only one exchange touches lineitem-scale data; everything after is
+    (part x supp)-sized."""
+    li = table(spark, sf_dir, "lineitem")
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").cast("long").alias("qty")))
+    tot = (ps.groupBy("l_partkey")
+           .agg(F.sum("qty").alias("total_qty"), F.count("*").alias("n_supp")))
+    dom = (ps.join(tot, "l_partkey")
+           .where((F.col("n_supp") >= 2) &
+                  (F.col("qty") * 2 > F.col("total_qty")))
+           .groupBy("l_suppkey").agg(F.count("*").alias("n_dominated")))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (dom.join(F.broadcast(s), dom.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .select("s_name", F.col("n_name").alias("nation"), "n_dominated")
+            .orderBy(F.desc("n_dominated"), F.asc("s_name")).limit(20))
+
+
+@register(
+    "sole_late_suppliers",
+    oracle="""
+    WITH ol AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    stats AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_supp,
+             CAST(SUM(is_late) AS BIGINT) AS n_late
+      FROM ol GROUP BY l_orderkey
+    ),
+    waiting AS (
+      SELECT ol.l_suppkey
+      FROM ol JOIN stats USING (l_orderkey)
+      WHERE ol.is_late = 1 AND stats.n_supp >= 2 AND stats.n_late = 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM waiting w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 20
+    """,
+    tags=("relational", "join", "subquery"),
+)
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (EXISTS + NOT EXISTS chain, decorrelated): suppliers that
+    were the ONLY late shipper (>60 days after order date) in a
+    multi-supplier order. The exists/not-exists pair becomes one
+    per-order aggregate (supplier count, late count) joined back — one
+    pass over lineitem instead of two correlated probes."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    late = (F.unix_micros("l_shipdate") >
+            F.unix_micros(F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")))
+    ol = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(F.max(late.cast("int")).alias("is_late")))
+    stats = (ol.groupBy("l_orderkey")
+             .agg(F.count("*").alias("n_supp"),
+                  F.sum("is_late").alias("n_late")))
+    waiting = (ol.join(stats, "l_orderkey")
+               .where((F.col("is_late") == 1) & (F.col("n_supp") >= 2) &
+                      (F.col("n_late") == 1)))
+    s = table(spark, sf_dir, "supplier")
+    return (waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+            .groupBy("s_name").agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name")).limit(20))
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+    WITH cutoff AS (
+      SELECT (CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS VARCHAR)
+                   AS DOUBLE) / COUNT(c_acctbal)) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) AS VARCHAR)
+                AS DOUBLE) AS total_bal
+    FROM customer c CROSS JOIN cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("relational", "join", "subquery"),
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (scalar subquery + anti-join): never-ordered customers
+    with above-average positive balance, rolled up by segment. The scalar
+    average rides in as a broadcast 1-row cross join; the NOT EXISTS is an
+    anti-join against distinct order keys (customers_without_orders
+    discipline)."""
+    cust = table(spark, sf_dir, "customer")
+    cutoff = cust.where(F.col("c_acctbal") > 0).agg(
+        dec_avg("c_acctbal", 2).alias("avg_bal"))
+    okeys = (table(spark, sf_dir, "orders")
+             .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    return (cust.crossJoin(F.broadcast(cutoff))
+            .where(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(okeys, "c_custkey", "left_anti")
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("n_custs"),
+                 dec_sum("c_acctbal", 2).alias("total_bal")))
+
+
+@register(
+    "cube_priority_status_revenue",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+           COALESCE(o_orderstatus, '(all)') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS VARCHAR)
+                AS DOUBLE) AS revenue,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS grouping_level
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    tags=("relational", "olap"),
+)
+def cube_priority_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE (rollup_event_counts' sibling — all four grouping sets in
+    one Expand pass): order counts + exact decimal revenue at (priority,
+    status), (priority), (status) and () levels. Still ONE shuffle: Expand
+    multiplies rows before the partial aggregate, so at scale the map-side
+    combine sees 4x rows but the exchange still carries only group rows."""
+    o = table(spark, sf_dir, "orders")
+    return (o.cube("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 dec_sum("o_totalprice", 2).alias("revenue"),
+                 (F.grouping("o_orderpriority") * 2 +
+                  F.grouping("o_orderstatus")).cast("long")
+                 .alias("grouping_level"))
+            .select(F.coalesce("o_orderpriority", F.lit("(all)"))
+                    .alias("priority"),
+                    F.coalesce("o_orderstatus", F.lit("(all)"))
+                    .alias("status"),
+                    "n", "revenue", "grouping_level"))
