@@ -94,9 +94,14 @@ def _dbscan_driver_kernel(spark: SparkSession, emb: DataFrame, id_col: str,
     out_b: list[np.ndarray] = []
     total = 0
     step = max(1, _CHUNK_BUDGET // n)
+    buf = np.empty((min(step, n), n))  # reused (pairwise.py _reuse_note)
     for s in range(0, n, step):
         Mc = M[s:s + step]
-        g = n2[s:s + step][:, None] + n2[None, :] - 2.0 * (Mc @ M.T)
+        g = buf[:len(Mc)]
+        np.dot(Mc, M.T, out=g)
+        g *= -2.0
+        g += n2[s:s + step][:, None]
+        g += n2[None, :]
         ai, bi = np.nonzero(g <= guard)
         if ai.size:
             # band re-check (pairwise.py eps_pairs_broadcast note): only

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import euclidean, sql_euclidean
+from ..functions.vectors import euclidean_arrow, sql_euclidean
 from ..plans.registry import register
 from ..sources.readers import table
 from .pairwise import topk_candidate_pairs
@@ -72,7 +72,7 @@ def knn_mean_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (cand.join(F.broadcast(a), cand.a == a.vec_id)
              .join(F.broadcast(b), cand.b == b.other_id)
              .select("vec_id", "other_id",
-                     euclidean("ea", "eb", DIM).alias("dist")))
+                     euclidean_arrow("ea", "eb").alias("dist")))
     w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("other_id"))
     topk = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
     return (topk.groupBy("vec_id")

@@ -104,6 +104,7 @@ def eps_pairs_broadcast(emb: DataFrame, id_col: str, vec_col: str,
         if len(b_ids) == 0:
             return
         nb2 = np.einsum("ij,ij->i", B, B)
+        buf = None  # reused GEMM output (see _reuse_note below)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -112,9 +113,18 @@ def eps_pairs_broadcast(emb: DataFrame, id_col: str, vec_col: str,
             na2 = np.einsum("ij,ij->i", A, A)
             out_a, out_b = [], []
             step = max(1, _CHUNK_BUDGET // max(len(A), 1))
+            if buf is None or buf.shape[0] < len(A) or buf.shape[1] != step:
+                buf = np.empty((len(A), step))
             for s in range(0, len(B), step):
                 Bc, bc_ids = B[s:s + step], b_ids[s:s + step]
-                g = na2[:, None] + nb2[s:s + step][None, :] - 2.0 * (A @ Bc.T)
+                if len(bc_ids) == step:
+                    g = buf[:len(A)]      # row slice stays C-contiguous
+                    np.dot(A, Bc.T, out=g)
+                else:                     # tail chunk (once): plain alloc
+                    g = np.dot(A, Bc.T)
+                g *= -2.0
+                g += na2[:, None]
+                g += nb2[s:s + step][None, :]
                 ai, bi = np.nonzero(g <= guard)
                 if ai.size:
                     # band re-check: only pairs inside the guard band around
@@ -159,6 +169,13 @@ def topk_candidate_pairs(emb: DataFrame, id_col: str, vec_col: str,
         nb2 = np.einsum("ij,ij->i", B, B)
         col_of = {int(v): i for i, v in enumerate(b_ids)}
         step = max(1, _CHUNK_BUDGET // max(len(b_ids), 1))
+        # _reuse_note: buffers are allocated once per worker and reused
+        # across chunks — fresh large allocations first-touch page-fault at
+        # ~30 MB/s on some hosts (measured; SCALE.md round 2g), which made
+        # the buffer churn, not the BLAS, the kernel's cost. scratch holds
+        # the in-place partition copy (np.partition has no out=).
+        buf = np.empty((step, len(b_ids)))
+        scratch = np.empty_like(buf)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -167,13 +184,20 @@ def topk_candidate_pairs(emb: DataFrame, id_col: str, vec_col: str,
             for s in range(0, len(A_full), step):
                 A, a_ids = A_full[s:s + step], ids_full[s:s + step]
                 na2 = np.einsum("ij,ij->i", A, A)
-                g = na2[:, None] + nb2[None, :] - 2.0 * (A @ B.T)
+                g = buf[:len(A)]
+                np.dot(A, B.T, out=g)
+                g *= -2.0
+                g += na2[:, None]
+                g += nb2[None, :]
                 for i, aid in enumerate(a_ids):
                     j = col_of.get(int(aid))
                     if j is not None:
                         g[i, j] = np.inf
                 kk = min(k, g.shape[1] - 1)
-                kth = np.partition(g, kk - 1, axis=1)[:, kk - 1]
+                sc = scratch[:len(A)]
+                np.copyto(sc, g)
+                sc.partition(kk - 1, axis=1)
+                kth = sc[:, kk - 1]
                 thresh = kth * (1.0 + 1e-9) + 1e-9
                 ai, bi = np.nonzero(g <= thresh[:, None])
                 yield pd.DataFrame({"a": a_ids[ai], "b": b_ids[bi]})

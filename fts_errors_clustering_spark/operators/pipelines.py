@@ -78,7 +78,7 @@ def pipeline_word2vec_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numpy-kernel candidate pruning + exact re-rank — the knn.py plan, NOT
     # the O(n^2)-pairs-through-an-expression cross join (the anti-pattern
     # pairwise.py's header documents as ~134 s of a 135 s run)
-    from ..functions.vectors import euclidean
+    from ..functions.vectors import euclidean_arrow
     from .pairwise import topk_candidate_pairs
     n = emb.count()
     k = max(2, int(round(n ** 0.5)))
@@ -87,7 +87,7 @@ def pipeline_word2vec_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(F.col("doc_id").alias("j"), F.col("embedding").alias("vb"))
     pairs = (cand.join(F.broadcast(a), cand.a == a.i)
              .join(F.broadcast(b), cand.b == b.j)
-             .select("i", "j", euclidean("va", "vb", 32).alias("dist")))
+             .select("i", "j", euclidean_arrow("va", "vb").alias("dist")))
     w = Window.partitionBy("i").orderBy(F.asc("dist"), F.asc("j"))
     knn = (pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
            .groupBy("i").agg(F.avg("dist").alias("mean_dist")))

@@ -44,6 +44,15 @@ def get_spark(app_name: str = "fts-errors-clustering-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # one BLAS thread per Python worker: with `cpus` workers already
+        # running data-parallel, nested OpenBLAS pools (workers x cores
+        # threads) thrash the scheduler — the broadcast-kernel GEMMs in
+        # operators/pairwise.py get their parallelism from partitions, not
+        # from BLAS. Driver-side numpy (dbscan driver-kernel tier) is NOT
+        # affected: executorEnv applies to workers only.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -79,6 +79,9 @@ QUERIES = [
     "hourly_resampled_counts",     # events: 1-row bounds -> dense grid
     "daily_cumulative_events",     # events: window over daily aggregate
     "chi2_priority_status",        # orders: contingency cells + margins
+    "heavy_hitter_tokens",         # documents: MG sketches + certified recount
+    "bpe_merge_table",             # documents: vocab-table merge rounds
+    "bpe_tokens_per_lang",         # documents: encode-side token budget
 ]
 
 

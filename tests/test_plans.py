@@ -207,6 +207,7 @@ _BNLJ_OK: set[str] = {
     "user_profile_similarity_topk",  # 1-row anchor norm
     "benford_deviation",         # 1-row digit total
     "lang_token_divergence",     # |langs|-row l1<l2 pair self-join
+    "idle_rich_customers",       # 1-row scalar balance cutoff
 }
 
 #: CartesianProduct allowed only against a literal parameter table
