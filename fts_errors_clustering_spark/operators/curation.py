@@ -546,3 +546,50 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("actual_share"),
                     ((F.col("n").cast("double") / F.col("k")) / F.col("n_docs"))
                     .alias("sample_weight")))
+
+
+@register(
+    "contrastive_chunk_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_whitespace_tokens('text')} AS ts
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    ids AS (
+      SELECT doc_id, ts,
+             unnest(range(0, 1 + (GREATEST(len(ts) - {CHUNK_W}, 0)
+                                  + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}))
+               AS chunk_id
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(array_to_string(ts[chunk_id * {CHUNK_STRIDE} + 1 :
+                                    chunk_id * {CHUNK_STRIDE} + {CHUNK_W}],
+                                 ' ')) AS chunk_hash
+      FROM ids
+    )
+    SELECT a.doc_id, a.chunk_id AS pair_id,
+           a.chunk_hash AS anchor_hash, p.chunk_hash AS positive_hash
+    FROM chunks a JOIN chunks p
+      ON p.doc_id = a.doc_id AND p.chunk_id = a.chunk_id + 1
+    """,
+    tags=("curation", "chunking", "contrastive"),
+)
+def contrastive_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised pair construction: each (chunk_i, chunk_{i+1})
+    adjacency within a document becomes an (anchor, positive) training
+    pair — the next-chunk/contrastive-pretraining data op. Built from the
+    doc_chunks table by a LEAD window per document (no self-join: the
+    chunk table is already partition-local per doc_id, so one window pass
+    emits every adjacent pair — at 100 TB the self-join form would
+    re-shuffle the chunk table twice for the same answer)."""
+    from pyspark.sql import Window
+    chunks = doc_chunks(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    nxt = F.lead("chunk_hash").over(w)
+    return (chunks
+            .select("doc_id", F.col("chunk_id").alias("pair_id"),
+                    F.col("chunk_hash").alias("anchor_hash"),
+                    nxt.alias("positive_hash"))
+            .where(F.col("positive_hash").isNotNull()))

@@ -377,3 +377,55 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (toks.groupBy("token").agg(F.count("*").alias("n"))
                 .orderBy(F.desc("n"), F.asc("token")).limit(TOP_TOKENS))
     return recount
+
+
+@register(
+    "dataset_fingerprint",
+    oracle="""
+    SELECT 'documents' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(('0x' || substring(md5(concat_ws('|',
+             CAST(doc_id AS VARCHAR), COALESCE(lang, ''),
+             COALESCE(source, ''), COALESCE(text, ''))), 1, 15)) AS BIGINT))
+             AS fingerprint
+    FROM documents
+    UNION ALL
+    SELECT 'events', CAST(COUNT(*) AS BIGINT),
+           bit_xor(CAST(('0x' || substring(md5(concat_ws('|',
+             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+             COALESCE(event_type, ''), COALESCE(props, ''))), 1, 15))
+             AS BIGINT))
+    FROM events
+    """,
+    tags=("scale", "integrity"),
+)
+def dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive dataset content fingerprint — the integrity /
+    versioning primitive a 100 TB corpus store diffs snapshots with. Each
+    row hashes to a 60-bit value (15 hex chars of md5, identical
+    `conv`/`'0x'`-cast parsing both engines) and the table fingerprint is
+    their XOR: commutative + associative, so it map-side combines to one
+    value per partition and the exchange carries ONE row per table —
+    no sort, no shuffle of content, append/remove of a row flips the
+    fingerprint deterministically. Restricted to integer/string columns
+    (float and timestamp FORMATTING is engine-specific; content equality
+    on those is the dq/describe family's job)."""
+    docs = table(spark, sf_dir, "documents")
+    ev = table(spark, sf_dir, "events")
+
+    def fp(df: DataFrame, name: str, cols) -> DataFrame:
+        h = F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15),
+                   16, 10).cast("long")
+        return (df.select(h.alias("h"))
+                .agg(F.count("*").alias("n_rows"),
+                     F.expr("bit_xor(h)").alias("fingerprint"))
+                .select(F.lit(name).alias("tbl"), "n_rows", "fingerprint"))
+
+    d = fp(docs, "documents", [
+        F.col("doc_id").cast("string"),
+        F.coalesce("lang", F.lit("")), F.coalesce("source", F.lit("")),
+        F.coalesce("text", F.lit(""))])
+    e = fp(ev, "events", [
+        F.col("event_id").cast("string"), F.col("user_id").cast("string"),
+        F.coalesce("event_type", F.lit("")),
+        F.coalesce("props", F.lit(""))])
+    return d.unionByName(e)

@@ -58,6 +58,7 @@ _MODULES = (
     "fts_errors_clustering_spark.operators.knn",
     "fts_errors_clustering_spark.operators.graph",
     "fts_errors_clustering_spark.operators.bpe",
+    "fts_errors_clustering_spark.plans.sqlapi",
     "fts_errors_clustering_spark.operators.retrieval",
     "fts_errors_clustering_spark.operators.dq",
     "fts_errors_clustering_spark.operators.relational",
