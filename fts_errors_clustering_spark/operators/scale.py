@@ -364,18 +364,25 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(whitespace_tokens("text")).alias("token"))
-    summaries = _mg_partition_summaries(toks, MG_CAPACITY).cache()
+    return heavy_hitters(toks, MG_CAPACITY, TOP_TOKENS)
+
+
+def heavy_hitters(toks: DataFrame, capacity: int, top_n: int) -> DataFrame:
+    """The two-pass MG core over a one-column ``token`` frame (separated so
+    the certificate-failure fallback is directly testable at tiny
+    capacity — tests/test_selection.py)."""
+    summaries = _mg_partition_summaries(toks, capacity).cache()
     bound = summaries.agg(F.sum("dec")).first()[0] or 0
     cands = summaries.select("token").where(F.col("token") != "").distinct()
     recount = (toks.join(F.broadcast(cands), "token", "left_semi")
                .groupBy("token").agg(F.count("*").alias("n"))
-               .orderBy(F.desc("n"), F.asc("token")).limit(TOP_TOKENS)
+               .orderBy(F.desc("n"), F.asc("token")).limit(top_n)
                .cache())
     rows_ok = recount.agg(F.min("n")).first()[0]
     if rows_ok is None or rows_ok <= bound:
         # certificate failed (flat distribution vs capacity): exact fallback
         return (toks.groupBy("token").agg(F.count("*").alias("n"))
-                .orderBy(F.desc("n"), F.asc("token")).limit(TOP_TOKENS))
+                .orderBy(F.desc("n"), F.asc("token")).limit(top_n))
     return recount
 
 

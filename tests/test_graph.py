@@ -1,0 +1,44 @@
+"""PageRank invariants: probability-mass conservation, positivity,
+determinism — the properties the unrolled-CTE oracle can't see by itself
+(it pins values; these pin the algebra on arbitrary inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fts_errors_clustering_spark.operators.graph import _pagerank
+
+from .conftest import SF_SMALL  # noqa: F401  (fixture parity w/ suite style)
+
+
+def _ring_edges(spark, n=50):
+    rows = []
+    for i in range(n):
+        rows.append((i, (i + 1) % n, 1.0))
+        rows.append(((i + 1) % n, i, 1.0))
+    return spark.createDataFrame(rows, "u long, v long, w double")
+
+
+def test_pagerank_mass_and_positivity(spark):
+    edges = _ring_edges(spark)
+    r = _pagerank(edges, damping=0.85, n_iter=5).collect()
+    total = sum(x.r for x in r)
+    assert abs(total - 1.0) < 1e-9          # symmetric graph: no mass leak
+    assert all(x.r > 0 for x in r)
+    # ring symmetry: every node identical rank
+    vals = {round(x.r, 12) for x in r}
+    assert len(vals) == 1
+
+
+def test_pagerank_deterministic_and_star_shape(spark):
+    # star: hub 0 <-> leaves 1..20; hub must outrank every leaf
+    rows = []
+    for i in range(1, 21):
+        rows.append((0, i, 1.0))
+        rows.append((i, 0, 1.0))
+    edges = spark.createDataFrame(rows, "u long, v long, w double")
+    r1 = {x.id: x.r for x in _pagerank(edges, 0.85, 5).collect()}
+    r2 = {x.id: x.r for x in _pagerank(edges, 0.85, 5).collect()}
+    assert r1 == r2
+    hub = r1[0]
+    assert all(hub > r1[i] for i in range(1, 21))

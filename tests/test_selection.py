@@ -100,3 +100,36 @@ def test_semantic_dedup_invariants(spark):
     agg = _DEFS["semantic_dedup_ivf"].fn(spark, SF_SMALL).collect()
     assert sum(r.n_dropped for r in agg) == len(dropped_ids)
     assert sum(r.n_vectors for r in agg) == cells.count()
+
+
+def test_heavy_hitters_fallback_is_exact(spark):
+    """Force certificate failure (capacity 2 over a near-flat corpus with a
+    planted head): the fallback must return the exact top-k — correctness
+    never depends on the sketch surviving."""
+    from pyspark.sql import functions as F
+
+    from fts_errors_clustering_spark.operators.scale import heavy_hitters
+
+    rows = ([("hot",)] * 50 + [(f"t{i % 40}",) for i in range(400)])
+    toks = spark.createDataFrame(rows, "token string").repartition(8)
+    got = [(r.token, r.n) for r in heavy_hitters(toks, 2, 5).collect()]
+    exact = [(r.token, r.n) for r in
+             (toks.groupBy("token").agg(F.count("*").alias("n"))
+              .orderBy(F.desc("n"), F.asc("token")).limit(5)).collect()]
+    assert got == exact and got[0] == ("hot", 50)
+
+
+def test_heavy_hitters_certificate_path_matches_exact(spark):
+    """Zipf-ish corpus at ample capacity: the certified sketch path (no
+    fallback) must equal the exact aggregation too."""
+    from pyspark.sql import functions as F
+
+    from fts_errors_clustering_spark.operators.scale import heavy_hitters
+
+    rows = [(f"w{i % (i % 97 + 1)}",) for i in range(20000)]
+    toks = spark.createDataFrame(rows, "token string").repartition(8)
+    got = [(r.token, r.n) for r in heavy_hitters(toks, 512, 10).collect()]
+    exact = [(r.token, r.n) for r in
+             (toks.groupBy("token").agg(F.count("*").alias("n"))
+              .orderBy(F.desc("n"), F.asc("token")).limit(10)).collect()]
+    assert got == exact
