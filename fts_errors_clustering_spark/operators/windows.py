@@ -800,3 +800,15 @@ def weekly_growth_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / prev - F.lit(1.0), 6)
          .alias("wow_growth"))
         .where(F.col("prev_n").isNotNull()))
+
+
+@register("streaming_upsert_compaction", oracle=None,
+          tags=("windows", "streaming", "cdc"))
+def streaming_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch CDC upsert sink: micro-batches MERGE latest-per-user
+    rows into a parquet state table (read-modify-write compaction — the
+    idempotent upsert pattern without a transactional table format).
+    Rows-only in the driver; equality with the batch latest_event_per_user
+    plan is asserted in tests/test_streaming.py."""
+    from ..streaming.jobs import run_upsert_stream
+    return run_upsert_stream(spark, sf_dir)

@@ -137,7 +137,7 @@ _TAIL_AFTER_HEAD = (
     # of the oracle-checked selection family; streaming_neardup_gate stays
     # in the head as the newest stateful operator.
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
-    "streaming_interval_join",
+    "streaming_interval_join", "streaming_upsert_compaction",
     "ann_ivf_topk", "lsh_neighbor_counts", "stratified_doc_sample",
     "multimodal_features", "semantic_dedup_ivf", "dbscan_labels_lsh",
     "minhash_signatures", "simhash_signatures",

@@ -11,6 +11,7 @@ the same plan writes to parquet/kafka with a real trigger.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 
@@ -421,3 +422,68 @@ def run_debounce_stream(spark: SparkSession, sf_dir: str,
         q.stop()
     rows = spark.table(name)
     return spark.createDataFrame(rows.collect(), schema=rows.schema)
+
+
+# --- foreachBatch upsert sink: latest-wins CDC compaction -------------------
+
+def run_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert sink via ``foreachBatch``: each micro-batch's
+    latest-per-user rows MERGE into a parquet state table
+    (read-modify-write full-snapshot compaction — the idempotent upsert
+    pattern when the table format lacks transactional MERGE; with
+    Delta/Iceberg the body becomes one MERGE INTO and the stream code is
+    unchanged). Batch-internal dedup first (latest (ts, event_id) per
+    user), then anti-join style reconciliation: state rows lose to newer
+    batch rows on (ts, event_id) total order.
+
+    Scale shape: state is user-cardinality (not event-cardinality); each
+    batch shuffles only batch keys + state keys, and the rewrite is
+    partitioned by user-hash bucket at a real deployment (only buckets
+    containing updated users rewrite). Returns the final compacted state —
+    asserted equal to the batch `latest_event_per_user` plan in
+    tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    staged = _stage_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    # 4-file split so the stream sees multiple micro-batches
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged))
+    state_dir = os.path.join(_STAGE_ROOT,
+                             "upsert_state_" + uuid.uuid4().hex[:12])
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                                  F.desc("event_id"))
+        latest = (batch.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1)
+                  .select("user_id", "event_id", "ts", "event_type", "value"))
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            state = sp.read.parquet(state_dir)
+            merged = (state.unionByName(latest)
+                      .withColumn("rn", F.row_number().over(w))
+                      .where(F.col("rn") == 1).drop("rn"))
+        else:
+            merged = latest
+        # rewrite via a staging dir: the read above streams from state_dir,
+        # so writing in place would clobber inputs mid-scan
+        tmp = state_dir + "_next"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.replace(tmp, state_dir)
+
+    q = (stream.writeStream.foreachBatch(merge_batch)
+         .option("checkpointLocation",
+                 state_dir + "_ckpt")
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(state_dir)
+    out = spark.createDataFrame(rows.collect(), schema=rows.schema)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(state_dir + "_ckpt", ignore_errors=True)
+    return out

@@ -221,3 +221,19 @@ def test_streaming_debounce_cross_batch_invariants(spark):
     for r in rows:
         kept_by_key[(r.user_id, r.event_type)].append(r.kept)
     assert all(any(v) for v in kept_by_key.values())
+
+
+def test_upsert_stream_equals_batch_compaction(spark):
+    """The foreachBatch MERGE state after draining all micro-batches must
+    equal the one-shot batch latest-wins compaction exactly."""
+    from fts_errors_clustering_spark.plans.registry import all_queries
+    from fts_errors_clustering_spark.streaming.jobs import run_upsert_stream
+
+    from .conftest import SF_SMALL
+
+    got = {(r.user_id, r.event_id, r.ts, r.event_type, r.value)
+           for r in run_upsert_stream(spark, SF_SMALL).collect()}
+    want = {(r.user_id, r.event_id, r.ts, r.event_type, r.value)
+            for r in all_queries()["latest_event_per_user"]
+            .fn(spark, SF_SMALL).collect()}
+    assert got == want and len(got) > 0
