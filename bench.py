@@ -184,29 +184,45 @@ def main() -> None:
     # 30-50% run-to-run noise from GC pauses and JIT recompilation; the min
     # is the steady-state plan cost, which is what tracks regressions.
     timings: dict[str, float] = {}
-    for name in HEADLINE + ML_FIT:
-        if name not in defs:
-            continue
-        # ML fits run once (training dominates, already codegen-warm);
-        # headline plans take best-of-2
-        runs = 2 if name in HEADLINE else 1
-        best, n = float("inf"), 0
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = defs[name].fn(spark, sf_dir)
-            n = df.count()  # materialize the whole plan
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    for group in (HEADLINE, ML_FIT):
+        if group is ML_FIT:
+            # external load returning mid-run hits the long-running ML
+            # fits hardest (a single contaminated window doubles a 15 s
+            # fit and runs=1 can't recover it) — re-park before the tier
+            _wait_for_idle(max_wait_s=60.0)
+        for name in group:
+            if name not in defs:
+                continue
+            # ML fits run once (training dominates, already codegen-warm);
+            # headline plans take best-of-2
+            runs = 2 if name in HEADLINE else 1
+            best, n = float("inf"), 0
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = defs[name].fn(spark, sf_dir)
+                n = df.count()  # materialize the whole plan
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)",
+                  file=sys.stderr)
 
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
     ml_total = round(sum(timings[n] for n in ML_FIT if n in timings), 4)
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "ml_fit_total": ml_total,
+        # ambient-load telemetry: this container sees EXTERNAL load spikes
+        # (load1 7-10 with zero user processes observed); identical runs
+        # vary up to 2x when one lands in a spike. Compare rounds with
+        # this context.
+        "load1_end": load1,
         "sf": sf,
     }))
 
