@@ -176,3 +176,26 @@ def test_all_tiers_agree(spark):
           for r in dbscan_labels(spark, emb, min_pts=1, driver_kernel_rows=0,
                                  small_graph_edges=0).collect()}
     assert s1 == d1
+
+
+def test_distributed_tier_chain_graph(spark):
+    """Worst-case diameter: a 200-point 1-D chain (each point eps-reaches
+    only its neighbors) forced through the fully distributed tier. The
+    pointer-halving loop must label the whole chain one cluster within the
+    O(log n) round budget — the property that keeps chain-shaped clusters
+    from serializing at scale (fixture blobs never exercise it)."""
+    import pandas as pd
+
+    n = 200
+    pdf = pd.DataFrame({
+        "vec_id": range(n),
+        "embedding": [[float(i)] + [0.0] * 63 for i in range(n)],
+    })
+    emb = spark.createDataFrame(pdf)
+    labels = {r.vec_id: r.cluster
+              for r in dbscan_labels(spark, emb, dim=64, eps=1.5, min_pts=2,
+                                     driver_kernel_rows=0,
+                                     small_graph_edges=0,
+                                     max_iter=12).collect()}
+    assert set(labels.values()) == {0}          # one chain-wide cluster
+    assert len(labels) == n
