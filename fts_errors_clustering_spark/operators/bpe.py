@@ -122,9 +122,13 @@ def _bpe_oracle_ctes(n_merges: int) -> str:
     m{i} AS (SELECT l, r, cnt FROM p{i}
              ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
     w{i} AS (
-      SELECT word, replace(seq, ' ' || m.l || ' ' || m.r || ' ',
-                           ' ' || m.l || m.r || ' ') AS seq, freq
-      FROM w{i - 1} CROSS JOIN m{i} m
+      -- LEFT JOIN ON TRUE + COALESCE keeps the CTE total when fewer than
+      -- n merges exist (empty m{{i}}): a CROSS JOIN would zero the word
+      -- table while the engine's loop correctly stops and keeps it
+      SELECT word,
+             COALESCE(replace(seq, ' ' || m.l || ' ' || m.r || ' ',
+                              ' ' || m.l || m.r || ' '), seq) AS seq, freq
+      FROM w{i - 1} LEFT JOIN m{i} m ON TRUE
     )""")
     return ",".join(parts)
 

@@ -83,3 +83,20 @@ def test_vocab_tokens_cover_merged_symbols(spark):
         r.word for r in _word_freqs(spark, SF_SMALL).collect()))
     # every vocab symbol is built from corpus characters
     assert all(set(t) <= docs_chars for t in toks)
+
+
+def test_trainer_stops_early_on_degenerate_corpus(spark):
+    """All-single-char corpus: zero merges possible. The trainer must stop
+    (empty merge table) and keep the word table intact — and the unrolled
+    oracle must agree (its merge CTEs go empty without zeroing w_i; the
+    LEFT-JOIN-ON-TRUE totality fix)."""
+    import pandas as pd
+
+    from fts_errors_clustering_spark.operators.bpe import train_bpe
+
+    words = spark.createDataFrame(
+        pd.DataFrame({"word": list("abcd"), "freq": [2, 2, 1, 1]}))
+    w, merges = train_bpe(words, n_merges=6)
+    assert merges == []
+    seqs = sorted(r.seq for r in w.collect())
+    assert seqs == [" a ", " b ", " c ", " d "]
