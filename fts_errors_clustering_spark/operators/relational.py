@@ -1406,3 +1406,40 @@ def cube_priority_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("o_orderstatus", F.lit("(all)"))
                     .alias("status"),
                     "n", "revenue", "grouping_level"))
+
+
+@register(
+    "forward_fill_values",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, value,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS filled
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE value IS NULL AND filled IS NOT NULL)
+                AS BIGINT) AS n_filled,
+           {sql_dec_sum('filled', 6)} AS sum_filled
+    FROM f GROUP BY user_id
+    """,
+    tags=("relational", "window", "timeseries"),
+)
+def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling (forward-fill): each NULL value takes the user's most
+    recent non-NULL observation in (ts, event_id) order — the sensor/
+    telemetry imputation primitive. One window pass partitioned by user
+    (`last IGNORE NULLS` over an unbounded-preceding frame; running state,
+    no self-join, no explode); the same user-partitioned exchange the
+    sessionization family rides, so at scale they share it."""
+    ev = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    f = ev.select("user_id", "value",
+                  F.last("value", ignorenulls=True).over(w).alias("filled"))
+    return (f.groupBy("user_id")
+            .agg(F.count(F.when(F.col("value").isNull() &
+                                F.col("filled").isNotNull(), 1))
+                 .alias("n_filled"),
+                 dec_sum("filled", 6).alias("sum_filled")))
