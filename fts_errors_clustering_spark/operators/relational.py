@@ -1443,3 +1443,41 @@ def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("filled").isNotNull(), 1))
                  .alias("n_filled"),
                  dec_sum("filled", 6).alias("sum_filled")))
+
+
+@register(
+    "modal_bucket_by_type",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0), 9) AS BIGINT)
+               AS bucket,
+             COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           arg_max(bucket, n * 16 + (9 - bucket)) AS modal_bucket,
+           CAST(MAX(n) AS BIGINT) AS modal_n
+    FROM b GROUP BY event_type
+    """,
+    tags=("relational", "agg"),
+)
+def modal_bucket_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (A3 at group granularity): the modal value bucket per
+    event type, ties broken by lowest bucket. Two stacked aggregations on
+    the same grouping prefix — the (type, bucket) shuffle is reused by the
+    per-type argmax, and the second agg is |types|x|buckets|-sized. The
+    argmax key is the single BIGINT ``n*16 + (9 - bucket)`` — distinct for
+    every (n, bucket) pair since buckets span [0, 9] < 16 — so ``max_by``/
+    ``arg_max`` tie-breaking (max n, then min bucket) is total-order
+    deterministic in both engines without composite-key support."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bucket = (F.least(F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)),
+                      F.lit(9))).cast("long")
+    b = (ev.groupBy("event_type", bucket.alias("bucket"))
+         .agg(F.count("*").alias("n")))
+    return (b.groupBy("event_type")
+            .agg(F.max_by("bucket", F.col("n") * 16 + (9 - F.col("bucket")))
+                 .alias("modal_bucket"),
+                 F.max("n").alias("modal_n")))
