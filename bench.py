@@ -212,7 +212,7 @@ def main() -> None:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
         load1 = None
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -224,7 +224,14 @@ def main() -> None:
         # this context.
         "load1_end": load1,
         "sf": sf,
-    }))
+    })
+    # durable copy: the stdout line is ~80 queries long and overflowed the
+    # round-2 driver's tail capture (BENCH_r02.json parsed: null, losing the
+    # headline total) — the file always parses regardless of capture limits
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

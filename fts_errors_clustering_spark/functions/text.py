@@ -85,6 +85,34 @@ def sql_fuzz_ratio(a: str, b: str) -> str:
             f"CAST(greatest(length({a}), length({b}), 1) AS DOUBLE))")
 
 
+def fuzz_ratio_exact(a: Column | str, b: Column | str) -> Column:
+    """EXACT ``fuzz.ratio`` of the reference's fuzzywuzzy==0.17.0
+    (``word2vec_dbscan_approach.ipynb:30210``, ``requirements.txt:9``):
+    with no python-Levenshtein pinned, 0.17.0 falls back to stdlib
+    ``difflib.SequenceMatcher`` (default autojunk) and returns
+    ``int(round(100 * m.ratio()))``. Reimplemented against the same stdlib
+    class — an Arrow-batched pandas UDF, so the Python cost is per-row
+    SequenceMatcher only, with no per-row serialization overhead. Opt-in
+    slow path for reference-parity output; the JVM-side levenshtein form
+    (:func:`fuzz_ratio`) stays the oracle-checked default."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _seq_ratio(sa: "pd.Series", sb: "pd.Series") -> "pd.Series":
+        from difflib import SequenceMatcher
+        return pd.Series(
+            [int(round(100 * SequenceMatcher(None, x or "", y or "").ratio()))
+             for x, y in zip(sa, sb)], dtype="int64")
+
+    # resolve the stringified hints by hand: `from __future__ import
+    # annotations` + a function-local pandas import means pyspark's
+    # get_type_hints can't see pd.*
+    _seq_ratio.__annotations__ = {
+        "sa": pd.Series, "sb": pd.Series, "return": pd.Series}
+    _ratio = pandas_udf(_seq_ratio, "long")
+    return _ratio(_c(a), _c(b))
+
+
 # ---------------------------------------------------------------------------
 # Shared cross-engine deterministic hashing.
 #

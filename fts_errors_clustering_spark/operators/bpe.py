@@ -10,12 +10,18 @@ is vocabulary-sized (~10⁶-10⁸ rows at web scale — one groupBy away from
 100 TB of text, and every later pass touches only that table).
 
 Spark-first design:
-- each word's symbol sequence is ONE space-delimited string column
-  (symbols are whitespace-split so they can never contain a space);
-  applying merge (l, r) is a single JVM-side ``replace(seq, ' l r ',
-  ' lr ')`` — Spark and DuckDB both scan left-to-right non-overlapping,
-  which IS greedy BPE merge application (verified: ' a a a ' -> ' aa a '
-  in both engines). No Python UDF anywhere in the loop.
+- each word's symbol sequence is ONE string column where EVERY symbol
+  carries its OWN pair of space delimiters (``' l '+' r ' = ' l  r '`` —
+  symbols are whitespace-split so they can never contain a space);
+  applying merge (l, r) is a single JVM-side ``replace(seq, ' l  r ',
+  ' lr ')``. Because adjacent symbols never SHARE a delimiter, one
+  left-to-right non-overlapping replace (the scan both Spark and DuckDB
+  implement) is EXACTLY canonical greedy BPE application — the i+=2 loop
+  of Sennrich et al.: ``' a  a  a  a '`` -> ``' aa  aa '`` and banana's
+  ``' b  a  n  a  n  a '`` -> ``' b  an  an  a '``. (The earlier
+  single-space encoding ``' l r '`` consumed the delimiter shared with
+  the next occurrence and under-merged consecutive pairs.) No Python UDF
+  anywhere in the loop.
 - per-iteration pair counts: split + adjacent-zip + explode + one
   map-side-combined groupBy over the vocab table; the argmax merge is a
   1-row collect (the merge table is a driver-sized artifact by
@@ -68,7 +74,7 @@ def train_bpe(words: DataFrame, n_merges: int = N_MERGES):
     w = words.select(
         "word",
         F.concat(F.lit(" "),
-                 F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), " "),
+                 F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), "  "),
                  F.lit(" ")).alias("seq"),
         "freq").localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
@@ -85,7 +91,7 @@ def train_bpe(words: DataFrame, n_merges: int = N_MERGES):
         l, r, cnt = top[0].l, top[0].r, top[0].cnt
         merges.append((i + 1, l, r, int(cnt)))
         w = (w.withColumn("seq", F.replace(
-                 "seq", F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")))
+                 "seq", F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")))
              .localCheckpoint())
     return w, merges
 
@@ -103,7 +109,7 @@ def _bpe_oracle_ctes(n_merges: int) -> str:
     ),
     w0 AS (
       SELECT word,
-             ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+             ' ' || array_to_string(regexp_extract_all(word, '.'), '  ')
              || ' ' AS seq, freq
       FROM base
     )"""]
@@ -126,7 +132,7 @@ def _bpe_oracle_ctes(n_merges: int) -> str:
       -- n merges exist (empty m{{i}}): a CROSS JOIN would zero the word
       -- table while the engine's loop correctly stops and keeps it
       SELECT word,
-             COALESCE(replace(seq, ' ' || m.l || ' ' || m.r || ' ',
+             COALESCE(replace(seq, ' ' || m.l || '  ' || m.r || ' ',
                               ' ' || m.l || m.r || ' '), seq) AS seq, freq
       FROM w{i - 1} LEFT JOIN m{i} m ON TRUE
     )""")

@@ -460,7 +460,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    AND 1 PRECEDING), 0) AS off
       FROM toks
     )
-    SELECT off // {PACK_TARGET} AS bin_id,
+    SELECT CAST(off // {PACK_TARGET} AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n) AS BIGINT) AS n_tokens
     FROM offs GROUP BY 1
@@ -471,16 +471,29 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-cut sequence packing: documents concatenated in doc_id
     order, cut into {PACK_TARGET}-token contexts; each doc is assigned to
     the bin where it STARTS (exclusive running token offset div target) —
-    the packing accounting of LLM pretraining loaders. One window cumsum +
-    one aggregate; at 100 TB the ORDER BY becomes a range partition over
-    doc_id, which parquet's sorted layout gives without a sort."""
+    the packing accounting of LLM pretraining loaders.
+
+    The global running token offset is a two-phase bucket prefix-sum
+    (``scale.quantile_buckets`` + ``scale.bucket_prefix_offsets``): an
+    unpartitioned ``Window.orderBy(doc_id)`` cumsum would plan as ONE
+    SinglePartition exchange of the whole corpus (Spark never range-
+    partitions an unpartitioned window), where the bucketed form shuffles
+    on the bucket id only and scans all buckets in parallel. The oracle
+    keeps the plain single-level window definition; ``bin_id`` is cast to
+    BIGINT there because a DuckDB windowed SUM is HUGEINT and HUGEINT //
+    int stays HUGEINT — the exact int128-vs-int64 canonicalization skew
+    behind round 1's top_users_share hash mismatch."""
+    from .scale import bucket_prefix_offsets, quantile_buckets
     docs = table(spark, sf_dir, "documents")
     toks = (docs.where(F.length(F.trim("text")) > 0)
             .select("doc_id", F.size(whitespace_tokens("text")).alias("n")))
-    w = (Window.orderBy("doc_id")
+    bucketed = quantile_buckets(toks, "doc_id")
+    off0 = bucket_prefix_offsets(bucketed, F.sum("n"))
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
-    offs = toks.withColumn("off", F.coalesce(F.sum("n").over(w), F.lit(0)))
-    return (offs.groupBy((F.col("off") / PACK_TARGET).cast("long")
+    offs = bucketed.withColumn(
+        "off", off0 + F.coalesce(F.sum("n").over(w), F.lit(0)))
+    return (offs.groupBy(F.floor(F.col("off") / PACK_TARGET).cast("long")
                          .alias("bin_id"))
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n").cast("long").alias("n_tokens")))

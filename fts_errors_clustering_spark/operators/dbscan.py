@@ -81,8 +81,11 @@ def _dbscan_driver_kernel(spark: SparkSession, emb: DataFrame, id_col: str,
     ``eps_pairs_broadcast`` (pairwise.py header), then label via
     ``_dbscan_numpy``. Returns None when the edge list overflows ``edge_cap``
     (caller falls through to the distributed plan)."""
-    from .pairwise import _CHUNK_BUDGET, _collect_matrix
-    ids, M = _collect_matrix(emb, id_col, vec_col)
+    from .pairwise import _CHUNK_BUDGET, _broadcast_matrix
+    # .value on a driver-created broadcast is the local object (no fetch);
+    # sharing the broadcast handle keeps ONE cache entry serving both this
+    # driver kernel and the distributed eps-pair kernel
+    ids, M = _broadcast_matrix(emb, id_col, vec_col).value
     n = len(ids)
     if n == 0:
         return spark.createDataFrame([], f"{id_col} long, cluster long")

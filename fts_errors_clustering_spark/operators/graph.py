@@ -38,9 +38,25 @@ ROUND_AT = 10  # ~6 significant digits at rank ~1e-4; double-sum cross-
 
 
 def _pagerank(edges: DataFrame, damping: float, n_iter: int) -> DataFrame:
-    """Weighted PageRank over a directed edge list (u, v, w). Every node is
-    assumed to appear as a source (true for symmetric graphs — no dangling
-    mass). Returns (id, r)."""
+    """Weighted PageRank over a directed edge list (u, v, w). Returns
+    (id, r).
+
+    PRECONDITION (asserted): every edge target also appears as a source —
+    i.e. no dangling nodes, automatically true for symmetric graphs like
+    the co-purchase graph below. The engine keeps inbound-less nodes at
+    base rank (left join + coalesce, total algebra) while the unrolled
+    oracle CTE pattern (inner join on ep.v) DROPS them — the two agree
+    only under this precondition, so reusing this helper on an asymmetric
+    graph without mirroring the oracle would silently mismatch. Dangling
+    TARGETS additionally leak rank mass (no redistribution step), which
+    the assert also rules out."""
+    dangling = (edges.select(F.col("v").alias("u"))
+                .exceptAll(edges.select("u")).limit(1).count())
+    if dangling:
+        raise ValueError(
+            "_pagerank requires every edge target to appear as a source "
+            "(no dangling nodes); add reverse edges or a dangling-mass "
+            "redistribution step before reusing it on asymmetric graphs")
     outs = edges.groupBy("u").agg(F.sum("w").alias("s"))
     ep = (edges.join(outs, "u")
           .select("u", "v", (F.col("w") / F.col("s")).alias("p"))

@@ -18,9 +18,16 @@ matrix, column-sorts the distance matrix and takes per-row means, then runs
 - M17 = the Kneedle difference-curve on the sorted means, restated as pure
   window algebra: normalize x and y to [0,1], knee = argmax(x_hat - y_hat)
   (the convex-increasing case of Kneedle; the reference's sensitivity sweep
-  and max-of-elbows selection documented as a delta). The curve has n rows
-  (one per point) — driver-scale data, so a global window here is fine even
-  at 100 TB corpus scale (n = number of points, aggregated).
+  and max-of-elbows selection documented as a delta). The curve has one row
+  PER EMBEDDING POINT, so its global position index is built with the
+  two-phase bucket prefix-sum (``operators/scale.quantile_buckets`` +
+  ``bucket_prefix_offsets``) and its global scalars (n, ymin, ymax) with a
+  1-row aggregate broadcast back — no unpartitioned window anywhere: an
+  ``orderBy``-only window is always a SinglePartition exchange, a
+  single-task sort at n = 10^9 points. The sweep's lag/lead neighbours are
+  idx+-1 self-joins (hash shuffle) and its running max is a per-bucket scan
+  + driver prefix-max over <= n_buckets values — the full distributed
+  prefix-scan decomposition.
 """
 
 from __future__ import annotations
@@ -95,6 +102,29 @@ def knn_mean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.round("mean_dist", 6).alias("mean_knn_dist")))
 
 
+def _indexed_curve(knn: DataFrame) -> DataFrame:
+    """The sorted kNN-mean curve with a global 0-based position ``idx`` and
+    the curve scalars (n, ymin, ymax) attached — built WITHOUT a
+    single-partition window: quantile-bucketed rank (scale.py two-phase
+    pattern) for idx, a broadcast 1-row aggregate for the scalars. Keeps
+    the ``bucket`` column so downstream prefix scans can reuse it."""
+    from .scale import bucket_prefix_offsets, quantile_buckets
+    # cache BEFORE the quantile pass: approxQuantile is an action, and the
+    # upstream kNN kernel must not run once for the split points and again
+    # for the offsets/window
+    knn = knn.select("vec_id", "mean_dist").cache()
+    bucketed = quantile_buckets(knn, "mean_dist")
+    off = bucket_prefix_offsets(bucketed, F.count("*"))
+    wb = Window.partitionBy("bucket").orderBy("mean_dist", "vec_id")
+    scalars = bucketed.agg(F.count("*").alias("n"),
+                           F.min("mean_dist").alias("ymin"),
+                           F.max("mean_dist").alias("ymax"))
+    return (bucketed
+            .withColumn("idx", (off + F.row_number().over(wb) - 1)
+                        .cast("long"))
+            .crossJoin(F.broadcast(scalars)))
+
+
 @register(
     "knn_knee_epsilon",
     oracle=f"""
@@ -127,12 +157,7 @@ def knn_knee_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
     we keep the op deterministic and test eps-monotonicity instead.
     ``knn_knee_sweep`` below is the full sensitivity sweep."""
     knn = knn_mean_distances(spark, sf_dir)
-    wall = Window.orderBy(F.asc("mean_dist"), F.asc("vec_id"))
-    curve = (knn.select("vec_id", "mean_dist")
-             .withColumn("idx", F.row_number().over(wall) - 1)
-             .withColumn("n", F.count("*").over(Window.partitionBy()))
-             .withColumn("ymin", F.min("mean_dist").over(Window.partitionBy()))
-             .withColumn("ymax", F.max("mean_dist").over(Window.partitionBy())))
+    curve = _indexed_curve(knn)
     diffs = curve.select(
         "idx", "mean_dist",
         ((F.col("idx").cast("double") / (F.col("n") - 1)) -
@@ -229,29 +254,56 @@ def knn_knee_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule (``word2vec_dbscan_approach.ipynb:191-221``). One row per S.
     """
     knn = knn_mean_distances(spark, sf_dir)
-    wall = Window.orderBy(F.asc("mean_dist"), F.asc("vec_id"))
-    ww = Window.partitionBy()
-    curve = (knn.select("vec_id", "mean_dist")
-             .withColumn("idx", F.row_number().over(wall) - 1)
-             .withColumn("n", F.count("*").over(ww))
-             .withColumn("ymin", F.min("mean_dist").over(ww))
-             .withColumn("ymax", F.max("mean_dist").over(ww)))
+    curve = _indexed_curve(knn)
     diffs = curve.select(
-        "idx", "n", "mean_dist",
+        "bucket", "idx", "n", "mean_dist",
         ((F.col("idx").cast("double") / (F.col("n") - 1)) -
          ((F.col("mean_dist") - F.col("ymin")) /
-          (F.col("ymax") - F.col("ymin")))).alias("d"))
+          (F.col("ymax") - F.col("ymin")))).alias("d")).cache()
 
-    wi = Window.orderBy("idx")
+    # lag/lead over the global idx order WITHOUT a single-partition window:
+    # idx is dense, so the neighbours are idx+-1 equi-self-joins (hash
+    # shuffle on idx, fully parallel)
     neg = F.lit(-1e18)
-    marked = diffs.withColumn(
-        "is_lmx",
-        ((F.col("d") > F.coalesce(F.lag("d").over(wi), neg)) &
-         (F.col("d") >= F.coalesce(F.lead("d").over(wi), neg))).cast("int"))
+    prev = diffs.select((F.col("idx") + 1).alias("idx"),
+                        F.col("d").alias("d_prev"))
+    nxt = diffs.select((F.col("idx") - 1).alias("idx"),
+                       F.col("d").alias("d_next"))
+    marked = (diffs.join(prev, "idx", "left").join(nxt, "idx", "left")
+              .withColumn(
+                  "is_lmx",
+                  ((F.col("d") > F.coalesce(F.col("d_prev"), neg)) &
+                   (F.col("d") >= F.coalesce(F.col("d_next"), neg)))
+                  .cast("int"))
+              .drop("d_prev", "d_next")
+              .cache())
+
+    # running max of the last local-max idx, decomposed as a distributed
+    # prefix scan: per-bucket maxima (<= n_buckets rows to the driver)
+    # exclusive-prefix-maxed into per-bucket carry-ins, then a WITHIN-bucket
+    # running max coalesced with the carry-in — exact global scan, shuffle
+    # on the bucket id only
+    per_bucket = sorted(
+        (r["bucket"], r["m"]) for r in
+        marked.groupBy("bucket")
+              .agg(F.max(F.when(F.col("is_lmx") == 1, F.col("idx")))
+                   .alias("m")).collect())
+    carry, run = {}, None
+    for b, m in per_bucket:
+        if run is not None:
+            carry[b] = run
+        if m is not None:
+            run = m if run is None else max(run, m)
+    carry_expr = (F.element_at(
+        F.create_map(*[F.lit(x) for kv in carry.items() for x in kv]),
+        F.col("bucket")) if carry else F.lit(None).cast("long"))
+    wrun = (Window.partitionBy("bucket").orderBy("idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     grouped = marked.withColumn(
         "grp",
-        F.max(F.when(F.col("is_lmx") == 1, F.col("idx")))
-         .over(wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        F.coalesce(
+            F.max(F.when(F.col("is_lmx") == 1, F.col("idx"))).over(wrun),
+            carry_expr))
     lmx = (grouped.where(F.col("grp").isNotNull())
            .groupBy("grp")
            .agg(F.max(F.when(F.col("idx") == F.col("grp"), F.col("d")))

@@ -46,32 +46,53 @@ __all__ = ["eps_pairs_broadcast", "topk_candidate_pairs"]
 _CHUNK_BUDGET = 8 * 1024 * 1024
 
 
-#: collected-kernel cache keyed by (session, logical-plan semantic hash):
+#: collected-kernel cache keyed by (session id, logical-plan semantic hash):
 #: a repeated-analysis session (bench, notebook) re-runs kernels over the
-#: SAME side table many times; the driver-side toPandas() collect is the
-#: per-invocation constant. Bounded: entries are broadcast-class by the
-#: module contract (~10^6 x 64 f64 max), and keyed by plan semantics so a
-#: different filter/projection/scale collects fresh.
-_MATRIX_CACHE: dict[tuple[int, int], tuple] = {}
+#: SAME side table many times; the driver-side toPandas() collect AND the
+#: executor-side broadcast are the per-invocation constants, so the cache
+#: holds the sc.broadcast handle itself. LRU-bounded: each entry is
+#: broadcast-hash-join-class (~10^6 x 64 f64 max by the module contract),
+#: so a handful of LIVE broadcasts is the same memory class Spark's own
+#: join build-side cache occupies; evicted entries are unpersist()ed so a
+#: long-lived session cannot accumulate executor-side broadcast blocks
+#: (the round-2 leak: one never-released broadcast per kernel call).
+_CACHE_MAX = 4
+_MATRIX_CACHE: dict[tuple[str, int], object] = {}
 
 
-def _collect_matrix(emb: DataFrame, id_col: str, vec_col: str):
+def _broadcast_matrix(emb: DataFrame, id_col: str, vec_col: str):
+    """Collect-once + broadcast-once (ids, matrix) for the kernel side
+    table, LRU-cached per (session, plan semantics). Returns the live
+    Broadcast handle."""
+    spark = emb.sparkSession
     proj = emb.select(id_col, vec_col)
     try:
-        key = (id(emb.sparkSession), proj.semanticHash())
+        # applicationId (not id()) — object ids are reused after GC and
+        # would alias cache keys across sessions
+        key = (spark.sparkContext.applicationId, proj.semanticHash())
     except Exception:  # noqa: BLE001 — hash unavailable -> no caching
         key = None
     if key is not None and key in _MATRIX_CACHE:
-        return _MATRIX_CACHE[key]
+        hit = _MATRIX_CACHE.pop(key)
+        _MATRIX_CACHE[key] = hit  # refresh recency (dict order = LRU order)
+        return hit
     pdf = proj.toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     if len(pdf) == 0:
-        out = (ids, np.zeros((0, 1), dtype=np.float64))
+        mat = np.zeros((0, 1), dtype=np.float64)
     else:
-        out = (ids, np.array(pdf[vec_col].to_list(), dtype=np.float64))
-    if key is not None:
-        _MATRIX_CACHE[key] = out
-    return out
+        mat = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    if key is None:
+        return bc
+    _MATRIX_CACHE[key] = bc
+    while len(_MATRIX_CACHE) > _CACHE_MAX:
+        old = _MATRIX_CACHE.pop(next(iter(_MATRIX_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    return bc
 
 
 def _spread(emb: DataFrame) -> DataFrame:
@@ -93,8 +114,7 @@ def eps_pairs_broadcast(emb: DataFrame, id_col: str, vec_col: str,
     """Directed exact eps-neighbor pairs (a, b), a != b,
     ||va - vb||^2 <= eps^2. Same output as the cross-join form, at
     dense-BLAS speed."""
-    spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast(_collect_matrix(emb, id_col, vec_col))
+    bc = _broadcast_matrix(emb, id_col, vec_col)
     eps2 = float(eps) * float(eps)
     band = 1e-6 * max(eps2, 1.0)
     guard = eps2 + band
@@ -158,8 +178,7 @@ def topk_candidate_pairs(emb: DataFrame, id_col: str, vec_col: str,
     neighbors (self excluded), pruned from n-1 to ~k by numpy distance with
     a slack band covering GEMM error and exact-vs-numpy summation-order
     skew. Callers re-rank with the oracle-exact distance expression."""
-    spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast(_collect_matrix(emb, id_col, vec_col))
+    bc = _broadcast_matrix(emb, id_col, vec_col)
     k = int(k)
 
     def gen(batches):

@@ -45,7 +45,7 @@ N_SALT = 16
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS n_users,
-           list_sort(list(DISTINCT user_id)) AS users
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users
     FROM events
     GROUP BY event_type
     """,
@@ -53,7 +53,7 @@ N_SALT = 16
 )
 def salted_group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 group-members listing, skew-proofed: distinct users per
-    event_type as a sorted array, via two-level salted aggregation.
+    event_type as a sorted member string, via two-level salted aggregation.
 
     ``events`` groups by a 5-value key — the classic low-cardinality skew
     case where a plain ``collect_set`` leaves all but 5 reducer tasks idle
@@ -61,17 +61,23 @@ def salted_group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, user_id % N_SALT) — every lane holds a DISJOINT slice of
     each key's users, so per-lane ``collect_set`` results concatenate to
     the exact global distinct set. Level 2 merges N_SALT small arrays per
-    key. The oracle is the plain single-level definition."""
+    key. The oracle is the plain single-level definition.
+
+    The member list is emitted as a comma-joined STRING (the ``doc_chunks``
+    convention): a raw array column crashes value-hash canonicalizers that
+    sort rows with pandas (unhashable list), and a scalar digest/string is
+    what a 100 TB consumer wants in a verification row anyway."""
     ev = table(spark, sf_dir, "events")
     lane = (ev.groupBy("event_type",
                        F.pmod(F.col("user_id"), F.lit(N_SALT)).alias("salt"))
             .agg(F.collect_set("user_id").alias("lane_users")))
     return (lane.groupBy("event_type")
             .agg(F.array_sort(F.flatten(F.collect_list("lane_users")))
-                 .alias("users"))
+                 .alias("arr"))
             .select("event_type",
-                    F.size("users").cast("long").alias("n_users"),
-                    "users"))
+                    F.size("arr").cast("long").alias("n_users"),
+                    F.array_join(F.col("arr").cast("array<string>"), ",")
+                     .alias("users")))
 
 
 @register(
@@ -183,6 +189,43 @@ def hll_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(exact, "event_type")
 
 
+def quantile_buckets(df: DataFrame, col: str, n_buckets: int = 32) -> DataFrame:
+    """Add an order-preserving ``bucket`` column over numeric ``col``:
+    approx-quantile split points are collected ONCE to the driver as plain
+    literals, so bucket assignment is an explicit, job-stable function of
+    the row (unlike ``repartitionByRange``, whose sampled boundaries are
+    re-drawn per job). Ties at split points stay within one bucket because
+    bucketing is strictly-greater-than on the value. This is phase 1 of
+    every two-phase global-order composition below — the replacement for
+    the ``Window.orderBy(...)``-without-``partitionBy`` single-partition
+    scale-killer."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(col, qs, 0.001)))
+    bucket = sum((F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+                  for b in bounds), F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def bucket_prefix_offsets(bucketed: DataFrame, agg) -> "F.Column":
+    """Phase 2: per-bucket totals of ``agg`` (one tiny aggregate, ≤ n_buckets
+    rows to the driver) exclusive-prefix-summed into a literal-map offset
+    expression: ``offset(bucket) = sum of totals of all earlier buckets``.
+    Phase 3 at the call site adds a WITHIN-bucket window (shuffle on the
+    bucket id only, all buckets in parallel) — offset + within-bucket scan
+    = the exact global scan."""
+    rows = bucketed.groupBy("bucket").agg(agg.alias("v")).collect()
+    totals = {r["bucket"]: r["v"] for r in rows}
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    if not offsets:
+        offsets = {0: 0}
+    return F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("bucket"))
+
+
 @register(
     "global_value_rank",
     oracle="""
@@ -196,42 +239,17 @@ def global_value_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact GLOBAL row rank over the whole table WITHOUT the
     single-partition window (``ROW_NUMBER() OVER (ORDER BY ...)`` with no
     PARTITION BY collapses all rows into one task — the canonical global-
-    sort scale-killer).
-
-    Two-phase range composition instead:
-    1. quantile split points over the sort key (collected once to the
-       driver as plain literals, so bucket assignment is an explicit,
-       job-stable function of the row — unlike ``repartitionByRange``,
-       whose sampled boundaries are re-drawn per job);
-    2. per-bucket row counts (one tiny aggregate) prefix-summed on the
-       driver into rank offsets;
-    3. within-bucket ``row_number`` (shuffle on the bucket id only) plus
-       the bucket's offset = the exact global rank.
-
-    Ties at split points stay within one bucket because bucketing is
-    strictly-greater-than on the value; the (value, event_id) tiebreak
-    makes the total order — and therefore the result — deterministic.
-    Cost: two scans + one bucket-keyed shuffle, all parallel; the driver
-    only ever sees ≤ n_buckets numbers.
-    """
-    n_buckets = 32
+    sort scale-killer). Composition: ``quantile_buckets`` split points ->
+    ``bucket_prefix_offsets`` rank offsets -> within-bucket ``row_number``
+    plus the bucket's offset = the exact global rank. The (value, event_id)
+    tiebreak makes the total order — and therefore the result —
+    deterministic. Cost: two scans + one bucket-keyed shuffle, all
+    parallel; the driver only ever sees ≤ n_buckets numbers."""
     ev = (table(spark, sf_dir, "events")
           .where(F.col("value").isNotNull())
           .select("event_id", "value"))
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(ev.stat.approxQuantile("value", qs, 0.001)))
-    bucket = sum((F.when(F.col("value") > F.lit(b), 1).otherwise(0)
-                  for b in bounds), F.lit(0)).alias("bucket")
-    bucketed = ev.select("event_id", "value", bucket)
-    counts = {r["bucket"]: r["n"] for r in
-              bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
-    offsets, acc = {}, 0
-    for b in range(len(bounds) + 1):
-        offsets[b] = acc
-        acc += counts.get(b, 0)
-    off_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("bucket"))
+    bucketed = quantile_buckets(ev, "value")
+    off_expr = bucket_prefix_offsets(bucketed, F.count("*"))
     w = Window.partitionBy("bucket").orderBy("value", "event_id")
     return (bucketed
             .withColumn("rk", (off_expr + F.row_number().over(w)).cast("long"))
@@ -378,9 +396,16 @@ def heavy_hitters(toks: DataFrame, capacity: int, top_n: int) -> DataFrame:
                .groupBy("token").agg(F.count("*").alias("n"))
                .orderBy(F.desc("n"), F.asc("token")).limit(top_n)
                .cache())
-    rows_ok = recount.agg(F.min("n")).first()[0]
-    if rows_ok is None or rows_ok <= bound:
-        # certificate failed (flat distribution vs capacity): exact fallback
+    stats = recount.agg(F.min("n").alias("mn"),
+                        F.count("*").alias("k")).first()
+    if stats.mn is None or stats.mn <= bound or stats.k < top_n:
+        # certificate failed: either the k-th candidate doesn't clear the
+        # missed-count bound (flat distribution vs capacity) OR decrements
+        # shrank the candidate union below top_n rows — in the latter case
+        # non-candidate tokens with counts <= bound could belong in the
+        # tail, so the short recount is NOT provably the exact top-n
+        # (when the true vocabulary itself is < top_n the fallback returns
+        # the same rows — harmless). Exact full aggregation either way.
         return (toks.groupBy("token").agg(F.count("*").alias("n"))
                 .orderBy(F.desc("n"), F.asc("token")).limit(top_n))
     return recount

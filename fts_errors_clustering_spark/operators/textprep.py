@@ -219,17 +219,25 @@ def length_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "window"),
 )
-def cluster_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cluster_stats_by_source(spark: SparkSession, sf_dir: str,
+                            exact_ratio: bool = False) -> DataFrame:
     """M20/A10 ``cluster_stats``
     (``word2vec_dbscan_approach.ipynb:30189-30220``): one row per group with
     size, first entry, and mean/std fuzzy similarity of members to that first
     entry. The reference loops per cluster in Python; here the group-first is
     a window ``first_value`` and similarity is ``levenshtein``-based column
-    algebra (fuzz.ratio delta documented in functions/text.py)."""
+    algebra (fuzz.ratio delta documented in functions/text.py). Pass
+    ``exact_ratio=True`` for bit-exact fuzzywuzzy-0.17 scores via the
+    SequenceMatcher pandas UDF (``functions.text.fuzz_ratio_exact``) — the
+    reference-parity slow path; the default stays JVM-side and
+    oracle-checked."""
+    from ..functions.text import fuzz_ratio_exact
     docs = table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id")
     firsted = docs.withColumn("first_text", F.first("text").over(w))
-    sims = firsted.withColumn("sim", fuzz_ratio("text", "first_text"))
+    ratio = fuzz_ratio_exact if exact_ratio else fuzz_ratio
+    sims = firsted.withColumn(
+        "sim", ratio("text", "first_text").cast("double"))
     return (sims.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.min("first_text").alias("first_text"),

@@ -181,13 +181,31 @@ def fit_tfidf(docs: DataFrame, cache_key=None, **kw):
     (model, transformed-with-features). ``cache_key`` (the corpus key,
     normally sf_dir) opts into the session model registry
     (operators/model_cache) — one fit per (key, hyperparameters) while
-    bench enables it; tests/driver runs always fit fresh."""
+    bench enables it; tests/driver runs always fit fresh.
+
+    The fit is staged by hand instead of ``Pipeline.fit`` so the TOKENIZED
+    corpus is materialized ONCE: a monolithic pipeline fit re-runs the
+    tokenize+stopword lineage for the CountVectorizer fit, the IDF fit, and
+    the final transform (3 passes over the text). Caching the post-stopword
+    frame collapses those to one tokenization pass — at 100 TB this cache is
+    a ``persist(DISK_ONLY)`` over the (doc_id, tokens) projection, still far
+    cheaper than re-tokenizing the corpus per stage. The returned
+    PipelineModel is identical to what Pipeline.fit would produce."""
+    from pyspark.ml import PipelineModel
+
     from .model_cache import memo
 
     def build():
         clean = docs.where(F.length(F.trim("text")) > 0)
-        model = build_tfidf_pipeline(**kw).fit(clean)
-        return model, model.transform(clean)
+        tok, stop, cv, idf, l2 = build_tfidf_pipeline(**kw).getStages()
+        kept = stop.transform(tok.transform(clean)).cache()
+        cvm = cv.fit(kept)
+        tf = cvm.transform(kept).cache()
+        idfm = idf.fit(tf)
+        model = PipelineModel(stages=[tok, stop, cvm, idfm, l2])
+        feats = l2.transform(idfm.transform(tf))
+        kept.unpersist()  # tf (the smaller, vectorized frame) carries on
+        return model, feats
 
     key = None if cache_key is None else (
         "tfidf", cache_key, tuple(sorted(kw.items())))

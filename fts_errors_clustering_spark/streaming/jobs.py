@@ -6,6 +6,16 @@ schema -> ``withWatermark`` -> ``window()``/``session_window()`` agg ->
 sink. For tests/driver checks the sink is ``memory`` and
 ``processAllAvailable()`` drains the fixture synchronously; in production
 the same plan writes to parquet/kafka with a real trigger.
+
+TEST-HARNESS ADAPTER BOUNDARY: every registry entry in this module ends
+with ``spark.createDataFrame(rows.collect(), ...)`` — that collect() is
+the memory-sink -> batch-DataFrame re-wrap the rows-only driver check
+needs, NOT a production sink, and it is safe here only because each
+streamed result is window-aggregate-sized (bounded by #windows x #keys,
+never by input rows). A deployment takes the ``*_agg``/``*_gate`` plan
+builders above the runners and attaches ``writeStream`` directly; piping
+a real volume through these runner adapters would materialize the sink on
+the driver. ``_guarded_collect`` enforces that boundary at runtime.
 """
 
 from __future__ import annotations
@@ -22,6 +32,21 @@ from ..functions.numeric import dec_sum
 from ..sources.readers import table
 
 _STAGE_ROOT = "/root/repo/.tmp/stream_stage"
+
+#: adapter guard: refuse to driver-materialize a "streamed" result bigger
+#: than any plausible windowed aggregate of the fixtures — failing loudly
+#: beats an OOM'd driver if someone points a runner at real volume.
+_ADAPTER_MAX_ROWS = 2_000_000
+
+
+def _guarded_collect(rows):
+    got = rows.limit(_ADAPTER_MAX_ROWS + 1).collect()
+    if len(got) > _ADAPTER_MAX_ROWS:
+        raise RuntimeError(
+            "streaming test adapter: memory-sink result exceeds "
+            f"{_ADAPTER_MAX_ROWS} rows — attach writeStream to the plan "
+            "builder instead of using the test runner (see module header)")
+    return got
 
 
 def _stage_events(spark: SparkSession, sf_dir: str) -> str:
@@ -68,7 +93,7 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     # materialize before the sink table goes away with the stopped query
     rows = spark.table(name)
-    out = spark.createDataFrame(rows.collect(), schema=rows.schema)
+    out = spark.createDataFrame(_guarded_collect(rows), schema=rows.schema)
     return out
 
 
@@ -149,7 +174,7 @@ def run_stateful_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     rows = spark.table(name)
-    return spark.createDataFrame(rows.collect(), schema=rows.schema)
+    return spark.createDataFrame(_guarded_collect(rows), schema=rows.schema)
 
 
 NEARDUP_OUT_SCHEMA = "doc_id long, band long, owner long"
@@ -227,7 +252,7 @@ def run_dedup_stream_with_recovery(spark: SparkSession, sf_dir: str,
         q2.stop()
 
     rows = spark.read.parquet(out_dir)
-    return spark.createDataFrame(rows.collect(), schema=rows.schema)
+    return spark.createDataFrame(_guarded_collect(rows), schema=rows.schema)
 
 
 def run_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +333,7 @@ def run_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .otherwise(0)).cast("long").alias("n_hit_bands"))
            .select("doc_id", "n_hit_bands",
                    (F.col("n_hit_bands") > 0).alias("is_candidate")))
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    return spark.createDataFrame(_guarded_collect(out), schema=out.schema)
 
 
 def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,7 +371,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.table(name)
     out = (pairs.groupBy("event_id")
            .agg(F.count("*").cast("long").alias("n_prior_1h")))
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    return spark.createDataFrame(_guarded_collect(out), schema=out.schema)
 
 
 # --- custom stateful operator: per-key cooldown (debounce) gate --------------
@@ -421,7 +446,7 @@ def run_debounce_stream(spark: SparkSession, sf_dir: str,
     finally:
         q.stop()
     rows = spark.table(name)
-    return spark.createDataFrame(rows.collect(), schema=rows.schema)
+    return spark.createDataFrame(_guarded_collect(rows), schema=rows.schema)
 
 
 # --- foreachBatch upsert sink: latest-wins CDC compaction -------------------
@@ -483,7 +508,7 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     rows = spark.read.parquet(state_dir)
-    out = spark.createDataFrame(rows.collect(), schema=rows.schema)
+    out = spark.createDataFrame(_guarded_collect(rows), schema=rows.schema)
     shutil.rmtree(state_dir, ignore_errors=True)
     shutil.rmtree(state_dir + "_ckpt", ignore_errors=True)
     return out

@@ -56,21 +56,51 @@ def test_merge_table_matches_python_reference(spark):
     assert merges == expect_merges
 
     # and the final symbol sequences agree word-for-word (the string-replace
-    # greedy application == the explicit left-to-right loop)
+    # greedy application == the explicit left-to-right loop). Every symbol
+    # carries its OWN delimiters: ' s1  s2  ... sN '.
     got = {r.seq: r.freq for r in w.collect()}
-    rebuilt = {" " + " ".join(s) + " ": wf[wo] for wo, s in expect_seqs.items()}
+    rebuilt = {" " + "  ".join(s) + " ": wf[wo]
+               for wo, s in expect_seqs.items()}
     # seq strings can collide across words only if sequences are identical,
     # in which case freq keys collide identically on both sides
     assert set(got) == set(rebuilt)
 
 
 def test_greedy_replace_overlap_semantics(spark):
-    """' a a a ' must merge to ' aa a ' (left-to-right, non-overlapping) —
-    the property the whole seq-as-string encoding rests on."""
-    df = spark.createDataFrame([(" a a a ",), (" b a a ",)], "seq string")
+    """With per-symbol delimiters, one non-overlapping left-to-right replace
+    IS canonical greedy merge application (the i+=2 loop): consecutive
+    occurrences never share a delimiter, so ' a  a  a ' -> ' aa  a ',
+    ' a  a  a  a ' -> ' aa  aa ', and banana's ' b  a  n  a  n  a ' with
+    merge (a, n) -> ' b  an  an  a '. (A single-space encoding consumes the
+    shared delimiter and under-merges: ' a a a a ' fixpoints at 3 tokens.)
+    The property the whole seq-as-string encoding rests on."""
+    df = spark.createDataFrame(
+        [(" a  a  a ", " a  a ", " aa "),
+         (" b  a  a ", " a  a ", " aa "),
+         (" a  a  a  a ", " a  a ", " aa "),
+         (" b  a  n  a  n  a ", " a  n ", " an ")],
+        "seq string, pat string, rep string")
     out = [r.r for r in df.select(
-        F.replace("seq", F.lit(" a a "), F.lit(" aa ")).alias("r")).collect()]
-    assert out == [" aa a ", " b aa "]
+        F.replace("seq", F.col("pat"), F.col("rep")).alias("r")).collect()]
+    assert out == [" aa  a ", " b  aa ", " aa  aa ", " b  an  an  a "]
+
+
+def test_merge_table_on_consecutive_pair_corpus(spark):
+    """Adversarial corpus where the learned merges DO hit consecutive
+    occurrences of a pair within one word ('banana', 'aaaaaa'): the trainer
+    must still agree with the canonical Python i+=2 reference — the exact
+    case the shared-delimiter encoding got wrong."""
+    import pandas as pd
+
+    wf = {"banana": 4, "bananas": 2, "aaaaaa": 3, "na": 5, "an": 1}
+    words = spark.createDataFrame(
+        pd.DataFrame({"word": list(wf), "freq": list(wf.values())}))
+    expect_merges, expect_seqs = _python_bpe(wf, 6)
+    w, merges = train_bpe(words, n_merges=6)
+    assert merges == expect_merges
+    got = {r.word: r.seq for r in w.collect()}
+    assert got == {wo: " " + "  ".join(s) + " "
+                   for wo, s in expect_seqs.items()}
 
 
 def test_vocab_tokens_cover_merged_symbols(spark):

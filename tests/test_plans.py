@@ -166,6 +166,53 @@ def test_global_rank_no_single_partition_window(spark):
     assert "bucket" in plan
 
 
+def test_packed_sequences_no_single_partition_window(spark):
+    """The packing offset cumsum must use the bucket prefix-sum, never an
+    unpartitioned Window.orderBy (= SinglePartition exchange of the whole
+    corpus — the round-2 scale-killer)."""
+    plan = _plan(_DEFS["packed_sequences"].fn(spark, SF_SMALL))
+    assert "SinglePartition" not in plan, plan
+    assert "bucket" in plan
+
+
+def test_knee_curve_no_single_partition_window(spark):
+    """M17's curve index/lag-lead/running-max must all avoid unpartitioned
+    windows: one row per embedding point means a global window is a
+    single-task sort at scale. A SinglePartition exchange under a 1-row
+    scalar AGGREGATE is legitimate (32 partial rows -> 1); a Window node
+    whose child subtree (parents print before children in the tree string)
+    starts with Exchange SinglePartition is the scale-killer and banned."""
+    import re
+    for q in ("knn_knee_epsilon", "knn_knee_sweep"):
+        plan = _plan(_DEFS[q].fn(spark, SF_SMALL))
+        bad = re.findall(
+            r"Window[^\n]*\n(?:[^\n]*(?:Sort|Project|Filter)[^\n]*\n){0,3}"
+            r"[^\n]*Exchange SinglePartition", plan)
+        assert not bad, f"{q}: window over SinglePartition\n{plan}"
+        assert "Window" in plan  # the within-bucket scans are still windows
+
+
+def test_kernel_broadcast_cache_bounded(spark):
+    """The pairwise kernel's matrix cache must stay LRU-bounded and reuse
+    the SAME broadcast handle for a semantically identical side table — a
+    long-lived session must not accumulate one executor-side broadcast per
+    kernel invocation (the round-2 leak)."""
+    from fts_errors_clustering_spark.operators import pairwise
+    from fts_errors_clustering_spark.sources.readers import table
+    emb = table(spark, SF_SMALL, "embeddings")
+    b1 = pairwise._broadcast_matrix(emb, "vec_id", "embedding")
+    b2 = pairwise._broadcast_matrix(emb, "vec_id", "embedding")
+    assert b1 is b2, "identical plans must share one broadcast"
+    for i in range(2 * pairwise._CACHE_MAX):
+        # distinct limits -> distinct semantic hashes -> distinct entries
+        pairwise._broadcast_matrix(emb.limit(10 + i), "vec_id", "embedding")
+    assert len(pairwise._MATRIX_CACHE) <= pairwise._CACHE_MAX
+    # the original entry was evicted; its slot refilled fresh on re-request
+    b3 = pairwise._broadcast_matrix(emb, "vec_id", "embedding")
+    assert len(pairwise._MATRIX_CACHE) <= pairwise._CACHE_MAX
+    assert (b3.value[0] == b1.value[0]).all()
+
+
 def test_hll_rollup_error_bound(spark):
     """Merged daily HLL sketches must estimate per-type distinct users
     within the sketch's configured error (lgK=14 → well under 2%)."""
@@ -186,6 +233,7 @@ _BNLJ_OK: set[str] = {
     "embedding_near_dup_pairs",  # scalar norm/total row
     "top_users_share",           # scalar grand total
     "knn_knee_sweep",            # 7-literal-row smoothing values
+    "knn_knee_epsilon",          # 1-row curve scalars (n, ymin, ymax)
     "bigram_logprob_scores",     # scalar vocabulary size
     "mixture_weights",           # scalar corpus totals
     "token_budget_selection",    # scalar budget cutoff

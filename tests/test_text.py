@@ -103,3 +103,41 @@ def test_treebank_golden_error_strings():
     got = treebank_tokenize_series(pd.Series([s for s, _ in _TREEBANK_GOLDEN]))
     for (src, want), toks in zip(_TREEBANK_GOLDEN, got):
         assert toks == want, (src, toks, want)
+
+
+def test_fuzz_ratio_exact_golden(spark):
+    """fuzz_ratio_exact must reproduce fuzzywuzzy==0.17.0's fuzz.ratio
+    bit-for-bit. With no python-Levenshtein in the reference's pins
+    (requirements.txt:9), 0.17.0 is difflib.SequenceMatcher + int(round());
+    the first two expectations are fuzzywuzzy's OWN documented outputs."""
+    from fts_errors_clustering_spark.functions.text import fuzz_ratio_exact
+    cases = [
+        ("this is a test", "this is a test!", 97),
+        ("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear", 91),
+        ("new york mets", "new YORK mets", 69),
+        ("", "", 100),
+        ("abc", "", 0),
+        ("error at line 42: UID timeout", "error at line 42: UID refused", 83),
+    ]
+    df = spark.createDataFrame([(a, b) for a, b, _ in cases], "a string, b string")
+    got = {(r.a, r.b): r.r for r in
+           df.select("a", "b", fuzz_ratio_exact("a", "b").alias("r")).collect()}
+    for a, b, want in cases:
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+
+
+def test_cluster_stats_exact_ratio_path(spark):
+    """The exact-ratio opt-in must return the same grouping shape and agree
+    with the default path on groups where the two scores coincide by
+    construction (each group's first member scores 100 either way)."""
+    from fts_errors_clustering_spark.operators.textprep import \
+        cluster_stats_by_source
+    from .conftest import SF_SMALL
+    exact = {r.source: r for r in
+             cluster_stats_by_source(spark, SF_SMALL, exact_ratio=True).collect()}
+    dflt = {r.source: r for r in
+            cluster_stats_by_source(spark, SF_SMALL).collect()}
+    assert set(exact) == set(dflt)
+    for s, r in exact.items():
+        assert r.n_docs == dflt[s].n_docs
+        assert 0.0 <= r.mean_similarity <= 100.0
