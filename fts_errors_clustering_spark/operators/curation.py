@@ -606,3 +606,146 @@ def contrastive_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("chunk_hash").alias("anchor_hash"),
                     nxt.alias("positive_hash"))
             .where(F.col("positive_hash").isNotNull()))
+
+
+# --- split hygiene: leakage detection + cluster-aware assignment -------------
+
+def _split_bucket(idcol):
+    """The hash_split_counts bucket function, shared: md5(id) first 8 hex
+    chars mod 100."""
+    return (F.conv(F.substring(F.md5(idcol.cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100)
+
+
+def _split_name(bucket):
+    return (F.when(bucket < SPLIT_BOUNDS[0], "train")
+            .when(bucket < SPLIT_BOUNDS[1], "val")
+            .otherwise("test"))
+
+
+def _sql_split(expr: str) -> str:
+    return f"""CASE
+      WHEN CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))
+           AS BIGINT) % 100 < {SPLIT_BOUNDS[0]} THEN 'train'
+      WHEN CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))
+           AS BIGINT) % 100 < {SPLIT_BOUNDS[1]} THEN 'val'
+      ELSE 'test' END"""
+
+
+#: exact-copy plant for the leakage probe (the fixture corpus has no exact
+#: duplicates; dedup.py plants NEAR-dups — leakage needs exact twins, so
+#: doc_id < 20 re-appear verbatim under doc_id + 200000, identically in
+#: Spark and the oracle)
+_XCOPY_SQL = """
+    corpus2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text
+      FROM documents WHERE doc_id < 20
+    )
+"""
+
+
+@register(
+    "split_leakage_counts",
+    oracle=f"""
+    WITH {_XCOPY_SQL},
+    d AS (
+      SELECT md5(text) AS h, {_sql_split('doc_id')} AS split
+      FROM corpus2 WHERE length(trim(text)) > 0
+    ),
+    ps AS (SELECT DISTINCT h, split FROM d)
+    SELECT a.split AS split_a, b.split AS split_b,
+           COUNT(*) AS n_shared_texts
+    FROM ps a JOIN ps b ON a.h = b.h AND a.split < b.split
+    GROUP BY 1, 2
+    """,
+    tags=("curation", "split", "dedup"),
+)
+def split_leakage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-leakage probe: after the deterministic hash split
+    (``hash_split_counts``), count distinct document TEXTS that appear in
+    two different splits — the train/test contamination every split
+    pipeline must audit before shipping. One md5-digest shuffle (16-byte
+    keys, never text bodies) + a per-digest split-pair join bounded by
+    |splits| = 3 rows per digest; at 100 TB this is the exact-dedup
+    shuffle shape applied across split labels."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (docs.where(F.col("doc_id") < 20)
+              .select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    corpus2 = docs.unionByName(copies).where(F.length(F.trim("text")) > 0)
+    ps = (corpus2.select(F.md5("text").alias("h"),
+                         _split_name(_split_bucket(F.col("doc_id")))
+                         .alias("split"))
+          .distinct())
+    b = ps.select(F.col("h").alias("h2"), F.col("split").alias("split_b"))
+    return (ps.join(b, (ps.h == b.h2) & (ps.split < b.split_b))
+            .groupBy(F.col("split").alias("split_a"), "split_b")
+            .agg(F.count("*").alias("n_shared_texts")))
+
+
+def _cluster_split_oracle() -> str:
+    from .dedup import _AUG_SQL, _MINHASH_PAIRS_SQL, _MINHASH_SQL
+    return f"""
+    WITH RECURSIVE {_AUG_SQL}, {_MINHASH_SQL}, {_MINHASH_PAIRS_SQL},
+    dup_edges AS (
+      SELECT a, b FROM est WHERE est_jaccard >= 0.5
+      UNION ALL
+      SELECT b, a FROM est WHERE est_jaccard >= 0.5
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM dup_edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN dup_edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT c.doc_id,
+             LEAST(c.doc_id, COALESCE(MIN(r.dst), c.doc_id)) AS canonical_id
+      FROM corpus c LEFT JOIN reach r ON r.src = c.doc_id
+      GROUP BY c.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, canonical_id,
+             {_sql_split('doc_id')} AS naive_split,
+             {_sql_split('canonical_id')} AS split
+      FROM comp
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT canonical_id) AS n_clusters,
+           CAST(SUM(CASE WHEN naive_split <> split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_moved
+    FROM assigned GROUP BY split
+    """
+
+
+@register(
+    "leakage_safe_splits",
+    oracle=_cluster_split_oracle(),
+    tags=("curation", "split", "dedup", "components"),
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-SAFE split assignment: hash the near-dup cluster's CANONICAL
+    id (``dedup_clusters``' connected-component representative) instead of
+    the document's own id, so an entire near-duplicate family lands in ONE
+    split by construction — the fix for the contamination
+    ``split_leakage_counts`` detects. Returns per-split document/cluster
+    counts plus how many documents the cluster-aware assignment moved off
+    their naive split.
+
+    Scale: component propagation touches only docs in a dup pair (the tiny
+    minority, see dedup_clusters); the re-assignment itself is pure column
+    math over (doc_id, canonical_id) — one md5 per row, one 3-key
+    aggregate. This is how production corpora key their splits (URL/domain
+    or cluster representative), for exactly this reason."""
+    from .dedup import dedup_clusters
+    comp = dedup_clusters(spark, sf_dir).select("doc_id", "canonical_id")
+    assigned = comp.select(
+        "doc_id", "canonical_id",
+        _split_name(_split_bucket(F.col("doc_id"))).alias("naive_split"),
+        _split_name(_split_bucket(F.col("canonical_id"))).alias("split"))
+    return (assigned.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("canonical_id").alias("n_clusters"),
+                 F.sum(F.when(F.col("naive_split") != F.col("split"), 1)
+                       .otherwise(0)).cast("long").alias("n_docs_moved")))

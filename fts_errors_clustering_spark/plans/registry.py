@@ -128,6 +128,9 @@ _HEAD = (
 #: if the driver budget runs a little past 50, an overflow here only adds
 #: cheap rows-only checks, never displaces an oracle row.
 _TAIL_AFTER_HEAD = (
+    # round-3 additions (oracle-backed, local-parity green): first in line
+    # past the budget window; rotate into _HEAD next round
+    "split_leakage_counts", "leakage_safe_splits",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
     "streaming_interval_join", "streaming_upsert_compaction",
     "streaming_debounce_gate",
