@@ -103,27 +103,33 @@ def bm25_rank(toks: DataFrame, q: DataFrame, top_k: int = 10) -> DataFrame:
     totals (functions/numeric rationale); ranking keys on the ROUNDED score
     so cross-engine ULP noise cannot flip rank order.
     """
-    cnts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    # the query-term SEMI-filter happens BEFORE any (doc, token)
+    # aggregation: only query-term occurrences ever enter a groupBy, so the
+    # postings shuffle is |query_terms| lists, never the full vocabulary.
+    # (The earlier shape aggregated the full-vocab postings once per
+    # consumer — the dominant cost, re-run three times.)
+    qtoks = q.select("token").distinct()
+    cnts_q = (toks.join(F.broadcast(qtoks), "token")
+              .groupBy("doc_id", "token").agg(F.count("*").alias("cnt")))
 
-    # doc lengths as an aggregate JOINED AFTER the query-term filter — a
-    # window-over-doc_id dl would sort the FULL postings stream before the
-    # filter ever sees it; the aggregate partially combines map-side and
-    # only the (tiny) query-term postings join against it
-    lens = cnts.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("dl"))
+    # doc lengths and corpus stats come straight off the raw token stream
+    # (map-side-combined count per doc) — no full postings table needed
+    lens = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
     stats = lens.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
 
-    dfreq = cnts.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    # df restricted to query terms is identical to the full-vocab df on
+    # those terms (df(t) counts docs containing t, independent of others)
+    dfreq = cnts_q.groupBy("token").agg(F.count("*").cast("double").alias("df"))
 
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) /
                 (F.col("df") + F.lit(0.5)))
     tf_part = ((F.col("cnt") * F.lit(_K1 + 1.0)) /
                (F.col("cnt") + F.lit(_K1) *
                 (F.lit(1.0 - _B) + F.lit(_B) * (F.col("dl") / F.col("avgdl")))))
-    scored = (cnts.join(F.broadcast(q), "token")
-              .join(F.broadcast(dfreq.join(F.broadcast(q.select("token").distinct()),
-                                           "token")), "token")
+    scored = (cnts_q.join(F.broadcast(q), "token")
+              .join(F.broadcast(dfreq), "token")
               .join(lens, "doc_id")
               .crossJoin(F.broadcast(stats))
               .select("query_id", "doc_id", (idf * tf_part).alias("w")))
