@@ -325,3 +325,143 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
     return (top.withColumn("rn", F.row_number().over(wr).cast("long"))
             .select("doc_id", F.round("rrf", 6).alias("rrf"), "rn"))
+
+
+# --- incremental NEAR-dup gate: batch vs history, MinHash-LSH ----------------
+
+def _incr_neardup_oracle() -> str:
+    from .dedup import BAND_SIZE, N_HASHES, _shingle_sql
+    from ..functions.text import sql_hash32, sql_hash32_hi
+    return f"""
+    WITH combo AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 10 = 0 THEN 'batch' ELSE 'hist' END AS role
+      FROM documents WHERE length(trim(text)) > 0
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id, text || ' xdup' AS text,
+             'batch' AS role
+      FROM documents
+      WHERE doc_id % 10 <> 0 AND doc_id < 20 AND length(trim(text)) > 0
+    ),
+    shing AS ({_shingle_sql('combo')}),
+    hashed AS (
+      SELECT doc_id, {sql_hash32('sh')} AS h1, {sql_hash32_hi('sh')} AS h2
+      FROM shing
+    ),
+    seeds AS (SELECT CAST(s.range AS BIGINT) AS seed
+              FROM range(0, {N_HASHES}) s),
+    sigs AS (SELECT doc_id, seed,
+                    MIN((h1 + seed * h2) % 4294967296) AS minhash
+             FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // {BAND_SIZE} AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+               AS bucket
+      FROM sigs GROUP BY doc_id, seed // {BAND_SIZE}
+    ),
+    roles AS (SELECT doc_id, role FROM combo),
+    cand AS (
+      SELECT DISTINCT bb.doc_id AS bid, hb.doc_id AS hid
+      FROM bands bb
+      JOIN roles rb ON rb.doc_id = bb.doc_id AND rb.role = 'batch'
+      JOIN bands hb ON hb.band = bb.band AND hb.bucket = bb.bucket
+      JOIN roles rh ON rh.doc_id = hb.doc_id AND rh.role = 'hist'
+    ),
+    est AS (
+      SELECT c.bid,
+             SUM(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END)
+               / CAST({N_HASHES} AS DOUBLE) AS ej
+      FROM cand c
+      JOIN sigs s1 ON s1.doc_id = c.bid
+      JOIN sigs s2 ON s2.doc_id = c.hid AND s1.seed = s2.seed
+      GROUP BY c.bid, c.hid
+    ),
+    flagged AS (SELECT DISTINCT bid FROM est WHERE ej >= 0.5)
+    SELECT CAST((SELECT COUNT(*) FROM roles WHERE role = 'batch') AS BIGINT)
+             AS n_batch,
+           CAST((SELECT COUNT(*) FROM flagged) AS BIGINT) AS n_neardup_hist,
+           CAST((SELECT COUNT(*) FROM roles WHERE role = 'batch')
+                - (SELECT COUNT(*) FROM flagged) AS BIGINT) AS n_kept
+    """
+
+
+@register(
+    "incremental_neardup_counts",
+    oracle=_incr_neardup_oracle(),
+    tags=("dedup", "incremental", "minhash"),
+)
+def incremental_neardup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-dup completion of ``incremental_dedup_counts``: an incoming
+    batch (``doc_id % 10 == 0`` plus planted near-copies of history docs at
+    +300000) is gated against the already-ingested history via MinHash-LSH —
+    a batch doc is dropped when any history doc shares an LSH band bucket
+    AND the signature-agreement Jaccard estimate is >= 0.5. This is the
+    batch-mode twin of the streaming near-dup gate
+    (``windows.streaming_neardup_gate``), and the oracle-checked form: the
+    SQL replays the identical shingle/double-hash/band pipeline.
+
+    Scale: both sides reduce to {{n_docs}} x 16 signature integers; the
+    candidate join is per-(band, bucket) — batch rows only ever meet
+    history rows that COLLIDE, never the whole history. At 100 TB the
+    history band table is the persisted LSH index an ingest pipeline
+    maintains incrementally; only the batch side is recomputed per run.
+    """
+    from .dedup import BAND_SIZE, N_HASHES, _shingles
+    from ..functions.text import hash32, hash32_hi
+
+    docs = (table(spark, sf_dir, "documents").select("doc_id", "text")
+            .where(F.length(F.trim("text")) > 0))
+    role = F.when(F.col("doc_id") % 10 == 0, "batch").otherwise("hist")
+    planted = (docs.where((F.col("doc_id") % 10 != 0) & (F.col("doc_id") < 20))
+               .select((F.col("doc_id") + 300000).alias("doc_id"),
+                       F.concat("text", F.lit(" xdup")).alias("text"),
+                       F.lit("batch").alias("role")))
+    combo = docs.select("doc_id", "text", role.alias("role")).unionByName(planted)
+    roles = combo.select("doc_id", "role").cache()
+
+    hashed = _shingles(combo).select(
+        "doc_id", hash32("sh").alias("h1"), hash32_hi("sh").alias("h2"))
+    mins = (hashed.groupBy("doc_id").agg(*[
+        F.min((F.col("h1") + s * F.col("h2")) % F.lit(4294967296))
+         .alias(f"m{s}") for s in range(N_HASHES)])
+        .cache())
+    n_bands = N_HASHES // BAND_SIZE
+    band_structs = [
+        F.struct(F.lit(b).cast("long").alias("band"),
+                 F.md5(F.concat_ws(",", *[
+                     F.col(f"m{s}").cast("string")
+                     for s in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]))
+                 .alias("bucket"))
+        for b in range(n_bands)]
+    bands = (mins.select("doc_id",
+                         F.explode(F.array(*band_structs)).alias("kv"))
+             .select("doc_id", "kv.band", "kv.bucket")
+             .join(roles, "doc_id"))
+    bb = (bands.where(F.col("role") == "batch")
+          .select(F.col("doc_id").alias("bid"), "band", "bucket"))
+    hb = (bands.where(F.col("role") == "hist")
+          .select(F.col("doc_id").alias("hid"), "band", "bucket"))
+    cand = bb.join(hb, ["band", "bucket"]).select("bid", "hid").distinct()
+
+    sig = F.explode(F.array(*[
+        F.struct(F.lit(s).cast("long").alias("seed"),
+                 F.col(f"m{s}").alias("minhash")) for s in range(N_HASHES)]))
+    sigs = (mins.select("doc_id", sig.alias("kv"))
+            .select("doc_id", "kv.seed", "kv.minhash"))
+    s1 = sigs.select(F.col("doc_id").alias("bid"), "seed",
+                     F.col("minhash").alias("mh1"))
+    s2 = sigs.select(F.col("doc_id").alias("hid"), "seed",
+                     F.col("minhash").alias("mh2"))
+    est = (cand.join(s1, "bid").join(s2, ["hid", "seed"])
+           .groupBy("bid", "hid")
+           .agg((F.sum(F.when(F.col("mh1") == F.col("mh2"), 1).otherwise(0))
+                 / F.lit(float(N_HASHES))).alias("ej")))
+    flagged = est.where(F.col("ej") >= 0.5).select("bid").distinct()
+
+    nb = roles.where(F.col("role") == "batch").agg(
+        F.count("*").alias("n_batch"))
+    nf = flagged.agg(F.count("*").alias("n_neardup_hist"))
+    return (nb.crossJoin(nf)
+            .select("n_batch", "n_neardup_hist",
+                    (F.col("n_batch") - F.col("n_neardup_hist"))
+                    .cast("long").alias("n_kept")))

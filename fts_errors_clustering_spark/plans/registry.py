@@ -131,6 +131,7 @@ _TAIL_AFTER_HEAD = (
     # round-3 additions (oracle-backed, local-parity green): first in line
     # past the budget window; rotate into _HEAD next round
     "split_leakage_counts", "leakage_safe_splits",
+    "incremental_neardup_counts",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
     "streaming_interval_join", "streaming_upsert_compaction",
     "streaming_debounce_gate",
