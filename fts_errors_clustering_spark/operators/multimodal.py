@@ -102,10 +102,38 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload(docs).drop("payload")
 
 
-@register("multimodal_features", oracle=None, tags=("multimodal", "udf"))
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 640 + 1
+               AS width,
+             CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 480 + 1
+               AS height,
+             CAST(octet_length(encode(text)) AS BIGINT) % 30 + 1 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, byte_len, width, height,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE (list_aggregate(list_transform(
+                        range(1, length(text) + 1),
+                        i -> ascii(substr(text, i, 1))), 'sum')
+                      / CAST(length(text) AS DOUBLE)) / 255.0
+           END AS brightness,
+           CAST(width AS DOUBLE) / height AS aspect,
+           byte_len // n_frames AS frame_bytes
+    FROM meta
+    """,
+    tags=("multimodal", "udf"),
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract via mapInPandas (rows-only: the fake codec
-    is engine-internal). Deterministic output; batch shape asserted in
+    """Decode + feature-extract via mapInPandas. The fake codec (mean byte
+    value / 255 as brightness) is deterministic AND byte-arithmetic, so the
+    oracle replays it in SQL via per-character code points — equal to bytes
+    because the fixture corpus is ASCII (asserted for all SFs; a non-ASCII
+    corpus would re-demote this to rows-only). Batch shape asserted in
     tests/test_multimodal.py."""
     docs = table(spark, sf_dir, "documents")
     return with_payload(docs).mapInPandas(extract_features, FEATURE_SCHEMA)
@@ -149,12 +177,51 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-@register("multimodal_framesample", oracle=None, tags=("multimodal", "udf"))
+@register(
+    "multimodal_framesample",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+             CAST(octet_length(encode(text)) AS BIGINT) % 30 + 1 AS n_frames
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    fr AS (
+      SELECT doc_id, text, n_frames,
+             GREATEST(1, blen // n_frames) AS flen,
+             LEAST({FRAME_SAMPLE_K}, n_frames) AS k,
+             unnest(range(0, LEAST({FRAME_SAMPLE_K}, n_frames))) AS j
+      FROM meta
+    ),
+    sl AS (
+      SELECT doc_id,
+             (j * n_frames) // k AS frame_idx,
+             ((j * n_frames) // k) * flen AS frame_off,
+             substr(text, CAST(((j * n_frames) // k) * flen + 1 AS BIGINT),
+                    CAST(flen AS BIGINT)) AS s
+      FROM fr
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_off AS BIGINT) AS frame_off,
+           CAST(length(s) AS BIGINT) AS frame_len,
+           CASE WHEN length(s) = 0 THEN 0.0
+                ELSE (list_aggregate(list_transform(
+                        range(1, length(s) + 1),
+                        i -> ascii(substr(s, i, 1))), 'sum')
+                      / CAST(length(s) AS DOUBLE)) / 255.0
+           END AS brightness
+    FROM sl
+    """,
+    tags=("multimodal", "udf"),
+)
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video-shaped payloads: evenly-spaced keyframe
-    selection as a row-expanding ``mapInPandas`` (rows-only: the slicing
-    codec is engine-internal; row-count/offset invariants asserted in
-    tests/test_multimodal.py). The 100 TB posture matches decode: payload
+    selection as a row-expanding ``mapInPandas``. The slicing codec is byte
+    arithmetic over the payload, so the oracle replays it with char-slice
+    code points — equal to bytes on the ASCII fixture corpus (same
+    precondition as ``multimodal_features``; a real binary corpus demotes
+    this to rows-only). Row-count/offset invariants additionally asserted
+    in tests/test_multimodal.py. The 100 TB posture matches decode: payload
     bytes stream per Arrow batch, never through the driver, and the output
     is a per-frame relation ready for downstream feature joins."""
     docs = table(spark, sf_dir, "documents")

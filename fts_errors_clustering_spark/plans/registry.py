@@ -129,15 +129,18 @@ _HEAD = (
 #: cheap rows-only checks, never displaces an oracle row.
 _TAIL_AFTER_HEAD = (
     # round-3 additions (oracle-backed, local-parity green): first in line
-    # past the budget window; rotate into _HEAD next round
+    # past the budget window; rotate into _HEAD next round — including the
+    # two multimodal queries UPGRADED from rows-only to oracle-backed
+    # (byte-arithmetic codec replayed in SQL; ASCII-fixture precondition)
     "split_leakage_counts", "leakage_safe_splits",
     "incremental_neardup_counts",
+    "multimodal_features", "multimodal_framesample",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
     "streaming_interval_join", "streaming_upsert_compaction",
     "streaming_debounce_gate",
     "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
     "lsh_neighbor_counts", "stratified_doc_sample",
-    "multimodal_features", "semantic_dedup_ivf", "dbscan_labels_lsh",
+    "semantic_dedup_ivf", "dbscan_labels_lsh",
     "hll_rollup_daily_users",
     # r1/r2-proven oracle entries rotated out of the driver window to make
     # room (their regression gate remains the local parity sweep)
