@@ -42,3 +42,19 @@ def test_pagerank_deterministic_and_star_shape(spark):
     assert r1 == r2
     hub = r1[0]
     assert all(hub > r1[i] for i in range(1, 21))
+
+
+def test_pagerank_rejects_dangling_nodes(spark):
+    """_pagerank's totality (base rank for inbound-less nodes) matches the
+    unrolled-CTE oracle pattern only on graphs where every edge target is
+    also a source; the helper must refuse asymmetric graphs loudly rather
+    than silently disagree with the oracle pattern on reuse."""
+    import pytest
+
+    from fts_errors_clustering_spark.operators.graph import _pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)],  # 3 is a pure sink -> dangling
+        "u long, v long, w double")
+    with pytest.raises(ValueError, match="dangling"):
+        _pagerank(edges, 0.85, 3)

@@ -133,3 +133,24 @@ def test_heavy_hitters_certificate_path_matches_exact(spark):
              (toks.groupBy("token").agg(F.count("*").alias("n"))
               .orderBy(F.desc("n"), F.asc("token")).limit(10)).collect()]
     assert got == exact
+
+
+def test_heavy_hitters_short_candidate_union_falls_back(spark):
+    """Skewed partitions can decrement the MG candidate union below top_n
+    even when every surviving candidate clears the bound; the short recount
+    is then NOT provably the exact top-n tail and must fall back. Corpus:
+    a few massive heads survive capacity-1 sketches, the singleton tail is
+    decremented away — result must still equal the exact aggregation."""
+    from pyspark.sql import functions as F
+
+    from fts_errors_clustering_spark.operators.scale import heavy_hitters
+
+    rows = ([("alpha",)] * 500 + [("beta",)] * 400 +
+            [(f"tail{i}",) for i in range(200)])
+    toks = spark.createDataFrame(rows, "token string").repartition(4)
+    got = [(r.token, r.n) for r in heavy_hitters(toks, 1, 8).collect()]
+    exact = [(r.token, r.n) for r in
+             (toks.groupBy("token").agg(F.count("*").alias("n"))
+              .orderBy(F.desc("n"), F.asc("token")).limit(8)).collect()]
+    assert got == exact
+    assert len(got) == 8  # tail tokens present, not just the two heads
