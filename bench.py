@@ -91,6 +91,12 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "bpe_merge_table",
     "bpe_tokens_per_lang",
+    # round-3 additions + the rows-only -> oracle multimodal upgrades
+    "split_leakage_counts",
+    "leakage_safe_splits",
+    "incremental_neardup_counts",
+    "multimodal_features",
+    "lsa_svd_features",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

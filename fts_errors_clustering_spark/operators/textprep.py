@@ -313,12 +313,42 @@ def treebank_tokenize_series(s: pd.Series) -> pd.Series:
     return out.str.split()
 
 
-@register("treebank_tokens", oracle=None, tags=("text", "udf"))
+def _sql_treebank_tokens() -> str:
+    """The Treebank rule chain replayed in DuckDB, generated from the SAME
+    ``_TREEBANK_PRE_PAD``/``_TREEBANK_POST_PAD`` lists (one source of
+    truth): each rule is one RE2 ``regexp_replace(..., 'g')`` — the rules
+    use no lookarounds, and Python-re vs RE2 agree on everything they DO
+    use (``\\b``, inline ``(?i)``, backrefs; ``\\g<0>`` maps to ``\\0``).
+    Verified token-for-token on the golden fixtures incl. quote /
+    contraction / bracket cases (tests/test_text.py)."""
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    e = "coalesce(text, '')"
+    for pat, rep in _TREEBANK_PRE_PAD:
+        rep = rep.replace("\\g<0>", "\\0")
+        e = f"regexp_replace({e}, '{q(pat)}', '{q(rep)}', 'g')"
+    e = f"' ' || {e} || ' '"
+    for pat, rep in _TREEBANK_POST_PAD:
+        rep = rep.replace("\\g<0>", "\\0")
+        e = f"regexp_replace({e}, '{q(pat)}', '{q(rep)}', 'g')"
+    return f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex({e}, '\\s+'),
+                                t -> length(t) > 0)) AS BIGINT) AS n_tokens
+    FROM documents WHERE length(trim(text)) > 0
+    """
+
+
+@register("treebank_tokens", oracle=_sql_treebank_tokens(),
+          tags=("text", "udf"))
 def treebank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 Treebank tokenizer (``word2vec_dbscan_approach.ipynb:105-116``) as
     the engine's ONE intentional tokenizer UDF: an Arrow-batched pandas UDF
-    (SURVEY.md 2.8 — everything else stays in built-in functions). Rows-only
-    check: no SQL oracle can express Treebank rules."""
+    (SURVEY.md 2.8 — everything else stays in built-in functions). The
+    oracle replays the identical rule chain as RE2 ``regexp_replace``
+    steps (``_sql_treebank_tokens``), so even the UDF path gets a
+    cross-engine value-hash row."""
     from pyspark.sql.types import ArrayType, StringType
 
     @F.pandas_udf(ArrayType(StringType()))

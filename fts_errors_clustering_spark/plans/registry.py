@@ -134,7 +134,7 @@ _TAIL_AFTER_HEAD = (
     # (byte-arithmetic codec replayed in SQL; ASCII-fixture precondition)
     "split_leakage_counts", "leakage_safe_splits",
     "incremental_neardup_counts",
-    "multimodal_features", "multimodal_framesample",
+    "multimodal_features", "multimodal_framesample", "treebank_tokens",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
     "streaming_interval_join", "streaming_upsert_compaction",
     "streaming_debounce_gate",
