@@ -200,15 +200,28 @@ def main() -> None:
             if name not in defs:
                 continue
             # ML fits run once (training dominates, already codegen-warm);
-            # headline plans take best-of-2
+            # headline plans take best-of-2, plus an adaptive THIRD trial
+            # when the two runs disagree by >1.75x — that spread means one
+            # trial landed in an external-load window (this container sees
+            # load1 7-10 with zero user processes; simhash_signatures
+            # measured 1.9 s at idle vs 7.4 s in a spike) and the min of
+            # two contaminated samples is still contaminated
             runs = 2 if name in HEADLINE else 1
-            best, n = float("inf"), 0
+            trials: list[float] = []
+            n = 0
             for _ in range(runs):
                 t0 = time.perf_counter()
                 df = defs[name].fn(spark, sf_dir)
                 n = df.count()  # materialize the whole plan
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+                trials.append(time.perf_counter() - t0)
+            if len(trials) == 2 and max(trials) > 1.75 * min(trials):
+                # the immediate retry would land in the same spike — park
+                # (bounded) for the load to drain before the tie-breaker
+                _wait_for_idle(max_wait_s=45.0)
+                t0 = time.perf_counter()
+                defs[name].fn(spark, sf_dir).count()
+                trials.append(time.perf_counter() - t0)
+            timings[name] = round(min(trials), 4)
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)",
                   file=sys.stderr)
 
