@@ -282,3 +282,38 @@ def test_plan_lint_no_cartesian_or_unbounded_nested_loop(spark):
         checked += 1
     assert checked > 50, f"lint swept only {checked} queries"
     assert not failures, failures
+
+
+#: shuffle budgets: measured `Exchange` occurrence counts in the formatted
+#: plan (each physical Exchange node prints twice: tree + detail section) of
+#: flagship queries, pinned as CEILINGS. A future edit that silently adds a
+#: shuffle — an extra groupBy, a lost broadcast, a repartition — fails here
+#: long before any benchmark notices; lowering a count is always fine.
+_EXCHANGE_BUDGET = {
+    "flagship_top_error_users": 6,
+    "count_filtered_events": 2,
+    "event_type_counts": 2,
+    "revenue_by_region": 10,
+    "latest_event_per_user": 2,
+    "value_histogram": 2,
+    "dedup_exact": 4,
+    "doc_chunks": 0,
+    "token_counts": 0,
+    "hash_split_counts": 2,
+    "tumbling_hourly_by_type": 2,
+    "salted_group_members": 4,
+    "split_leakage_counts": 8,
+    "global_value_rank": 2,
+    "packed_sequences": 4,
+    "bm25_search": 32,
+}
+
+
+def test_exchange_budgets(spark):
+    over = []
+    for name, budget in _EXCHANGE_BUDGET.items():
+        plan = _plan(_DEFS[name].fn(spark, SF_SMALL))
+        got = plan.count("Exchange")
+        if got > budget:
+            over.append((name, got, budget))
+    assert not over, f"shuffle budget exceeded: {over}"
