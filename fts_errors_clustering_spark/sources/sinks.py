@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 __all__ = ["write_partitioned_parquet", "write_jsonl_shards",
-           "write_bucketed_table", "write_zordered_parquet"]
+           "write_bucketed_table", "write_zordered_parquet",
+           "compact_parquet"]
 
 
 def write_partitioned_parquet(
@@ -153,3 +154,39 @@ def write_zordered_parquet(
        .sortWithinPartitions("_z")
        .select(*cols)
        .write.mode(mode).parquet(out_path))
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the OPTIMIZE half every streaming/incremental
+    ingest needs: micro-batch sinks and per-trigger appends leave thousands
+    of KB-sized files, and at 100 TB the resulting task-per-file scheduling
+    and open/seek overhead dominates scans. Re-lands the dataset at
+    ``target_file_bytes`` per file (computed from the ACTUAL input byte
+    size — no row counting pass), optionally re-sorting rows within files
+    so row-group stats stay selective after compaction. Returns the file
+    count written. Coalesce (not repartition) when only merging: no shuffle
+    — each output task concatenates input splits."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = p.getFileSystem(conf)
+    total = sum(s.getLen() for s in fs.listStatus(p)
+                if s.getPath().getName().endswith(".parquet"))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(in_path)
+    if sort_within:
+        shaped = df.repartition(n).sortWithinPartitions(*sort_within)
+    else:
+        shaped = df.coalesce(n)
+    shaped.write.mode("overwrite").parquet(out_path)
+    out = jvm.org.apache.hadoop.fs.Path(out_path)
+    return sum(1 for s in fs.listStatus(out)
+               if s.getPath().getName().endswith(".parquet"))

@@ -249,3 +249,25 @@ def test_zorder_rowgroups_skip_on_second_dimension(spark, tmp_path):
     # the linear layout reads (nearly) everything; z-order must skip >= half
     assert l_hit >= len(lr) - 1, (l_hit, len(lr))
     assert z_hit <= len(zr) // 2, (z_hit, len(zr))
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Compaction must collapse a many-tiny-files landing dir to the byte-
+    target-derived count, preserve every row, and avoid a shuffle in the
+    merge-only path (coalesce, not repartition)."""
+    import os
+
+    from fts_errors_clustering_spark.sources.readers import table
+    from fts_errors_clustering_spark.sources.sinks import compact_parquet
+    from .conftest import SF_SMALL
+
+    ev = table(spark, SF_SMALL, "events").select("event_id", "value")
+    src = str(tmp_path / "tiny")
+    ev.repartition(40).write.parquet(src)  # simulate micro-batch litter
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in >= 40
+
+    dst = str(tmp_path / "compact")
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n_out == 1
+    assert spark.read.parquet(dst).count() == ev.count()
