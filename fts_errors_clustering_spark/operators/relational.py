@@ -1481,3 +1481,152 @@ def modal_bucket_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max_by("bucket", F.col("n") * 16 + (9 - F.col("bucket")))
                  .alias("modal_bucket"),
                  F.max("n").alias("modal_n")))
+
+
+# --- TPC-H Q8 shape: national market share by year ---------------------------
+
+@register(
+    "market_share_by_year",
+    oracle=f"""
+    WITH mkt AS (
+      SELECT l.l_suppkey, o.o_orderdate,
+             l.l_extendedprice * (1 - l.l_discount) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ),
+    tagged AS (
+      SELECT CAST(year(m.o_orderdate) AS BIGINT) AS o_year, m.rev,
+             CASE WHEN sn.n_name = 'NATION_2' THEN m.rev ELSE 0.0 END AS trev
+      FROM mkt m
+      JOIN supplier s ON s.s_suppkey = m.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    )
+    SELECT o_year,
+           {sql_dec_sum('trev', 6)} AS nation_revenue,
+           {sql_dec_sum('rev', 6)} AS market_revenue,
+           ROUND({sql_dec_sum('trev', 6)} / {sql_dec_sum('rev', 6)}, 6)
+             AS mkt_share
+    FROM tagged GROUP BY o_year
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of the ASIA market's revenue per
+    order year — the 6-table star (fact x orders x customer-side dims x
+    supplier-side dims) with a conditional share aggregate. Dimension
+    tables broadcast; the only data-sized shuffles are the two fact-side
+    equi-joins and the |years|-row aggregate. Shares divide two
+    decimal-exact sums, so the doubles hash bit-identically."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    asia_nations = (n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+                           n.n_regionkey == r.r_regionkey)
+                    .select("n_nationkey"))
+    mkt_cust = c.join(F.broadcast(asia_nations),
+                      c.c_nationkey == asia_nations.n_nationkey)\
+                .select("c_custkey")
+    supp_nat = (table(spark, sf_dir, "supplier")
+                .select("s_suppkey", "s_nationkey")
+                .join(F.broadcast(n.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("sn_name"))),
+                    F.col("s_nationkey") == F.col("sn_key"))
+                .select("s_suppkey", "sn_name"))
+
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(mkt_cust, o.o_custkey == mkt_cust.c_custkey)
+         .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+         .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                 rev.alias("rev"),
+                 F.when(F.col("sn_name") == "NATION_2", rev)
+                  .otherwise(F.lit(0.0)).alias("trev")))
+    return (j.groupBy("o_year")
+            .agg(dec_sum("trev", 6).alias("nation_revenue"),
+                 dec_sum("rev", 6).alias("market_revenue"))
+            .select("o_year", "nation_revenue", "market_revenue",
+                    F.round(F.col("nation_revenue") / F.col("market_revenue"),
+                            6).alias("mkt_share")))
+
+
+# --- TPC-H Q2 shape: cheapest observed supplier per part ---------------------
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH scoped AS (
+      SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice / l.l_quantity AS u
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size >= 40 AND l.l_quantity > 0
+    ),
+    mins AS (SELECT l_partkey, MIN(u) AS mu FROM scoped GROUP BY l_partkey),
+    winners AS (
+      SELECT DISTINCT sc.l_partkey AS p_partkey, sc.l_suppkey AS s_suppkey,
+             m.mu
+      FROM scoped sc
+      JOIN mins m ON m.l_partkey = sc.l_partkey AND sc.u = m.mu
+    )
+    SELECT w.p_partkey, p.p_brand, w.s_suppkey,
+           ROUND(w.mu, 6) AS min_unit_price
+    FROM winners w JOIN part p ON p.p_partkey = w.p_partkey
+    ORDER BY ROUND(w.mu, 6) ASC, w.p_partkey ASC, w.s_suppkey ASC
+    LIMIT 20
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted to the fixture's tables (no partsupp — the
+    observed lineitem unit price l_extendedprice / l_quantity stands in for
+    ps_supplycost): for large EUROPE-supplied parts, every supplier that
+    achieves the part's MINIMUM unit price. The classic correlated
+    min-subquery, decorrelated as aggregate + join-back on (partkey,
+    exact min) — both engines compute u with the identical IEEE division,
+    so the equality join matches bit-for-bit; output ordering keys on the
+    ROUNDED price. Dimension joins broadcast; the join-back reuses the
+    partkey hash partitioning the aggregate just produced."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+
+    eu_supp = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+               .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+                     n.n_regionkey == r.r_regionkey)
+               .select("s_suppkey"))
+    big_parts = p.where(F.col("p_size") >= 40).select("p_partkey", "p_brand")
+    scoped = (li.where(F.col("l_quantity") > 0)
+              .join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey)
+              .join(F.broadcast(big_parts.select("p_partkey")),
+                    li.l_partkey == F.col("p_partkey"))
+              .select("l_partkey", "l_suppkey",
+                      (F.col("l_extendedprice") / F.col("l_quantity"))
+                      .alias("u")))
+    mins = scoped.groupBy("l_partkey").agg(F.min("u").alias("mu"))
+    winners = (scoped.join(mins, "l_partkey")
+               .where(F.col("u") == F.col("mu"))
+               .select(F.col("l_partkey").alias("p_partkey"),
+                       F.col("l_suppkey").alias("s_suppkey"), "mu")
+               .distinct())
+    return (winners.join(F.broadcast(big_parts), "p_partkey")
+            .select("p_partkey", "p_brand", "s_suppkey",
+                    F.round("mu", 6).alias("min_unit_price"))
+            .orderBy(F.asc("min_unit_price"), F.asc("p_partkey"),
+                     F.asc("s_suppkey"))
+            .limit(20))
