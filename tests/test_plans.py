@@ -256,6 +256,7 @@ _BNLJ_OK: set[str] = {
     "benford_deviation",         # 1-row digit total
     "lang_token_divergence",     # |langs|-row l1<l2 pair self-join
     "idle_rich_customers",       # 1-row scalar balance cutoff
+    "incremental_neardup_counts",  # 1-row batch-count x 1-row flagged-count
 }
 
 #: CartesianProduct allowed only against a literal parameter table
