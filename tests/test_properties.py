@@ -210,3 +210,58 @@ def test_global_rank_matches_sorted_order(spark, values):
     expected = {eid: rk + 1 for rk, (eid, _) in
                 enumerate(sorted(rows, key=lambda t: (t[1], t[0])))}
     assert got == expected
+
+
+@SET
+@given(st.lists(st.tuples(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    st.integers(min_value=0, max_value=10**6)),
+    min_size=1, max_size=120))
+def test_bucketed_rank_equals_window_rank(spark, rows):
+    """The scale.py two-phase global rank (quantile_buckets +
+    bucket_prefix_offsets + within-bucket row_number) must equal the
+    single-partition ROW_NUMBER definition on ARBITRARY value
+    distributions — duplicates, constants, and skew included. This is the
+    helper packed_sequences and the M17 knee curve stand on."""
+    from pyspark.sql import Window
+    from fts_errors_clustering_spark.operators.scale import (
+        bucket_prefix_offsets, quantile_buckets)
+
+    df = spark.createDataFrame(rows, "v double, id long").distinct()
+    bucketed = quantile_buckets(df, "v", n_buckets=7)
+    off = bucket_prefix_offsets(bucketed, F.count("*"))
+    wb = Window.partitionBy("bucket").orderBy("v", "id")
+    got = {(r.v, r.id): r.rk for r in bucketed.withColumn(
+        "rk", (off + F.row_number().over(wb)).cast("long")).collect()}
+    ref = {(r.v, r.id): r.rk for r in df.withColumn(
+        "rk", F.row_number().over(Window.orderBy("v", "id")).cast("long"))
+        .collect()}
+    assert got == ref
+
+
+@SET
+@given(st.lists(st.tuples(
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=1, max_value=500)),
+    min_size=1, max_size=120))
+def test_bucketed_prefix_sum_equals_window_cumsum(spark, rows):
+    """Exclusive bucket-prefix cumsum == the unpartitioned exclusive
+    running SUM (the packed_sequences offset definition)."""
+    from pyspark.sql import Window
+    from fts_errors_clustering_spark.operators.scale import (
+        bucket_prefix_offsets, quantile_buckets)
+
+    df = (spark.createDataFrame(rows, "id long, n long")
+          .groupBy("id").agg(F.max("n").alias("n")))  # unique ids
+    bucketed = quantile_buckets(df, "id", n_buckets=5)
+    off = bucket_prefix_offsets(bucketed, F.sum("n"))
+    wb = (Window.partitionBy("bucket").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    got = {r.id: r.off for r in bucketed.withColumn(
+        "off", off + F.coalesce(F.sum("n").over(wb), F.lit(0))).collect()}
+    wall = (Window.orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    ref = {r.id: r.off for r in df.withColumn(
+        "off", F.coalesce(F.sum("n").over(wall), F.lit(0))).collect()}
+    assert got == ref
