@@ -148,17 +148,139 @@ def external_metrics_pseudo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M12: K-Means with n_init emulation
 # ---------------------------------------------------------------------------
 
+#: driver-kernel tier cutoff (the dbscan.py tiering discipline): at or
+#: under this many rows the restart loop runs as seeded numpy kmeans++/
+#: Lloyd on ONE collected matrix — which is EXACTLY the reference's
+#: sklearn ``KMeans(init='k-means++', n_init=...)`` semantics, where the
+#: MLlib loop below is a k-means|| approximation of it. 20k x 64 f64 is
+#: ~10 MB — the same driver budget class as the DBSCAN kernel tier.
+DRIVER_KMEANS_ROWS = 20_000
+
+
+class _DriverKMeansModel:
+    """Minimal model surface over driver-fitted centers: ``transform``
+    appends ``prediction`` via a pure JVM argmin expression (k x d literal
+    algebra — no Python in the assignment path, so the transform
+    distributes exactly like the MLlib model's), plus the
+    ``summary.trainingCost`` / ``clusterCenters`` attributes callers use."""
+
+    def __init__(self, centers, cost: float, features_col: str,
+                 prediction_col: str = "prediction"):
+        from types import SimpleNamespace
+        self._centers = centers
+        self._features_col = features_col
+        self._prediction_col = prediction_col
+        self.summary = SimpleNamespace(trainingCost=float(cost))
+
+    def clusterCenters(self):
+        return [c.copy() for c in self._centers]
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+        x = vector_to_array(F.col(self._features_col))
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(x, F.array(*[F.lit(float(v)) for v in c]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            for c in self._centers])
+        pred = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return df.withColumn(self._prediction_col, pred)
+
+
+def _kmeans_driver_fit(X, k: int, n_init: int, max_iter: int,
+                       base_seed: int):
+    """Seeded kmeans++ + Lloyd restarts on a numpy matrix; returns
+    (best_centers, best_cost) by (cost, seed index). Empty clusters are
+    re-seeded deterministically with the point farthest from its assigned
+    center (sklearn's relocation rule)."""
+    import numpy as np
+
+    n = len(X)
+    xn = np.einsum("ij,ij->i", X, X)
+    # reused buffers (pairwise.py _reuse_note: fresh large allocations
+    # first-touch page-fault at ~30 MB/s on this host)
+    G = np.empty((n, k))
+    rows = np.arange(n)
+
+    def dists(C):
+        np.dot(X, C.T, out=G)
+        np.multiply(G, -2.0, out=G)
+        np.add(G, xn[:, None], out=G)
+        np.add(G, np.einsum("ij,ij->i", C, C)[None, :], out=G)
+        return G
+
+    best = None
+    for i in range(n_init):
+        rng = np.random.default_rng(base_seed + i)
+        # kmeans++ seeding with an incrementally maintained min-d2
+        c0 = X[rng.integers(n)]
+        d2 = np.einsum("ij,ij->i", X - c0, X - c0)
+        cents = [c0]
+        for _ in range(k - 1):
+            tot = d2.sum()
+            if tot <= 0:
+                nxt = X[rng.integers(n)]
+            else:
+                nxt = X[rng.choice(n, p=d2 / tot)]
+            cents.append(nxt)
+            np.minimum(d2, np.einsum("ij,ij->i", X - nxt, X - nxt), out=d2)
+        C = np.array(cents)
+        prev = np.inf
+        for _ in range(max_iter):
+            d = dists(C)
+            a = d.argmin(1)
+            far = d[rows, a]
+            cost = far.sum()
+            for j in range(k):
+                pts = X[a == j]
+                if len(pts):
+                    C[j] = pts.mean(0)
+                else:
+                    # sklearn's relocation rule: re-seed from the point
+                    # farthest from its assigned center
+                    C[j] = X[int(far.argmax())]
+            if abs(prev - cost) <= 1e-12 * max(prev, 1.0):
+                break
+            prev = cost
+        cost = float(np.maximum(dists(C).min(1), 0.0).sum())
+        if best is None or (cost, i) < (best[1], best[2]):
+            best = (C, cost, i)
+    return best[0], best[1]
+
+
 def fit_kmeans_best(df: DataFrame, k: int = 10, n_init: int = 3,
                     max_iter: int = 50, features_col: str = "features",
-                    base_seed: int = 42):
+                    base_seed: int = 42, allow_driver_tier: bool = True):
     """``KMeans(n_clusters, init='k-means++', n_init=100)``
-    (``TF-IDF_K-Means_approach.ipynb:7897-7902``) -> MLlib ``k-means||``
-    with a seed loop keeping the min-cost model (MLlib has no n_init;
-    SURVEY.md M12). n_init defaults low here — each fit is a full
-    distributed job; the reference's 100 restarts on 2.8k rows do not
-    transfer to cluster scale."""
+    (``TF-IDF_K-Means_approach.ipynb:7897-7902``), tiered:
+
+    - at or under ``DRIVER_KMEANS_ROWS`` rows (and ``allow_driver_tier``):
+      seeded numpy kmeans++/Lloyd restarts on the collected matrix — the
+      reference's sklearn semantics verbatim, with the per-Lloyd-iteration
+      distributed-job scheduling floor gone (measured: the whole cost of
+      an MLlib fit at fixture scale is ~50 near-empty jobs);
+    - above it: MLlib ``k-means||`` with a seed loop keeping the min-cost
+      model (MLlib has no n_init; SURVEY.md M12). n_init defaults low —
+      each fit is a full distributed job; the reference's 100 restarts on
+      2.8k rows do not transfer to cluster scale.
+
+    Both tiers return an object with ``transform`` /
+    ``summary.trainingCost`` / ``clusterCenters``; the driver tier's
+    transform is JVM column algebra over broadcast-literal centers, so
+    label assignment distributes identically."""
     from pyspark.ml.clustering import KMeans
     from pyspark.storagelevel import StorageLevel
+
+    if allow_driver_tier:
+        import numpy as np
+        from pyspark.ml.functions import vector_to_array
+        head = df.limit(DRIVER_KMEANS_ROWS + 1).select(
+            vector_to_array(features_col).alias("x")).collect()
+        if len(head) <= DRIVER_KMEANS_ROWS and len(head) >= k:
+            X = np.array([r.x for r in head], dtype=np.float64)
+            C, cost = _kmeans_driver_fit(X, k, n_init, max_iter, base_seed)
+            return _DriverKMeansModel(C, cost, features_col)
     # every restart (and every k-means|| iteration within it) re-evaluates
     # the feature plan unless it is materialized; pin it for the loop
     pinned = df.storageLevel == StorageLevel.NONE

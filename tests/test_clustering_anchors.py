@@ -127,7 +127,8 @@ def test_kmeans_n_init_cost_convergence(spark):
 
     costs = {}
     for n in (1, 3, 5):
-        model = fit_kmeans_best(feats, k=10, n_init=n, max_iter=50)
+        model = fit_kmeans_best(feats, k=10, n_init=n, max_iter=50,
+                                allow_driver_tier=False)
         costs[n] = model.summary.trainingCost
     assert costs[3] <= costs[1] + 1e-9
     assert costs[5] <= costs[3] + 1e-9
@@ -222,3 +223,46 @@ def test_internal_metrics_match_bruteforce(spark):
     assert got.n_points == n and got.n_labels == k
     assert abs(got.calinski_harabasz - ch) < 1e-5, (got.calinski_harabasz, ch)
     assert abs(got.davies_bouldin - db) < 1e-5, (got.davies_bouldin, db)
+
+
+def test_kmeans_driver_tier_semantics(spark):
+    """The driver kmeans tier (<= DRIVER_KMEANS_ROWS rows: seeded numpy
+    kmeans++/Lloyd — the reference's sklearn semantics verbatim) must be
+    deterministic per seed, monotone in restarts, competitive with the
+    MLlib k-means|| fit, and its JVM-expression transform must assign every
+    row to its nearest returned center."""
+    import numpy as np
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import functions as F
+
+    from fts_errors_clustering_spark.operators.clustering import \
+        fit_kmeans_best
+    from fts_errors_clustering_spark.sources.readers import table
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    feats = emb.select("vec_id",
+                       array_to_vector("embedding").alias("features")).cache()
+
+    m1 = fit_kmeans_best(feats, k=10, n_init=1, max_iter=50)
+    m1b = fit_kmeans_best(feats, k=10, n_init=1, max_iter=50)
+    assert type(m1).__name__ == "_DriverKMeansModel"
+    assert m1.summary.trainingCost == m1b.summary.trainingCost
+    m3 = fit_kmeans_best(feats, k=10, n_init=3, max_iter=50)
+    m5 = fit_kmeans_best(feats, k=10, n_init=5, max_iter=50)
+    assert m3.summary.trainingCost <= m1.summary.trainingCost + 1e-9
+    assert m5.summary.trainingCost <= m3.summary.trainingCost + 1e-9
+
+    mllib = fit_kmeans_best(feats, k=10, n_init=3, max_iter=50,
+                            allow_driver_tier=False)
+    assert m3.summary.trainingCost <= 1.2 * mllib.summary.trainingCost
+
+    # transform == nearest center, and its inertia == the reported cost
+    out = m3.transform(feats).select(
+        vector_to_array("features").alias("x"), "prediction").collect()
+    C = np.array(m3.clusterCenters())
+    X = np.array([r.x for r in out])
+    preds = np.array([r.prediction for r in out])
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    assert (preds == d.argmin(1)).all()
+    assert abs(d.min(1).sum() - m3.summary.trainingCost) < 1e-6 * max(
+        m3.summary.trainingCost, 1.0)
