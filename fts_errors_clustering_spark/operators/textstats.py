@@ -668,3 +668,38 @@ def boilerplate_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pref.groupBy("source", "prefix")
             .agg(F.count("*").alias("n_docs"))
             .where(F.col("n_docs") >= 2))
+
+
+@register(
+    "quality_percentile_by_lang",
+    oracle=f"""
+    WITH q AS ({_REG['doc_quality_scores'].oracle}),
+    j AS (
+      SELECT d.lang, q.doc_id, q.quality
+      FROM q JOIN documents d ON d.doc_id = q.doc_id
+    )
+    SELECT lang, doc_id, quality,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+                                      ORDER BY quality, doc_id), 6)
+             AS quality_pct
+    FROM j
+    """,
+    tags=("textstats", "selection", "window"),
+)
+def quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE percentile normalization of the quality score — the
+    comparability fix every multilingual curation pipeline needs before a
+    single global threshold (raw heuristic scores are not comparable across
+    languages: stopword lists and alpha ratios are language-biased, so a
+    global cut silently skews the mix). One window partitioned by lang —
+    parallel across languages at any scale; the (quality, doc_id) tiebreak
+    makes every rank, and therefore the percentile, deterministic. Composes
+    the registered doc_quality_scores oracle as a CTE so the two
+    definitions can never drift."""
+    q = doc_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (q.join(docs, "doc_id")
+            .select("lang", "doc_id", "quality",
+                    F.round(F.percent_rank().over(w), 6)
+                    .alias("quality_pct")))
