@@ -749,3 +749,76 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("canonical_id").alias("n_clusters"),
                  F.sum(F.when(F.col("naive_split") != F.col("split"), 1)
                        .otherwise(0)).cast("long").alias("n_docs_moved")))
+
+
+#: global downsampling factor for the mixture sampler: the target corpus is
+#: BASE_RATE x (uniform-mixture share) of the input, so every source's keep
+#: probability stays strictly below 1 on the fixture (all-kept sources
+#: would make the rebalancing claim untestable)
+MIX_BASE_RATE = 0.5
+
+
+@register(
+    "mixture_sampled_counts",
+    oracle=f"""
+    WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n, COUNT(*) AS k FROM per),
+    probs AS (
+      SELECT per.source, per.n_docs,
+             LEAST(1.0, {MIX_BASE_RATE} * (CAST(tot.n AS DOUBLE) / tot.k)
+                         / per.n_docs) AS p
+      FROM per, tot
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_sampled
+      FROM documents d JOIN probs pr ON pr.source = d.source
+      WHERE CAST(('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967296.0 < pr.p
+      GROUP BY d.source
+    )
+    SELECT pr.source, pr.n_docs,
+           CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(k.n_sampled, 0) AS DOUBLE)
+             / CAST(SUM(COALESCE(k.n_sampled, 0)) OVER () AS BIGINT)
+             AS realized_share
+    FROM probs pr LEFT JOIN kept k ON k.source = pr.source
+    """,
+    tags=("curation", "mixing", "sampling"),
+)
+def mixture_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixing loop CLOSED: materialize the corpus that
+    ``mixture_weights`` prescribes. Each source's keep probability is
+    ``min(1, BASE_RATE x uniform-share weight)``; membership is a
+    content-independent salted md5 fraction of doc_id (reproducible across
+    engines and runs, independent of the train/val/test hash — different
+    salt), so the sampled corpus is a deterministic FUNCTION of the corpus,
+    not an RNG draw. Output: per-source input size, sampled size, and the
+    realized mixture share — the audit row proving the rebalance landed.
+    One scan + a broadcast 5-row probability table; no RNG state, no
+    per-source passes."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").cast("long").alias("n"),
+                  F.count("*").alias("k"))
+    probs = (per.crossJoin(F.broadcast(tot))
+             .select("source", "n_docs",
+                     F.least(F.lit(1.0),
+                             F.lit(MIX_BASE_RATE) *
+                             (F.col("n").cast("double") / F.col("k"))
+                             / F.col("n_docs")).alias("p")))
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long") / F.lit(4294967296.0))
+    kept = (docs.join(F.broadcast(probs.select("source", "p")), "source")
+            .where(u < F.col("p"))
+            .groupBy("source").agg(F.count("*").alias("n_sampled")))
+    joined = (probs.select("source", "n_docs")
+              .join(kept, "source", "left")
+              .select("source", "n_docs",
+                      F.coalesce("n_sampled", F.lit(0)).cast("long")
+                      .alias("n_sampled")))
+    wall = Window.partitionBy()  # |sources|-row aggregate frame — bounded
+    return joined.select(
+        "source", "n_docs", "n_sampled",
+        (F.col("n_sampled").cast("double") /
+         F.sum("n_sampled").over(wall)).alias("realized_share"))
