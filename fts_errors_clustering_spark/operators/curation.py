@@ -822,3 +822,41 @@ def mixture_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "n_sampled",
         (F.col("n_sampled").cast("double") /
          F.sum("n_sampled").over(wall)).alias("realized_share"))
+
+
+@register(
+    "packing_efficiency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({sql_whitespace_tokens('text')}) AS n
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM toks)
+    SELECT n_docs, n_tokens,
+           CAST(CEIL(n_tokens / CAST({PACK_TARGET} AS DOUBLE)) AS BIGINT)
+             AS n_contexts,
+           ROUND(n_tokens / (CEIL(n_tokens / CAST({PACK_TARGET} AS DOUBLE))
+                             * {PACK_TARGET}), 6) AS fill_ratio
+    FROM t
+    """,
+    tags=("curation", "packing"),
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing audit row: corpus token count, the number of
+    {PACK_TARGET}-token training contexts concat-and-cut packing yields
+    (= ceil(tokens/target) — packing wastes only the final partial
+    context), and the fill ratio. The dataset-card number a loader config
+    is validated against; one scan, one 1-row aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.where(F.length(F.trim("text")) > 0)
+            .select(F.size(whitespace_tokens("text")).alias("n")))
+    t = toks.agg(F.sum("n").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_docs"))
+    n_ctx = F.ceil(F.col("n_tokens") / F.lit(float(PACK_TARGET))).cast("long")
+    return t.select(
+        "n_docs", "n_tokens", n_ctx.alias("n_contexts"),
+        F.round(F.col("n_tokens") /
+                (n_ctx * F.lit(PACK_TARGET)).cast("double"), 6)
+        .alias("fill_ratio"))

@@ -137,6 +137,7 @@ _TAIL_AFTER_HEAD = (
     "multimodal_features", "multimodal_framesample", "treebank_tokens",
     "market_share_by_year", "cheapest_supplier_per_part",
     "quality_percentile_by_lang", "mixture_sampled_counts",
+    "packing_efficiency",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
     "streaming_interval_join", "streaming_upsert_compaction",
     "streaming_debounce_gate",
