@@ -860,3 +860,65 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_tokens") /
                 (n_ctx * F.lit(PACK_TARGET)).cast("double"), 6)
         .alias("fill_ratio"))
+
+
+#: curriculum phases (NTILE bucket count) — 8 is the usual short-to-long
+#: schedule granularity; any k works, the math below is exact for all n, k
+N_PHASES = 8
+
+
+@register(
+    "curriculum_length_phases",
+    oracle="""
+    WITH nt AS (
+      SELECT doc_id, n_chars,
+             NTILE(8) OVER (ORDER BY n_chars, doc_id) AS phase
+      FROM documents
+    )
+    SELECT CAST(phase AS BIGINT) AS phase,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM nt GROUP BY 1
+    """,
+    tags=("curation", "curriculum", "scale"),
+)
+def curriculum_length_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum schedule: the corpus split into ``N_PHASES``
+    equal-population phases ordered short-to-long (NTILE over
+    ``(n_chars, doc_id)`` — the unique tiebreak makes the total order and
+    therefore the phase assignment engine-independent), reporting each
+    phase's population and char-length envelope. This is the "train on
+    short documents first" schedule builder of curriculum pretraining.
+
+    Scale: exact global NTILE without the single-partition window. The
+    global rank is the two-phase bucket prefix-sum
+    (``scale.quantile_buckets`` + ``scale.bucket_prefix_offsets``, the
+    same composition as ``global_value_rank``); NTILE is then pure literal
+    arithmetic on the rank — SQL's NTILE(k) gives the first ``n % k``
+    buckets ``n//k + 1`` rows and the rest ``n//k``, reproduced exactly
+    below. The driver only ever sees <= n_buckets numbers plus one
+    count-star (metadata-only on parquet)."""
+    from .scale import bucket_prefix_offsets, quantile_buckets
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n = docs.count()
+    k = N_PHASES
+    q, r = divmod(n, k)
+    size1 = q + 1                       # rows in each of the first r phases
+    qq = max(q, 1)                      # div guard; unused branch when q == 0
+    bucketed = quantile_buckets(docs, "n_chars")
+    off = bucket_prefix_offsets(bucketed, F.count("*"))
+    w = Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
+    rk = (off + F.row_number().over(w)).cast("long")
+    phase = (F.when(rk <= F.lit(r * size1),
+                    F.floor((rk - 1) / F.lit(size1)) + 1)
+             .otherwise(F.lit(r) +
+                        F.floor((rk - F.lit(r * size1) - 1) / F.lit(qq)) + 1))
+    return (bucketed
+            .withColumn("phase", phase.cast("long"))
+            .groupBy("phase")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n_chars").cast("long").alias("min_chars"),
+                 F.max("n_chars").cast("long").alias("max_chars"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))

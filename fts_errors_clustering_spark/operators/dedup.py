@@ -760,3 +760,50 @@ def canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
                   .cast("long").alias("n_canonical")))
+
+
+@register(
+    "snapshot_diff_counts",
+    oracle="""
+    WITH old_snap AS (
+      SELECT DISTINCT md5(text) AS dg FROM documents
+      WHERE doc_id % 2 = 0 AND text IS NOT NULL
+    ),
+    new_snap AS (
+      SELECT DISTINCT md5(text) AS dg FROM documents
+      WHERE doc_id % 3 <> 0 AND text IS NOT NULL
+    )
+    SELECT CASE WHEN o.dg IS NULL THEN 'added'
+                WHEN n.dg IS NULL THEN 'removed'
+                ELSE 'kept' END AS status,
+           COUNT(*) AS n_digests
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.dg = n.dg
+    GROUP BY 1
+    """,
+    tags=("dedup", "versioning"),
+)
+def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff: two corpus snapshots compared by content
+    digest, reporting how many distinct contents were added, removed, or
+    kept between them — the audit row a dataset release pipeline prints
+    for every new crawl drop. The snapshots are deterministic overlapping
+    id-slices of the fixture corpus (old = even ids, new = ids not
+    divisible by 3), so all three statuses are populated at every SF.
+
+    Scale: each side reduces to DISTINCT 16-byte digests before the
+    FULL OUTER sort-merge join — document bodies never shuffle, and the
+    join key is the digest itself, uniformly distributed by construction
+    (no skew). This is the content-addressable diff that stays linear when
+    both snapshots are 100 TB."""
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    old_snap = (docs.where(F.col("doc_id") % 2 == 0)
+                .select(F.md5("text").alias("dg")).distinct())
+    new_snap = (docs.where(F.col("doc_id") % 3 != 0)
+                .select(F.md5("text").alias("n_dg")).distinct())
+    joined = old_snap.join(new_snap, old_snap.dg == new_snap.n_dg,
+                           "full_outer")
+    status = (F.when(F.col("dg").isNull(), "added")
+              .when(F.col("n_dg").isNull(), "removed")
+              .otherwise("kept"))
+    return (joined.groupBy(status.alias("status"))
+            .agg(F.count("*").alias("n_digests")))

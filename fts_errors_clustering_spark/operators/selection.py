@@ -441,3 +441,61 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cell", "n_vectors", "n_dropped",
                     (F.col("n_vectors") - F.col("n_dropped")).cast("long")
                     .alias("n_kept")))
+
+
+#: multilingual sampling temperature — the exponent alpha in p_l^alpha
+#: re-weighting (0.3 is the mBERT/XLM-R exemplar setting: low-resource
+#: languages get upsampled, high-resource downsampled)
+TEMP_ALPHA = 0.3
+
+
+@register(
+    "lang_temperature_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, len({sql_whitespace_tokens('text')}) AS n
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    c AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens FROM toks GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_tokens,
+             n_tokens / CAST((SELECT SUM(n_tokens) FROM c) AS DOUBLE) AS p,
+             POW(n_tokens / CAST((SELECT SUM(n_tokens) FROM c) AS DOUBLE),
+                 {TEMP_ALPHA}) AS wt
+      FROM c
+    )
+    SELECT lang, n_tokens,
+           ROUND(p, 6) AS p_raw,
+           ROUND(wt / (SELECT SUM(wt) FROM w), 6) AS p_temp
+    FROM w
+    """,
+    tags=("selection", "sampling"),
+)
+def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling weights: per-language token
+    mass p_l renormalized as p_l^alpha / sum_m p_m^alpha (alpha =
+    {TEMP_ALPHA}) — the exponentiated re-weighting multilingual
+    pretraining uses to upsample low-resource languages without flattening
+    the mixture entirely. Reports raw and temperature-adjusted sampling
+    probabilities next to the token counts that produced them.
+
+    Scale: the corpus is scanned once for per-language token sums; both
+    normalizers are 1-row aggregates over the |langs|-row weight table
+    (broadcast scalar joins — the same bounded BNLJ shape as
+    ``mixture_weights``). ``ROUND(.., 6)`` absorbs the cross-engine ULP
+    noise of POW and of the |langs|-term double summation order."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (docs.where(F.length(F.trim("text")) > 0)
+            .select("lang", F.size(whitespace_tokens("text")).alias("n")))
+    c = toks.groupBy("lang").agg(F.sum("n").cast("long").alias("n_tokens"))
+    total = c.agg(F.sum("n_tokens").cast("double").alias("total"))
+    w = (c.join(F.broadcast(total))
+         .withColumn("p", F.col("n_tokens") / F.col("total"))
+         .withColumn("wt", F.pow("p", F.lit(TEMP_ALPHA))))
+    sw = w.agg(F.sum("wt").alias("sw"))
+    return (w.join(F.broadcast(sw))
+            .select("lang", "n_tokens",
+                    F.round("p", 6).alias("p_raw"),
+                    F.round(F.col("wt") / F.col("sw"), 6).alias("p_temp")))

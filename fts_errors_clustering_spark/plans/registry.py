@@ -138,6 +138,8 @@ _TAIL_AFTER_HEAD = (
     "market_share_by_year", "cheapest_supplier_per_part",
     "quality_percentile_by_lang", "mixture_sampled_counts",
     "packing_efficiency",
+    "curriculum_length_phases", "snapshot_diff_counts",
+    "lang_temperature_weights",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
     "streaming_interval_join", "streaming_upsert_compaction",
     "streaming_debounce_gate",

@@ -175,6 +175,15 @@ def test_packed_sequences_no_single_partition_window(spark):
     assert "bucket" in plan
 
 
+def test_curriculum_phases_no_single_partition_window(spark):
+    """The curriculum NTILE must come from the bucket prefix-sum rank —
+    a plain NTILE() OVER (ORDER BY ...) would be a SinglePartition
+    exchange of the whole corpus."""
+    plan = _plan(_DEFS["curriculum_length_phases"].fn(spark, SF_SMALL))
+    assert "SinglePartition" not in plan, plan
+    assert "bucket" in plan
+
+
 def test_knee_curve_no_single_partition_window(spark):
     """M17's curve index/lag-lead/running-max must all avoid unpartitioned
     windows: one row per embedding point means a global window is a
@@ -257,6 +266,7 @@ _BNLJ_OK: set[str] = {
     "lang_token_divergence",     # |langs|-row l1<l2 pair self-join
     "idle_rich_customers",       # 1-row scalar balance cutoff
     "incremental_neardup_counts",  # 1-row batch-count x 1-row flagged-count
+    "lang_temperature_weights",  # 1-row token total + 1-row weight sum
 }
 
 #: CartesianProduct allowed only against a literal parameter table
