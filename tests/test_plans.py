@@ -267,6 +267,7 @@ _BNLJ_OK: set[str] = {
     "idle_rich_customers",       # 1-row scalar balance cutoff
     "incremental_neardup_counts",  # 1-row batch-count x 1-row flagged-count
     "lang_temperature_weights",  # 1-row token total + 1-row weight sum
+    "mixture_sampled_counts",    # 1-row (corpus total, source count) scalars
 }
 
 #: CartesianProduct allowed only against a literal parameter table
