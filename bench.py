@@ -97,6 +97,9 @@ HEADLINE = [
     "incremental_neardup_counts",
     "multimodal_features",
     "lsa_svd_features",
+    "disjunctive_bracket_revenue",
+    "embedding_quantization_error",
+    "doc_novelty_scores",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

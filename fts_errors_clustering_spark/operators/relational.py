@@ -1630,3 +1630,61 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.asc("min_unit_price"), F.asc("p_partkey"),
                      F.asc("s_suppkey"))
             .limit(20))
+
+
+@register(
+    "disjunctive_bracket_revenue",
+    oracle=f"""
+    SELECT CASE WHEN p.p_brand = 'Brand#12' THEN 'small'
+                WHEN p.p_brand = 'Brand#23' THEN 'medium'
+                ELSE 'large' END AS bracket,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dec_sum('l.l_extendedprice * (1.0 - l.l_discount)', 6)} AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY bracket
+    """,
+    tags=("relational", "tpch", "join"),
+)
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under an OR-of-ANDs predicate
+    that references BOTH join sides (brand x size on part, quantity on
+    lineitem), grouped by bracket. The disjunction itself cannot be pushed
+    below the join, so the plan hoists the per-side IMPLIED conjuncts —
+    ``p_brand IN (...)`` onto the part scan and the quantity envelope
+    ``BETWEEN 1 AND 30`` onto the lineitem scan — explicitly (Catalyst does
+    not factor disjunctions across join inputs); at 100 TB the envelope
+    predicate is what reaches the parquet row-group stats and prunes the
+    fact scan, while the residual OR evaluates post-join on the survivors.
+
+    Scale: part (pre-filtered to 3 brands) is a broadcast dim, so the fact
+    side never shuffles; the 3-group aggregate is map-side combined; money
+    arithmetic is DECIMAL-exact (functions/numeric.py).
+    """
+    p = (table(spark, sf_dir, "part")
+         .select("p_partkey", "p_brand", "p_size")
+         .where(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")))
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .where(F.col("l_quantity").between(1, 30)))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b1 = ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(1, 11))
+    b2 = ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+          & F.col("l_quantity").between(10, 20))
+    b3 = ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+          & F.col("l_quantity").between(20, 30))
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    bracket = (F.when(F.col("p_brand") == "Brand#12", "small")
+               .when(F.col("p_brand") == "Brand#23", "medium")
+               .otherwise("large"))
+    return (j.where(b1 | b2 | b3)
+            .groupBy(bracket.alias("bracket"))
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 dec_sum(disc, 6).alias("revenue")))

@@ -532,3 +532,69 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement floor documents the noise-regime behavior."""
     return ivfpq_topk(table(spark, sf_dir, "embeddings")
                       .select("vec_id", "embedding"))
+
+
+@register(
+    "embedding_quantization_error",
+    oracle=f"""
+    WITH flat AS (
+      SELECT t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS val
+      FROM embeddings, range(0, {DIM}) t(i)
+    ),
+    stats AS (
+      SELECT dim, MIN(val) AS vmin, MAX(val) AS vmax FROM flat GROUP BY dim
+    ),
+    err AS (
+      SELECT f.dim, s.vmin, s.vmax,
+             CASE WHEN s.vmax = s.vmin THEN 0.0 ELSE
+               (f.val - (s.vmin + ROUND((f.val - s.vmin) /
+                                        ((s.vmax - s.vmin) / 255.0))
+                                  * ((s.vmax - s.vmin) / 255.0)))
+               * (f.val - (s.vmin + ROUND((f.val - s.vmin) /
+                                          ((s.vmax - s.vmin) / 255.0))
+                                    * ((s.vmax - s.vmin) / 255.0)))
+             END AS sqerr
+      FROM flat f JOIN stats s USING (dim)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           MIN(vmin) AS vmin, MIN(vmax) AS vmax,
+           ROUND({_SQL_DEC_SUM.format(x='sqerr')} / COUNT(*), 12) AS mse_q8
+    FROM err GROUP BY dim
+    """,
+    tags=("similarity", "vectors", "curation"),
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 affine-quantization audit per embedding dimension: for each dim,
+    the (min, max) calibration range, and the mean squared reconstruction
+    error of symmetric-grid uint8 quantization ``q = round((v - min)/s)``,
+    ``s = (max - min)/255`` — the storage-tier decision table for shipping a
+    100 TB embedding corpus as 1/4-size int8 (the same calibration sweep a
+    PQ/IVF build runs before choosing codebook bits).
+
+    Determinism across engines: every arithmetic step (subtract, divide,
+    round-half-away-from-zero on non-negative input, multiply) maps IEEE
+    doubles to IEEE doubles identically in Spark and DuckDB, and the only
+    aggregate over non-identical magnitudes (the sqerr sum) goes through the
+    order-insensitive decimal accumulator (functions/numeric.py rationale).
+
+    Scale: posexplode streams (dim, val) pairs; the 64-row per-dim stats
+    aggregate is map-side combined, broadcast back for the error pass, and
+    the final aggregate is again 64 keys — no row ever carries the full
+    vector through a shuffle, and no stage materializes a dense matrix.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    flat = (emb.select(F.posexplode("embedding").alias("dim", "valf"))
+            .select("dim", F.col("valf").cast("double").alias("val")))
+    stats = flat.groupBy("dim").agg(F.min("val").alias("vmin"),
+                                    F.max("val").alias("vmax"))
+    j = flat.join(F.broadcast(stats), "dim")
+    scale = (F.col("vmax") - F.col("vmin")) / F.lit(255.0)
+    q = F.round((F.col("val") - F.col("vmin")) / scale, 0)
+    deq = F.col("vmin") + q * scale
+    sqerr = F.when(F.col("vmax") == F.col("vmin"), F.lit(0.0)) \
+             .otherwise((F.col("val") - deq) * (F.col("val") - deq))
+    return (j.select("dim", "vmin", "vmax", sqerr.alias("sqerr"))
+            .groupBy(F.col("dim").cast("long").alias("dim"))
+            .agg(F.min("vmin").alias("vmin"), F.min("vmax").alias("vmax"),
+                 F.round(_dec_sum(F.col("sqerr")) / F.count("*"), 12)
+                 .alias("mse_q8")))

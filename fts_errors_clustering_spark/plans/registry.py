@@ -140,6 +140,8 @@ _TAIL_AFTER_HEAD = (
     "packing_efficiency",
     "curriculum_length_phases", "snapshot_diff_counts",
     "lang_temperature_weights",
+    "disjunctive_bracket_revenue", "embedding_quantization_error",
+    "doc_novelty_scores",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
     "streaming_interval_join", "streaming_upsert_compaction",
     "streaming_debounce_gate",

@@ -143,3 +143,21 @@ def test_packed_sequences_conserve_tokens(spark):
     assert all(r.n_docs > 0 for r in bins)
     ids = sorted(r.bin_id for r in bins)
     assert len(ids) == len(set(ids))
+
+
+def test_novelty_collapses_on_planted_dups(spark):
+    from fts_errors_clustering_spark.operators.dedup import doc_novelty_scores
+    rows = {r.doc_id: r for r in doc_novelty_scores(spark, SF_SMALL).collect()}
+    planted = [i for i in rows if i >= 100000]
+    assert planted, "planted dup corpus missing"
+    for pid in planted:
+        orig = rows.get(pid - 100000)
+        if orig is None or orig.n_shingles < 3:
+            continue
+        # the pair shares all but the ' xdup'-suffix shingles -> both members
+        # lose their uniqueness signal
+        assert rows[pid].novelty <= 0.35, rows[pid]
+        assert orig.novelty <= 0.35, orig
+    for r in rows.values():
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert 0.0 <= r.novelty <= 1.0

@@ -242,3 +242,14 @@ def test_ivf_at_rest_partition_pruning(spark, tmp_path):
     import os
     all_cells = [d for d in os.listdir(root) if d.startswith("cell=")]
     assert len(all_cells) == 8
+
+
+def test_quantization_error_within_grid_bound(spark):
+    """Uint8 grid quantization error is at most (step/2)^2 per element, so
+    the per-dim MSE must sit under that bound; ranges must be ordered."""
+    rows = similarity.embedding_quantization_error(spark, SF_SMALL).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.vmin <= r.vmax
+        step = (r.vmax - r.vmin) / 255.0
+        assert 0.0 <= r.mse_q8 <= (step / 2.0) ** 2 + 1e-12, r
