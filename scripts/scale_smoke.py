@@ -94,10 +94,21 @@ def stage(spark) -> None:
     # dims stay fixture-sized (the 10x run scales the FACT side only —
     # exactly the skew-join scenario); staged idempotently on their own
     # marker so older staged dirs pick them up
-    for dim in ("customer", "orders"):
+    for dim in ("customer", "orders", "part", "supplier", "nation", "region"):
         if not os.path.exists(os.path.join(OUT, f"{dim}.parquet")):
             (table(spark, SRC, dim).write.mode("overwrite")
              .parquet(os.path.join(OUT, f"{dim}.parquet")))
+    # lineitem is a FACT: replicate 10x with keys UNCHANGED (join fanout
+    # grows honestly; only the line number is salted to keep the natural
+    # (orderkey, linenumber) key unique across replicas)
+    if not os.path.exists(os.path.join(OUT, "lineitem.parquet")):
+        li = table(spark, SRC, "lineitem").withColumn(
+            "k", F.explode(F.array(*[F.lit(k) for k in range(REPLICAS)])))
+        (li.withColumn("l_linenumber",
+                       F.col("l_linenumber") + F.col("k") * 10)
+           .drop("k")
+           .write.mode("overwrite")
+           .parquet(os.path.join(OUT, "lineitem.parquet")))
     if os.path.exists(os.path.join(OUT, "_STAGED")):
         return
     reps = F.explode(F.array(*[F.lit(k) for k in range(REPLICAS)])).alias("k")
