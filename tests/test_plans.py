@@ -268,6 +268,8 @@ _BNLJ_OK: set[str] = {
     "incremental_neardup_counts",  # 1-row batch-count x 1-row flagged-count
     "lang_temperature_weights",  # 1-row token total + 1-row weight sum
     "mixture_sampled_counts",    # 1-row (corpus total, source count) scalars
+    "copurchase_triangle_count",  # 1-row edge/wedge/triangle count stitch
+    "top_supplier_by_revenue",   # 1-row max-revenue scalar vs supplier rows
 }
 
 #: CartesianProduct allowed only against a literal parameter table
