@@ -351,29 +351,57 @@ def kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M14/M15: word2vec document vectors
 # ---------------------------------------------------------------------------
 
+#: Token volume a single word2vec training partition handles per epoch.
+#: MLlib trains hogwild-style — each partition updates a shared weight
+#: snapshot, merged per epoch — so MORE partitions mean more averaging
+#: noise on tiny corpora but are the ONLY source of fit parallelism.
+#: 2M tokens/partition keeps fixture-sized corpora at numPartitions=1
+#: (bit-stable local fits) while a 100 TB corpus fans out to the cap.
+_W2V_TOKENS_PER_PARTITION = 2_000_000
+_W2V_MAX_PARTITIONS = 256
+
+
+def _w2v_num_partitions(docs_tokens: DataFrame, tokens_col: str) -> int:
+    n_tokens = (docs_tokens.agg(F.sum(F.size(tokens_col)))
+                .first()[0]) or 0
+    return int(max(1, min(_W2V_MAX_PARTITIONS,
+                          n_tokens // _W2V_TOKENS_PER_PARTITION)))
+
+
 def fit_word2vec(docs_tokens: DataFrame, vector_size: int = 32,
                  window: int = 5, min_count: int = 1, max_iter: int = 8,
                  seed: int = 42, tokens_col: str = "tokens",
+                 num_partitions: int | None = None,
                  cache_key=None):
     """M14 ``train_word2vec`` (gensim CBOW, size=200/window=5/min_count=1/
     iter=1000 — ``word2vec_dbscan_approach.ipynb:133-145``) as
     ``ml.feature.Word2Vec``. The transform IS M15 sentence2vec: Spark
     averages in-vocab word vectors per document, and returns a ZERO vector
     for empty docs — exactly the mean-pool semantics minus the reference's
-    ragged-empty bug (SURVEY.md M15, 2.9.2)."""
+    ragged-empty bug (SURVEY.md M15, 2.9.2).
+
+    ``num_partitions=None`` sizes the training parallelism from the token
+    count (:data:`_W2V_TOKENS_PER_PARTITION`): MLlib's default
+    ``numPartitions=1`` trains the whole corpus in ONE task — fine for the
+    fixture corpora (and kept there for bit-stable fits), a serial
+    bottleneck on a real cluster where the fit would otherwise ignore
+    every executor but one."""
     from pyspark.ml.feature import Word2Vec
 
     from .model_cache import memo
 
     def build():
+        nparts = (num_partitions if num_partitions is not None
+                  else _w2v_num_partitions(docs_tokens, tokens_col))
         w2v = Word2Vec(vectorSize=vector_size, windowSize=window,
                        minCount=min_count, maxIter=max_iter, seed=seed,
+                       numPartitions=nparts,
                        inputCol=tokens_col, outputCol="doc_vec")
         return w2v.fit(docs_tokens)
 
     key = None if cache_key is None else (
         "w2v", cache_key, vector_size, window, min_count, max_iter, seed,
-        tokens_col)
+        tokens_col, num_partitions)
     return memo(key, build)
 
 

@@ -59,6 +59,22 @@ def test_w2v_200d_shape_and_nondegeneracy(w2v_200):
     assert stats.n_norms > 10        # embeddings are not all identical
 
 
+def test_w2v_partition_heuristic(spark, monkeypatch):
+    """The word2vec fit must stay at numPartitions=1 on fixture-sized
+    corpora (bit-stable) and fan out proportionally to token volume,
+    capped — the property that keeps the fit from serializing on one
+    task at cluster scale."""
+    from fts_errors_clustering_spark.operators import clustering as C
+    toks = spark.createDataFrame(
+        [(i, ["a", "b", "c"]) for i in range(4)],
+        "doc_id long, tokens array<string>")
+    assert C._w2v_num_partitions(toks, "tokens") == 1  # 12 tokens -> 1
+    monkeypatch.setattr(C, "_W2V_TOKENS_PER_PARTITION", 4)
+    assert C._w2v_num_partitions(toks, "tokens") == 3  # 12 // 4
+    monkeypatch.setattr(C, "_W2V_MAX_PARTITIONS", 2)
+    assert C._w2v_num_partitions(toks, "tokens") == 2  # capped
+
+
 def test_w2v_mean_pool_determinism(w2v_200):
     """M15 sentence2vec is an exact mean-pool: equal token lists must map to
     bit-identical doc vectors."""
