@@ -1946,3 +1946,152 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
                       "o_totalprice")
              .agg(dec_sum("l_quantity", 2).alias("sum_qty")))
+
+
+@register(
+    "late_exists_priority_counts",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("relational", "tpch", "join"),
+)
+def late_exists_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (reshaped to this schema's columns: the spec's
+    commitdate<receiptdate EXISTS becomes shipdate > orderdate+30d): count
+    orders per priority that had at least one late line. The correlated
+    EXISTS compiles to a LEFT SEMI hash join on o_orderkey with the date
+    inequality as a join residual — one pass over each table, no distinct,
+    no subquery re-execution, and the half-year filter prunes the orders
+    scan before the shuffle."""
+    o = (table(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))))
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(l, (o.o_orderkey == l.l_orderkey)
+                  & (l.l_shipdate > F.date_add(o.o_orderdate, 30)),
+                  "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
+@register(
+    "nation_profit_by_year",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           {sql_dec_sum('l.l_extendedprice * (1.0 - l.l_discount)'
+                        ' - 0.6 * p.p_retailprice * l.l_quantity', 6)}
+             AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+    """,
+    tags=("relational", "tpch", "join"),
+)
+def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (supplycost proxied as 60% of p_retailprice — this
+    schema has no partsupp table): profit on '%gear%' parts per supplier
+    nation and ship year. The part-name filter lands on the BROADCAST side
+    and shrinks the fact join to matching partkeys before any shuffle;
+    supplier and nation broadcast too, so lineitem is never repartitioned
+    — the only exchange is the bounded (25 x years) final aggregate."""
+    l = table(spark, sf_dir, "lineitem")
+    p = (table(spark, sf_dir, "part")
+         .where(F.col("p_name").contains("gear"))
+         .select("p_partkey", "p_retailprice"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+             .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .groupBy(F.col("n_name").alias("nation"),
+                      F.year("l_shipdate").cast("long").alias("ship_year"))
+             .agg(dec_sum(profit, 6).alias("profit")))
+
+
+@register(
+    "important_part_value",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l.l_partkey,
+             {sql_dec_sum('l.l_extendedprice * l.l_quantity', 4)} AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_acctbal >= 0
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value
+    FROM pv
+    WHERE value > (SELECT SUM(value) * 0.001 FROM pv)
+    """,
+    tags=("relational", "tpch", "join"),
+)
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value (over solvent
+    suppliers) exceeds a FRACTION OF THE GLOBAL TOTAL. The per-part value
+    table is computed once; the grand total is a 1-row aggregate of it
+    that re-enters as a broadcast scalar cross join — never a
+    SinglePartition window, and the base aggregation is not recomputed
+    for the subquery (Spark reuses the exchange under AQE)."""
+    l = table(spark, sf_dir, "lineitem")
+    s = (table(spark, sf_dir, "supplier")
+         .where(F.col("s_acctbal") >= 0).select("s_suppkey"))
+    pv = (l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+           .groupBy("l_partkey")
+           .agg(dec_sum(F.col("l_extendedprice") * F.col("l_quantity"), 4)
+                .alias("value")))
+    total = pv.agg((F.sum("value") * F.lit(0.001)).alias("cutoff"))
+    return (pv.crossJoin(F.broadcast(total))
+            .where(F.col("value") > F.col("cutoff"))
+            .select("l_partkey", "value"))
+
+
+@register(
+    "part_supplier_diversity",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_size IN (1, 5, 11, 17, 23, 29, 35, 41)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("relational", "tpch", "join"),
+)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
+    for a part subset, excluding blacklisted suppliers (the spec's NOT IN
+    complaint-supplier subquery becomes an acctbal<0 exclusion). The
+    NOT IN is a broadcast LEFT ANTI join (the blacklist is tiny and
+    null-free by construction); part prunes on the broadcast side; the
+    COUNT(DISTINCT) is Spark's two-phase expand — partial distinct
+    map-side, so the shuffle carries (group, suppkey) pairs, not rows."""
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (table(spark, sf_dir, "part")
+         .where((F.col("p_brand") != "Brand#2")
+                & F.col("p_size").isin(1, 5, 11, 17, 23, 29, 35, 41))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (table(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey,
+                   "left_anti")
+             .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+             .groupBy("p_brand", "p_type", "p_size")
+             .agg(F.count_distinct("l_suppkey").cast("long")
+                  .alias("supplier_cnt")))

@@ -145,7 +145,9 @@ _TAIL_AFTER_HEAD = (
     "forecast_revenue_delta", "nation_trade_volume",
     "returned_item_losses", "customer_order_distribution",
     "promo_revenue_share", "top_supplier_by_revenue",
-    "large_volume_customers",
+    "large_volume_customers", "late_exists_priority_counts",
+    "nation_profit_by_year", "important_part_value",
+    "part_supplier_diversity",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
     "streaming_interval_join", "streaming_upsert_compaction",
     "streaming_debounce_gate",

@@ -270,6 +270,7 @@ _BNLJ_OK: set[str] = {
     "mixture_sampled_counts",    # 1-row (corpus total, source count) scalars
     "copurchase_triangle_count",  # 1-row edge/wedge/triangle count stitch
     "top_supplier_by_revenue",   # 1-row max-revenue scalar vs supplier rows
+    "important_part_value",      # 1-row global-total cutoff vs part rows
 }
 
 #: CartesianProduct allowed only against a literal parameter table
