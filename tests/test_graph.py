@@ -74,3 +74,33 @@ def test_triangle_count_vs_known_graph(spark):
     assert row.n_edges == len(set(edges))
     assert row.n_triangles == 4
     assert row.n_wedges >= row.n_triangles
+
+def test_kcore_peels_to_clique(spark):
+    """Adaptive-k peeling on K5 + a pendant chain: avg degree 3 ->
+    k = ceil(0.7 * 3) = 3, the chain peels in round one, the clique
+    survives all rounds at degree 4."""
+    import itertools
+    from pyspark.sql import functions as F
+    from fts_errors_clustering_spark.operators import graph as G
+    edges = [(a, b) for a, b in itertools.combinations(range(5), 2)]
+    edges += [(10, 11), (11, 12)]
+    und = spark.createDataFrame(edges, "a long, b long")
+
+    # replay the registered query's loop body on a hand-built graph
+    def degrees(e):
+        return (e.select(F.col("a").alias("x"))
+                .unionAll(e.select(F.col("b").alias("x")))
+                .groupBy("x").agg(F.count("*").alias("d")))
+    kdf = degrees(und).agg(F.ceil(F.lit(G.KCORE_FRAC) * F.avg("d"))
+                           .cast("long").alias("k"))
+    assert kdf.first().k == 3
+    e = und
+    for _ in range(G.KCORE_ROUNDS):
+        keep = (degrees(e).crossJoin(F.broadcast(kdf))
+                .where(F.col("d") >= F.col("k")).select("x"))
+        e = (e.join(keep.withColumnRenamed("x", "a"), "a", "left_semi")
+              .join(keep.withColumnRenamed("x", "b"), "b", "left_semi")
+              .select("a", "b"))
+    rows = degrees(e).collect()
+    assert sorted(r.x for r in rows) == [0, 1, 2, 3, 4]
+    assert all(r.d == 4 for r in rows)

@@ -271,6 +271,7 @@ _BNLJ_OK: set[str] = {
     "copurchase_triangle_count",  # 1-row edge/wedge/triangle count stitch
     "top_supplier_by_revenue",   # 1-row max-revenue scalar vs supplier rows
     "important_part_value",      # 1-row global-total cutoff vs part rows
+    "copurchase_kcore",          # 1-row adaptive-k scalar vs degree rows
 }
 
 #: CartesianProduct allowed only against a literal parameter table
