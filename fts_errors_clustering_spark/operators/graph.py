@@ -197,7 +197,7 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (li.join(l2, (li.l_orderkey == l2.o2) &
                    (li.l_partkey < l2.b))
            .select(F.col("l_partkey").alias("a"), "b")
-           .distinct())
+           .distinct().cache())  # reused by deg / orient / edge count
     return triangle_stats(und)
 
 
@@ -217,7 +217,8 @@ def triangle_stats(und: DataFrame) -> DataFrame:
                        .otherwise(F.col("b")).alias("lo"),
                       F.when(F.col("ra") < F.col("rb"), F.col("b"))
                        .otherwise(F.col("a")).alias("hi"),
-                      F.greatest("ra", "rb").alias("hi_r")))
+                      F.greatest("ra", "rb").alias("hi_r"))
+              .cache())  # feeds both wedge sides, the closer, and n_w
     o1 = orient.select(F.col("lo"), F.col("hi").alias("v"),
                        F.col("hi_r").alias("vr"))
     o2 = orient.select(F.col("lo").alias("lo2"), F.col("hi").alias("w"),
@@ -305,10 +306,13 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l2 = li.select(F.col("l_orderkey").alias("o2"),
                    F.col("l_partkey").alias("b"))
+    # cache: the distinct-ed self-join is the expensive input (per-order
+    # quadratic fanout before distinct) and round 1 + the k scalar would
+    # otherwise recompute it once per consuming branch
     und = (li.join(l2, (li.l_orderkey == l2.o2) &
                    (li.l_partkey < l2.b))
            .select(F.col("l_partkey").alias("a"), "b")
-           .distinct())
+           .distinct().cache())
 
     def degrees(e: DataFrame) -> DataFrame:
         return (e.select(F.col("a").alias("x"))

@@ -2035,17 +2035,21 @@ def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, value
     FROM pv
-    WHERE value > (SELECT SUM(value) * 0.001 FROM pv)
+    WHERE value > (SELECT 1.5 * {sql_dec_sum('value', 4)} / COUNT(*) FROM pv)
     """,
     tags=("relational", "tpch", "join"),
 )
 def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose inventory value (over solvent
-    suppliers) exceeds a FRACTION OF THE GLOBAL TOTAL. The per-part value
-    table is computed once; the grand total is a 1-row aggregate of it
-    that re-enters as a broadcast scalar cross join — never a
-    SinglePartition window, and the base aggregation is not recomputed
-    for the subquery (Spark reuses the exchange under AQE)."""
+    suppliers) exceeds a GLOBAL-AGGREGATE cutoff — 1.5x the mean per-part
+    value (the spec's fixed fraction-of-total goes vacuous as the part
+    count grows: 0.001 of total is 20x the average at 20k parts and
+    nothing qualifies; mean-relative keeps the selectivity scale-stable
+    — 1.5x selects 4 / 53 / 607 parts at sf0.001/0.01/0.1).
+    The per-part value table is computed once; the cutoff is a 1-row
+    aggregate of it that re-enters as a broadcast scalar cross join —
+    never a SinglePartition window, and the base aggregation is not
+    recomputed for the subquery (Spark reuses the exchange under AQE)."""
     l = table(spark, sf_dir, "lineitem")
     s = (table(spark, sf_dir, "supplier")
          .where(F.col("s_acctbal") >= 0).select("s_suppkey"))
@@ -2053,7 +2057,10 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("l_partkey")
            .agg(dec_sum(F.col("l_extendedprice") * F.col("l_quantity"), 4)
                 .alias("value")))
-    total = pv.agg((F.sum("value") * F.lit(0.001)).alias("cutoff"))
+    # decimal-exact numerator: a float AVG's partial-sum order could flip
+    # a part sitting exactly on the cutoff between engines
+    total = pv.agg((F.lit(1.5) * dec_sum("value", 4) / F.count("*"))
+                   .alias("cutoff"))
     return (pv.crossJoin(F.broadcast(total))
             .where(F.col("value") > F.col("cutoff"))
             .select("l_partkey", "value"))
