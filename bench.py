@@ -100,6 +100,20 @@ HEADLINE = [
     "disjunctive_bracket_revenue",
     "embedding_quantization_error",
     "doc_novelty_scores",
+    # round-3b: graph + TPC-H batch 2 (kcore excluded — its ~12 s is the
+    # 1.2M-edge peel loop, tracked by the 10x smoke instead)
+    "copurchase_triangle_count",
+    "forecast_revenue_delta",
+    "nation_trade_volume",
+    "returned_item_losses",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier_by_revenue",
+    "large_volume_customers",
+    "late_exists_priority_counts",
+    "nation_profit_by_year",
+    "important_part_value",
+    "part_supplier_diversity",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and
