@@ -2102,3 +2102,48 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("p_brand", "p_type", "p_size")
              .agg(F.count_distinct("l_suppkey").cast("long")
                   .alias("supplier_cnt")))
+
+
+@register(
+    "time_rollup_revenue",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+           CASE WHEN GROUPING(EXTRACT(YEAR FROM o_orderdate)) = 1 THEN 'total'
+                WHEN GROUPING(EXTRACT(MONTH FROM o_orderdate)) = 1 THEN 'year'
+                ELSE 'month' END AS level,
+           {sql_dec_sum('o_totalprice', 4)} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)),
+      (EXTRACT(YEAR FROM o_orderdate)),
+      ())
+    """,
+    tags=("relational", "agg"),
+)
+def time_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup via GROUPING SETS: month, year, and grand
+    total aggregates of order revenue in ONE Expand pass over the scan —
+    the multi-granularity dashboard query that would otherwise be three
+    scans unioned. The `level` label derives from the grouping-null
+    pattern (CASE over GROUPING bits in SQL, the same Expand-generated
+    nulls in Spark), keeping both engines' semantics aligned without
+    relying on their differing grouping_id bit orders. Partial
+    aggregation applies per grouping set, so the shuffle carries at most
+    (sets x groups) combined rows."""
+    o = table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("long").alias("order_year")
+    mo = F.month("o_orderdate").cast("long").alias("order_month")
+    base = o.select(yr, mo, "o_totalprice")
+    level = (F.when(F.grouping("order_year") == 1, F.lit("total"))
+             .when(F.grouping("order_month") == 1, F.lit("year"))
+             .otherwise(F.lit("month")).alias("level"))
+    return (base.groupingSets([["order_year", "order_month"],
+                               ["order_year"], []],
+                              "order_year", "order_month")
+            .agg(level,
+                 dec_sum("o_totalprice", 4).alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .select("order_year", "order_month", "level", "revenue",
+                    "n_orders"))

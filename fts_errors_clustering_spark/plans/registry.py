@@ -147,7 +147,7 @@ _TAIL_AFTER_HEAD = (
     "promo_revenue_share", "top_supplier_by_revenue",
     "large_volume_customers", "late_exists_priority_counts",
     "nation_profit_by_year", "important_part_value",
-    "part_supplier_diversity", "copurchase_kcore",
+    "part_supplier_diversity", "copurchase_kcore", "time_rollup_revenue",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
     "streaming_interval_join", "streaming_upsert_compaction",
     "streaming_debounce_gate",
