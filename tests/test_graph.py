@@ -104,3 +104,24 @@ def test_kcore_peels_to_clique(spark):
     rows = degrees(e).collect()
     assert sorted(r.x for r in rows) == [0, 1, 2, 3, 4]
     assert all(r.d == 4 for r in rows)
+
+def test_triangle_count_random_graph_bruteforce(spark):
+    """Degree-ordered count equals the O(n^3) brute force on a seeded
+    random graph — edge cases (hubs, isolated nodes, near-cliques) land
+    here without hand-construction."""
+    import itertools
+    import random
+    from fts_errors_clustering_spark.operators.graph import triangle_stats
+    rng = random.Random(7)
+    n = 40
+    edges = sorted((a, b) for a, b in itertools.combinations(range(n), 2)
+                   if rng.random() < 0.2)
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    want = sum(1 for a, b, c in itertools.combinations(range(n), 3)
+               if b in adj[a] and c in adj[a] and c in adj[b])
+    und = spark.createDataFrame(edges, "a long, b long")
+    row = triangle_stats(und).collect()[0]
+    assert row.n_triangles == want
+    assert row.n_edges == len(edges)
