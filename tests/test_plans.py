@@ -322,6 +322,20 @@ _EXCHANGE_BUDGET = {
     "global_value_rank": 2,
     "packed_sequences": 4,
     "bm25_search": 32,
+    # round-3b TPC-H + graph (SinglePartition inside these is only the
+    # 1-row scalar aggregate, not a data-sized global sort)
+    "forecast_revenue_delta": 2,
+    "nation_trade_volume": 12,
+    "returned_item_losses": 8,
+    "customer_order_distribution": 6,
+    "promo_revenue_share": 4,
+    "top_supplier_by_revenue": 12,
+    "large_volume_customers": 10,
+    "late_exists_priority_counts": 4,
+    "nation_profit_by_year": 8,
+    "important_part_value": 12,
+    "part_supplier_diversity": 8,
+    "time_rollup_revenue": 2,
 }
 
 
