@@ -1,0 +1,42 @@
+"""CLI front door: list/run/explain against the shared fixture session."""
+
+from __future__ import annotations
+
+import io
+import json
+
+from fts_errors_clustering_spark.cli import main
+
+from .conftest import SF_SMALL
+
+
+def test_cli_list_filters_by_tag(spark):
+    buf = io.StringIO()
+    assert main(["list", "--tag", "dedup"], spark=spark, out=buf) == 0
+    lines = buf.getvalue().strip().splitlines()
+    assert lines and all("dedup" in ln for ln in lines)
+    names = {ln.split("\t")[0] for ln in lines}
+    assert "dedup_exact" in names
+
+
+def test_cli_run_prints_json_rows(spark):
+    buf = io.StringIO()
+    rc = main(["run", "event_type_counts", "--sf-dir", SF_SMALL,
+               "--limit", "3"], spark=spark, out=buf)
+    assert rc == 0
+    rows = [json.loads(ln) for ln in buf.getvalue().strip().splitlines()]
+    assert 0 < len(rows) <= 3
+    assert set(rows[0]) == {"event_type", "n"}
+
+
+def test_cli_explain_prints_plan_without_running(spark):
+    buf = io.StringIO()
+    rc = main(["run", "revenue_by_region", "--sf-dir", SF_SMALL,
+               "--explain"], spark=spark, out=buf)
+    assert rc == 0
+    assert "AdaptiveSparkPlan" in buf.getvalue() or \
+        "Exchange" in buf.getvalue()
+
+
+def test_cli_unknown_query_is_an_error(spark):
+    assert main(["run", "no_such_query"], spark=spark) == 2
