@@ -42,7 +42,50 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="max rows printed (collect cap; 0 = no cap)")
     run.add_argument("--explain", action="store_true",
                      help="print the formatted physical plan, don't execute")
+    run.add_argument("--check", action="store_true",
+                     help="also run the query's DuckDB oracle on the same "
+                          "parquet tables and report match/mismatch")
     return p
+
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings")
+
+
+def _oracle_rows(sql: str, sf_dir: str):
+    import duckdb
+    con = duckdb.connect()
+    for t in _TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    res = con.execute(sql)
+    return [d[0] for d in res.description], res.fetchall()
+
+
+def _canon(cols, rows):
+    """Order-insensitive canonical form mirroring the driver compare:
+    columns sorted by lowercase name, rows sorted with a null-safe key,
+    Decimals/datetimes normalized."""
+    import datetime as dt
+    import decimal
+    import math
+
+    def norm(v):
+        if isinstance(v, decimal.Decimal):
+            v = float(v)
+        if isinstance(v, float) and math.isnan(v):
+            return (True, "NaN")  # sorts with the null block: str key, so
+            # NaN never meets a float in a comparison
+        if isinstance(v, dt.datetime):
+            return (False, v.replace(tzinfo=None).isoformat())
+        if isinstance(v, (list, tuple)):
+            return (False, tuple(norm(x) for x in v))
+        return (v is None, v if v is not None else "")
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    return (sorted(c.lower() for c in cols),
+            sorted(tuple(norm(r[i]) for i in order) for r in rows))
 
 
 def main(argv: list[str] | None = None, spark=None,
@@ -74,6 +117,21 @@ def main(argv: list[str] | None = None, spark=None,
             .fromString("formatted"))
         print(plan, file=out)
         return 0
+
+    if args.check:
+        sql = defs[args.query].oracle
+        if not sql:
+            print(f"{args.query}: rows-only query (no oracle registered); "
+                  "running without --check", file=sys.stderr)
+        else:
+            scols, srows = df.columns, df.collect()
+            dcols, drows = _oracle_rows(sql, args.sf_dir)
+            ok = _canon(scols, srows) == _canon(dcols, drows)
+            print(json.dumps({"query": args.query, "sf_dir": args.sf_dir,
+                              "spark_rows": len(srows),
+                              "oracle_rows": len(drows),
+                              "match": ok}), file=out)
+            return 0 if ok else 1
 
     rows = df.limit(args.limit).collect() if args.limit else df.collect()
     cols = df.columns

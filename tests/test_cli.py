@@ -40,3 +40,21 @@ def test_cli_explain_prints_plan_without_running(spark):
 
 def test_cli_unknown_query_is_an_error(spark):
     assert main(["run", "no_such_query"], spark=spark) == 2
+
+
+def test_cli_check_matches_oracle(spark):
+    for q in ["event_type_counts", "pricing_summary", "time_rollup_revenue"]:
+        buf = io.StringIO()
+        rc = main(["run", q, "--sf-dir", SF_SMALL, "--check"],
+                  spark=spark, out=buf)
+        got = json.loads(buf.getvalue())
+        assert rc == 0 and got["match"] is True, (q, got)
+        assert got["spark_rows"] == got["oracle_rows"] > 0
+
+
+def test_cli_check_on_rows_only_query_warns_and_runs(spark):
+    buf = io.StringIO()
+    rc = main(["run", "sample_events", "--sf-dir", SF_SMALL, "--check",
+               "--limit", "2"], spark=spark, out=buf)
+    assert rc == 0
+    assert buf.getvalue().strip()  # fell through to printing rows
