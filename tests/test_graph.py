@@ -125,3 +125,35 @@ def test_triangle_count_random_graph_bruteforce(spark):
     row = triangle_stats(und).collect()[0]
     assert row.n_triangles == want
     assert row.n_edges == len(edges)
+
+def test_kcore_monotone_in_k(spark):
+    """Peeling invariant on a seeded random graph: for the SAME number of
+    rounds, the k+1 survivor set is a subset of the k survivor set (peeling
+    pressure only removes nodes)."""
+    import itertools
+    import random
+    from pyspark.sql import functions as F
+    from fts_errors_clustering_spark.operators import graph as G
+    rng = random.Random(11)
+    n = 40
+    edges = sorted((a, b) for a, b in itertools.combinations(range(n), 2)
+                   if rng.random() < 0.25)
+    und0 = spark.createDataFrame(edges, "a long, b long")
+
+    def degrees(e):
+        return (e.select(F.col("a").alias("x"))
+                .unionAll(e.select(F.col("b").alias("x")))
+                .groupBy("x").agg(F.count("*").alias("d")))
+
+    def survivors(k):
+        e = und0
+        for _ in range(G.KCORE_ROUNDS):
+            keep = degrees(e).where(F.col("d") >= k).select("x")
+            e = (e.join(keep.withColumnRenamed("x", "a"), "a", "left_semi")
+                  .join(keep.withColumnRenamed("x", "b"), "b", "left_semi")
+                  .select("a", "b"))
+        return {r.x for r in degrees(e).collect()}
+
+    s_lo, s_hi = survivors(5), survivors(6)
+    assert s_lo, "k=5 core unexpectedly empty on this graph"
+    assert s_hi <= s_lo
