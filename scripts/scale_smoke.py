@@ -87,6 +87,13 @@ QUERIES = [
     "split_leakage_counts",        # documents: digest x split-pair join
     "leakage_safe_splits",         # documents: CC-rep keyed split re-hash
     "incremental_neardup_counts",  # documents: batch-vs-history LSH gate
+    "copurchase_triangle_count",   # lineitem: degree-ordered wedge count
+    "copurchase_kcore",            # lineitem: adaptive-k peel rounds
+    "late_exists_priority_counts", # orders+lineitem: EXISTS semi residual
+    "large_volume_customers",      # orders+lineitem: HAVING agg-then-semi
+    "important_part_value",        # lineitem: mean-relative global cutoff
+    "time_rollup_revenue",         # orders: one-Expand grouping sets
+    "props_variant_stats",         # events: VARIANT shred-once stats
 ]
 
 
