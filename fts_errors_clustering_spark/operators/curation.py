@@ -922,3 +922,70 @@ def curriculum_length_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("n_chars").cast("long").alias("min_chars"),
                  F.max("n_chars").cast("long").alias("max_chars"),
                  F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+#: per-domain document cap (the FineWeb/C4-style "no domain dominates the
+#: corpus" guard). 15 binds at every fixture SF (25 docs/source at
+#: sf0.001/0.01, 250 at sf0.1), so the audit is never vacuous.
+DOMAIN_CAP = 15
+#: salt fanout for the two-level per-domain top-k
+_CAP_SALTS = 8
+
+
+@register(
+    "domain_capped_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, text, {sql_whitespace_tokens('text')} AS ts
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    scored AS (SELECT doc_id, source, {_sql_quality()} AS q FROM toks),
+    ranked AS (
+      SELECT source, q,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id ASC) AS rn
+      FROM scored)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(MIN(CASE WHEN rn <= {DOMAIN_CAP} THEN q END), 6)
+             AS min_kept_quality
+    FROM ranked GROUP BY source
+    """,
+    tags=("curation", "selection", "window"),
+)
+def domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep at most {DOMAIN_CAP} documents per source,
+    highest quality first (deterministic doc_id tie-break) — the standard
+    web-corpus guard against one domain flooding the mixture. Audit output
+    per source: candidates, kept, and the kept-set quality floor.
+
+    Scale shape: NOT one window per domain (a hot domain would serialize
+    into a single sort task). Level 1 ranks within (source, doc_id mod
+    {_CAP_SALTS}) salted partitions and keeps <= cap per salt; level 2
+    ranks the <= salts x cap survivors per source exactly. Top-k per salt
+    is a superset of the true top-k (any true top-k doc ranks <= cap
+    within its own salt), so the two-level result is exact while the big
+    sort runs {_CAP_SALTS}-way parallel per domain — the
+    ``ann_batch_topk`` discipline applied to curation."""
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.length(F.trim("text")) > 0))
+    scored = (docs.select("doc_id", "source",
+                          whitespace_tokens("text").alias("ts"), "text")
+              .select("doc_id", "source", _quality_col().alias("q")))
+    cand = scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_candidates"))
+    salt = F.pmod("doc_id", F.lit(_CAP_SALTS))
+    w1 = (Window.partitionBy("source", "salt")
+          .orderBy(F.desc("q"), F.asc("doc_id")))
+    lvl1 = (scored.withColumn("salt", salt)
+            .withColumn("rn1", F.row_number().over(w1))
+            .where(F.col("rn1") <= DOMAIN_CAP))
+    w2 = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
+    kept = (lvl1.withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= DOMAIN_CAP))
+    agg = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.round(F.min("q"), 6).alias("min_kept_quality"))
+    return cand.join(agg, "source")

@@ -161,3 +161,40 @@ def test_novelty_collapses_on_planted_dups(spark):
     for r in rows.values():
         assert 0 <= r.n_novel <= r.n_shingles
         assert 0.0 <= r.novelty <= 1.0
+
+
+def test_domain_cap_two_level_equals_naive_window(spark):
+    """The salted two-level per-domain top-k must equal the naive
+    one-window-per-source definition exactly (the decomposition is the
+    scale story; this pins its exactness)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fts_errors_clustering_spark.operators.curation import (
+        DOMAIN_CAP, _quality_col, domain_capped_docs)
+    from fts_errors_clustering_spark.functions.text import whitespace_tokens
+    from fts_errors_clustering_spark.sources.readers import table
+
+    from .conftest import SF_SMALL
+
+    got = {r.source: (r.n_candidates, r.n_kept, r.min_kept_quality)
+           for r in domain_capped_docs(spark, SF_SMALL).collect()}
+
+    docs = (table(spark, SF_SMALL, "documents")
+            .where(F.length(F.trim("text")) > 0))
+    scored = (docs.select("doc_id", "source",
+                          whitespace_tokens("text").alias("ts"), "text")
+              .select("doc_id", "source", _quality_col().alias("q")))
+    w = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
+    naive = (scored.withColumn("rn", F.row_number().over(w))
+             .groupBy("source")
+             .agg(F.count("*").cast("long").alias("n_candidates"),
+                  F.sum(F.when(F.col("rn") <= DOMAIN_CAP, 1).otherwise(0))
+                   .cast("long").alias("n_kept"),
+                  F.round(F.min(F.when(F.col("rn") <= DOMAIN_CAP,
+                                       F.col("q"))), 6)
+                   .alias("min_kept_quality")))
+    want = {r.source: (r.n_candidates, r.n_kept, r.min_kept_quality)
+            for r in naive.collect()}
+    assert got == want
+    assert all(k == DOMAIN_CAP for _, k, _m in got.values())  # cap binds
