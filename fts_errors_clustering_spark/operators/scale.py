@@ -461,3 +461,81 @@ def dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("event_type", F.lit("")),
         F.coalesce("props", F.lit(""))])
     return d.unionByName(e)
+
+
+def global_rank_column(df: DataFrame, col: str, tiebreak: str,
+                       out: str) -> DataFrame:
+    """Exact global ROW_NUMBER over ``(col, tiebreak)`` ascending via the
+    two-phase bucket composition (``quantile_buckets`` +
+    ``bucket_prefix_offsets``) — the reusable form of
+    ``global_value_rank``'s plan: no SinglePartition exchange, the window
+    shuffles on the bucket id only."""
+    b = quantile_buckets(df, col)
+    off = bucket_prefix_offsets(b, F.count("*"))
+    w = Window.partitionBy("bucket").orderBy(F.asc(col), F.asc(tiebreak))
+    return (b.withColumn(out, (F.row_number().over(w) + off).cast("long"))
+            .drop("bucket"))
+
+
+_RFM_EPOCH = "1990-01-01"
+
+
+@register(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_custkey,
+             DATE_DIFF('day', DATE '{_RFM_EPOCH}', MAX(o_orderdate)) AS r_days,
+             COUNT(*) AS n_orders,
+             {sql_dec_sum('o_totalprice', 2)} AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT COUNT(*) AS n FROM per),
+    ranked AS (
+      SELECT o_custkey, spend,
+        ROW_NUMBER() OVER (ORDER BY r_days, o_custkey) AS r_rk,
+        ROW_NUMBER() OVER (ORDER BY n_orders, o_custkey) AS f_rk,
+        ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS m_rk
+      FROM per
+    )
+    SELECT CAST((4 * (r_rk - 1)) // (SELECT n FROM n) AS BIGINT) AS recency_q,
+           CAST((4 * (f_rk - 1)) // (SELECT n FROM n) AS BIGINT) AS frequency_q,
+           CAST((4 * (m_rk - 1)) // (SELECT n FROM n) AS BIGINT) AS monetary_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_dec_sum('spend', 2)} AS segment_spend
+    FROM ranked GROUP BY 1, 2, 3
+    """,
+    tags=("scale", "rank", "relational"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer quartile-scored on Recency (last
+    order date), Frequency (order count), and Monetary (lifetime spend),
+    then counted per (R,F,M) cell — the classic audience-analytics rollup,
+    quartile 3 = top. Quartiles are RANK-based (exact global row_number ->
+    ``floor(4*(rk-1)/n)``), the NTILE(4) total-order semantics, with the
+    custkey tiebreak making every score deterministic.
+
+    Scale shape: THREE exact global ranks, each via the two-phase bucket
+    composition (:func:`global_rank_column`) — never a SinglePartition
+    window over the customer table; the n scalar is a 1-row broadcast.
+    The oracle spells the same ranks as plain ROW_NUMBERs."""
+    o = table(spark, sf_dir, "orders")
+    per = (o.groupBy("o_custkey")
+           .agg(F.datediff(F.max("o_orderdate"),
+                           F.lit(_RFM_EPOCH).cast("date")).alias("r_days"),
+                F.count("*").alias("n_orders"),
+                dec_sum("o_totalprice", 2).alias("spend")))
+    ranked = global_rank_column(per, "r_days", "o_custkey", "r_rk")
+    ranked = global_rank_column(ranked, "n_orders", "o_custkey", "f_rk")
+    ranked = global_rank_column(ranked, "spend", "o_custkey", "m_rk")
+    n = per.agg(F.count("*").alias("n"))
+    # `div`, not `/`: both engines float-divide integers with `/`, and a
+    # truncating cast of 0.9999999 vs 1.0 is exactly the cross-engine
+    # boundary bug the integer form rules out
+    q = lambda rk: F.expr(f"(4 * ({rk} - 1)) div n").cast("long")
+    return (ranked.crossJoin(F.broadcast(n))
+            .groupBy(q("r_rk").alias("recency_q"),
+                     q("f_rk").alias("frequency_q"),
+                     q("m_rk").alias("monetary_q"))
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 dec_sum("spend", 2).alias("segment_spend")))

@@ -272,6 +272,7 @@ _BNLJ_OK: set[str] = {
     "top_supplier_by_revenue",   # 1-row max-revenue scalar vs supplier rows
     "important_part_value",      # 1-row global-total cutoff vs part rows
     "copurchase_kcore",          # 1-row adaptive-k scalar vs degree rows
+    "rfm_customer_segments",     # 1-row customer-count scalar vs rank rows
 }
 
 #: CartesianProduct allowed only against a literal parameter table
