@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 from ..plans.registry import register
 from ..sources.readers import table
 
-__all__ = ["asof_join", "events_asof_latest_order"]
+__all__ = ["asof_join", "events_asof_latest_order",
+           "events_asof_next_order"]
 
 
 def asof_join(
@@ -46,14 +47,23 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join. ``right`` must be unique per
+    """As-of left join. ``right`` must be unique per
     ``(*on, right_ts)`` (pre-aggregate otherwise — ties would be
     nondeterministic in ANY engine). Matched right payload columns (and
     ``right_ts`` itself) appear in the output, NULL where no prior right row
     exists (or none within ``tolerance``, an interval Column compared against
     ``left_ts - right_ts``).
+
+    ``direction='backward'`` (default) matches the latest right row with
+    ``right_ts <= left_ts``; ``'forward'`` the earliest right row with
+    ``right_ts >= left_ts`` — same single-shuffle union-tag-window plan,
+    just scanned in the opposite time order (the window ORDER BY flips;
+    tolerance then bounds ``right_ts - left_ts``).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     payload = [c for c in right.columns if c not in on and c != right_ts]
     clash = (set(payload) | {right_ts}) & set(left.columns)
     if clash:
@@ -80,16 +90,17 @@ def asof_join(
         F.lit(None).cast(r_side.schema["__r"].dataType).alias("__r"),
     )
 
+    t_order = F.asc("__t") if direction == "backward" else F.desc("__t")
     w = (
         Window.partitionBy(*on)
-        .orderBy("__t", "__side")
+        .orderBy(t_order, F.asc("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("__r", ignorenulls=True).over(w)
     if tolerance is not None:
-        matched = F.when(
-            F.col(left_ts) - matched[right_ts] <= tolerance, matched
-        )
+        gap = (F.col(left_ts) - matched[right_ts] if direction == "backward"
+               else matched[right_ts] - F.col(left_ts))
+        matched = F.when(gap <= tolerance, matched)
 
     return (
         r_side.unionByName(l_side)
@@ -139,3 +150,41 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return asof_join(ev, latest, on=["user_id"],
                      left_ts="ts", right_ts="o_orderdate")
+
+
+_ASOF_FWD_ORACLE = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       r.o_orderdate, r.o_orderkey, r.o_totalprice
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts <= r.o_orderdate
+"""
+
+
+@register("events_asof_next_order", oracle=_ASOF_FWD_ORACLE,
+          tags=("relational", "asof"))
+def events_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each event annotated with that user's next order
+    at-or-after the event time — the attribution direction ("which
+    purchase did this session lead to") the backward join can't answer.
+    Same deduped right side and single-shuffle union-tag-window plan as
+    ``events_asof_latest_order``, with the window scanned in reverse time
+    order; oracle is DuckDB's native forward ``ASOF LEFT JOIN``
+    (``e.ts <= r.o_orderdate``)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    latest = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    return asof_join(ev, latest, on=["user_id"],
+                     left_ts="ts", right_ts="o_orderdate",
+                     direction="forward")

@@ -149,6 +149,7 @@ _TAIL_AFTER_HEAD = (
     "nation_profit_by_year", "important_part_value",
     "part_supplier_diversity", "copurchase_kcore", "time_rollup_revenue",
     "props_variant_stats", "domain_capped_docs", "rfm_customer_segments",
+    "events_asof_next_order",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
     "streaming_interval_join", "streaming_upsert_compaction",
     "streaming_debounce_gate",

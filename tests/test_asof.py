@@ -64,3 +64,26 @@ def test_asof_single_shuffle_plan(frames):
     plan = asof_join(left, right, on=["k"], left_ts="ts",
                      right_ts="rts")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_asof_forward_semantics(frames):
+    left, right = frames
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                    direction="forward")
+    got = {r.event_id: (r.val, r.tag) for r in out.collect()}
+    assert out.count() == 4
+    assert got[1] == (200, "b")   # earliest following (12:00)
+    assert got[2] == (200, "b")   # equal ts matches (<= semantics)
+    assert got[3] == (100, None)  # first right row at 09:00
+    assert got[4] == (None, None)
+
+
+def test_asof_forward_tolerance(frames):
+    left, right = frames
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                    direction="forward",
+                    tolerance=F.expr("INTERVAL 90 MINUTES"))
+    got = {r.event_id: r.val for r in out.collect()}
+    assert got[1] is None   # next is 2h ahead > 90min
+    assert got[2] == 200    # 0 gap
+    assert got[3] is None   # 9h ahead
