@@ -71,6 +71,13 @@ SMALL_GRAPH_EDGES = 10_000_000
 #: (LSH tier), the distributed plan below runs unchanged.
 DRIVER_KERNEL_ROWS = 20_000
 
+#: average-degree switch from the edge-list driver kernel to the dense
+#: relaxation kernel: above ~this many eps-neighbors per point the edge
+#: list's materialization cost (and this host's fresh-allocation fault
+#: pathology, SCALE.md round 2g) dominates, while the dense kernel's
+#: chunked re-scan cost does not grow with edge count at all
+_DENSE_SWITCH_DEG = 32
+
 
 def _dbscan_driver_kernel(spark: SparkSession, emb: DataFrame, id_col: str,
                           vec_col: str, eps: float, min_pts: int,
@@ -131,6 +138,112 @@ def _dbscan_driver_kernel(spark: SparkSession, emb: DataFrame, id_col: str,
         f"{id_col} long, cluster long")
 
 
+def _dbscan_driver_dense(spark: SparkSession, emb: DataFrame, id_col: str,
+                         vec_col: str, eps: float, min_pts: int) -> DataFrame:
+    """Driver-tier DBSCAN for DENSE eps-graphs: when the edge list overflows
+    the driver-kernel cap at driver-sized n (degenerate knee eps — the
+    pipeline-B regime the reference notebook hit too), no edge list is ever
+    materialized. Instead:
+
+    1. one chunked-GEMM scan for neighbor DEGREES -> core mask;
+    2. min-label relaxation rounds for core components — each round is a
+       chunked-GEMM re-scan taking the min core-neighbor label per core
+       row, followed by pointer doubling (label-of-label), so rounds are
+       O(log n) worst case and 2-3 in practice on a dense graph (an
+       over-cap graph at n <= 20k has average degree > 500, so diameter is
+       tiny);
+    3. a final scan labels border rows (min core-neighbor cluster) and
+       noise (-1).
+
+    Trades edge memory (the cap) for GEMM re-scans (<1 s each at 5k x 32)
+    — measured 35-58 s (cap-abort + distributed tier on 25M+ edges) -> ~3 s
+    on the degenerate pipeline-B graph. Labeling is identical to
+    ``_dbscan_numpy``/the distributed plan (min core id per component)."""
+    from .pairwise import _CHUNK_BUDGET, _broadcast_matrix
+    ids, M = _broadcast_matrix(emb, id_col, vec_col).value
+    n = len(ids)
+    if n == 0:
+        return spark.createDataFrame([], f"{id_col} long, cluster long")
+    order = np.argsort(ids)
+    ids_s = np.ascontiguousarray(ids[order])
+    Ms = np.ascontiguousarray(M[order])
+    eps2 = float(eps) * float(eps)
+    band = 1e-6 * max(eps2, 1.0)
+    guard = eps2 + band
+    n2 = np.einsum("ij,ij->i", Ms, Ms)
+    step = max(1, _CHUNK_BUDGET // n)
+    buf = np.empty((min(step, n), n))
+
+    def adj_chunk(s: int) -> np.ndarray:
+        """Boolean adjacency (within-eps, self excluded) for rows s:s+step,
+        with the guard-band exact recheck of the edge-list kernel."""
+        Mc = Ms[s:s + step]
+        g = buf[:len(Mc)]
+        np.dot(Mc, Ms.T, out=g)
+        g *= -2.0
+        g += n2[s:s + step][:, None]
+        g += n2[None, :]
+        adj = g <= (eps2 - band)
+        borderline = ~adj & (g <= guard)
+        if borderline.any():
+            ab, bb = np.nonzero(borderline)
+            d2 = np.einsum("ij,ij->i", Mc[ab] - Ms[bb], Mc[ab] - Ms[bb])
+            adj[ab, bb] = d2 <= eps2
+        adj[np.arange(len(Mc)), s + np.arange(len(Mc))] = False
+        return adj
+
+    # pass 1: degrees -> core mask (neighborhood size counts self: +1)
+    deg = np.empty(n, dtype=np.int64)
+    for s in range(0, n, step):
+        a = adj_chunk(s)
+        deg[s:s + a.shape[0]] = a.sum(axis=1)
+    core = deg + 1 >= min_pts
+    labels = np.full(n, -1, dtype=np.int64)
+    if not core.any():
+        return spark.createDataFrame(
+            pd.DataFrame({id_col: ids_s, "cluster": labels}),
+            f"{id_col} long, cluster long")
+
+    # pass 2: core components by min-label relaxation + pointer doubling
+    big = np.iinfo(np.int64).max
+    lab = np.where(core, ids_s, big)
+    prev = None
+    while True:
+        for s in range(0, n, step):
+            adj = adj_chunk(s)
+            rows = np.nonzero(core[s:s + adj.shape[0]])[0]
+            if not rows.size:
+                continue
+            cand = np.where(adj[rows][:, core], lab[core][None, :], big)
+            m = cand.min(axis=1)
+            # fancy indexing copies — assign back, never out= into a copy
+            lab[s + rows] = np.minimum(lab[s + rows], m)
+        # pointer doubling: labels are ids of core members -> jump to the
+        # label's own label (ids_s is sorted, so labels key by searchsorted)
+        ci = np.nonzero(core)[0]
+        lab[ci] = np.minimum(lab[ci], lab[np.searchsorted(ids_s, lab[ci])])
+        cur = int(lab[ci].sum())
+        if cur == prev:
+            break
+        prev = cur
+    labels[core] = lab[core]
+
+    # pass 3: border rows adopt the min core-neighbor CLUSTER label; noise
+    # stays -1
+    for s in range(0, n, step):
+        adj = adj_chunk(s)
+        rows = np.nonzero(~core[s:s + adj.shape[0]])[0]
+        if not rows.size:
+            continue
+        cand = np.where(adj[rows][:, core], lab[core][None, :], big)
+        m = cand.min(axis=1)
+        hit = m < big
+        labels[s + rows[hit]] = m[hit]
+    return spark.createDataFrame(
+        pd.DataFrame({id_col: ids_s, "cluster": labels}),
+        f"{id_col} long, cluster long")
+
+
 def _components_numpy(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Min-member-id connected components of the (directed-symmetric) edge
     list — the numpy twin of the distributed loop: per-round edge relaxation
@@ -140,11 +253,18 @@ def _components_numpy(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndar
     ids = np.unique(np.concatenate([a, b]))        # sorted member ids
     ai = np.searchsorted(ids, a)
     bi = np.searchsorted(ids, b)
+    # sort edges by source ONCE so every round's per-source minimum is a
+    # buffered reduceat over contiguous segments — np.minimum.at is an
+    # unbuffered scatter ~50x slower at 10M edges (measured: it was the
+    # 60 s inside the "driver kernel" on the degenerate pipeline-B graph)
+    order = np.argsort(ai, kind="stable")
+    bi_s = bi[order]
+    src, starts = np.unique(ai[order], return_index=True)
     lab = ids.copy()
     prev = None
     while True:
-        relax = lab[bi]                            # candidate label via edge
-        np.minimum.at(lab, ai, relax)
+        segmin = np.minimum.reduceat(lab[bi_s], starts)
+        lab[src] = np.minimum(lab[src], segmin)
         # pointer doubling: labels are member ids of the same component, so
         # they key back into `ids`; jump to the label's own current label
         lab = np.minimum(lab, lab[np.searchsorted(ids, lab)])
@@ -186,9 +306,9 @@ def _dbscan_numpy(all_ids: np.ndarray, a: np.ndarray, b: np.ndarray,
     if bm.any():
         ba, bb = a[bm], b[bm]
         bcl = core_lab[np.searchsorted(core_ids, bb)]
-        border_ids = np.unique(ba)
-        border_lab = np.full(len(border_ids), np.iinfo(np.int64).max)
-        np.minimum.at(border_lab, np.searchsorted(border_ids, ba), bcl)
+        order = np.argsort(ba, kind="stable")      # reduceat, not .at
+        border_ids, starts = np.unique(ba[order], return_index=True)
+        border_lab = np.minimum.reduceat(bcl[order], starts)
         labels[np.searchsorted(all_ids, border_ids)] = border_lab
     return labels
 
@@ -214,13 +334,24 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
     """Full DBSCAN; returns (id_col, cluster) with cluster = min member id
     of the density-connected component, or -1 for noise."""
     ids = emb.select(F.col(id_col).alias("id"))
-    if pairs is None and emb.count() <= driver_kernel_rows:
+    n_rows = emb.count() if pairs is None else None
+    if pairs is None and n_rows <= driver_kernel_rows:
         # driver-kernel tier (DRIVER_KERNEL_ROWS header note): distances,
         # components, borders all in chunked numpy — no eps-pair DataFrame.
-        out = _dbscan_driver_kernel(spark, emb, id_col, vec_col, eps,
-                                    min_pts, edge_cap=small_graph_edges)
+        # The edge-list form is for SPARSE eps-graphs only: past ~32
+        # neighbors/point its accumulated edge arrays and edge-keyed
+        # temporaries hit this class of host hard (fresh-allocation page
+        # faults; 6.3M edges measured 60 s vs 3 s dense), while the dense
+        # relaxation's cost is flat in edge count.
+        out = _dbscan_driver_kernel(
+            spark, emb, id_col, vec_col, eps, min_pts,
+            edge_cap=min(small_graph_edges, _DENSE_SWITCH_DEG * n_rows))
         if out is not None:
             return out
+        # over-cap at driver-sized n = the DENSE regime (degenerate eps):
+        # relaxation over chunked GEMM re-scans, no edge list at all
+        return _dbscan_driver_dense(spark, emb, id_col, vec_col, eps,
+                                    min_pts)
     if pairs is None:
         pairs = eps_pairs_broadcast(emb, id_col, vec_col, eps)
     pairs = pairs.cache()

@@ -199,3 +199,32 @@ def test_distributed_tier_chain_graph(spark):
                                      max_iter=12).collect()}
     assert set(labels.values()) == {0}          # one chain-wide cluster
     assert len(labels) == n
+
+
+def test_driver_dense_tier_matches_edge_list_kernel(spark):
+    """Force the dense driver path (edge cap ~0) on a blob+noise dataset
+    and require LABEL-IDENTICAL output to the normal edge-list path —
+    core components, border adoption, and noise all agree."""
+    import numpy as np
+
+    from fts_errors_clustering_spark.operators.dbscan import dbscan_labels
+
+    rng = np.random.default_rng(5)
+    pts = []
+    for c, center in enumerate([0.0, 10.0, 20.0]):
+        for i in range(60):
+            pts.append((c * 1000 + i,
+                        (center + rng.normal(0, 0.3, 4)).tolist()))
+    for j in range(5):                       # far-out noise
+        pts.append((9000 + j, (100.0 + 7 * j + np.zeros(4)).tolist()))
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+
+    normal = dbscan_labels(spark, emb, id_col="vec_id", dim=4,
+                           eps=1.5, min_pts=4)
+    dense = dbscan_labels(spark, emb, id_col="vec_id", dim=4,
+                          eps=1.5, min_pts=4, small_graph_edges=10)
+    a = {r.vec_id: r.cluster for r in normal.collect()}
+    b = {r.vec_id: r.cluster for r in dense.collect()}
+    assert a == b
+    assert sum(1 for v in a.values() if v == -1) == 5     # the noise points
+    assert len({v for v in a.values() if v != -1}) == 3   # three blobs
