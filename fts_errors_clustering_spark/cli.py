@@ -45,6 +45,14 @@ def _build_parser() -> argparse.ArgumentParser:
     run.add_argument("--check", action="store_true",
                      help="also run the query's DuckDB oracle on the same "
                           "parquet tables and report match/mismatch")
+
+    chk = sub.add_parser(
+        "check", help="oracle-verify many queries (default: every "
+                      "oracle-backed one); exit 0 only if all match")
+    chk.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    chk.add_argument("--queries",
+                     help="comma-separated subset (default: all oracle-backed)")
+    chk.add_argument("--tag", help="filter by tag substring")
     return p
 
 
@@ -101,6 +109,41 @@ def main(argv: list[str] | None = None, spark=None,
             check = "oracle" if d.oracle else "rows"
             print(f"{name}\t{check}\t{','.join(d.tags)}", file=out)
         return 0
+
+    if args.cmd == "check":
+        if spark is None:
+            from .session import get_spark
+            spark = get_spark("fts-cli")
+        names = (args.queries.split(",") if args.queries
+                 else [n for n, d in defs.items() if d.oracle])
+        fails = []
+        for name in names:
+            d = defs.get(name)
+            if d is None or not d.oracle:
+                fails.append(name)
+                print(json.dumps({"query": name, "match": False,
+                                  "error": "unknown or rows-only"}), file=out)
+                continue
+            if args.tag and not any(args.tag in t for t in d.tags):
+                continue
+            try:
+                df = d.fn(spark, args.sf_dir)
+                scols, srows = df.columns, df.collect()
+                dcols, drows = _oracle_rows(d.oracle, args.sf_dir)
+                ok = _canon(scols, srows) == _canon(dcols, drows)
+            except Exception as ex:  # noqa: BLE001 — keep sweeping, report
+                ok = False
+                print(json.dumps({"query": name, "match": False,
+                                  "error": f"{type(ex).__name__}: {ex}"[:200]}),
+                      file=out)
+                fails.append(name)
+                continue
+            print(json.dumps({"query": name, "rows": len(srows),
+                              "match": ok}), file=out)
+            if not ok:
+                fails.append(name)
+        print(json.dumps({"checked": len(names), "failed": fails}), file=out)
+        return 0 if not fails else 1
 
     if args.query not in defs:
         print(f"unknown query: {args.query} (try `list`)", file=sys.stderr)

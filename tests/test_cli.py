@@ -58,3 +58,18 @@ def test_cli_check_on_rows_only_query_warns_and_runs(spark):
                "--limit", "2"], spark=spark, out=buf)
     assert rc == 0
     assert buf.getvalue().strip()  # fell through to printing rows
+
+
+def test_cli_check_sweep_subset(spark):
+    buf = io.StringIO()
+    rc = main(["check", "--sf-dir", SF_SMALL,
+               "--queries", "event_type_counts,pricing_summary,nope"],
+              spark=spark, out=buf)
+    lines = [json.loads(ln) for ln in buf.getvalue().strip().splitlines()]
+    summary = lines[-1]
+    assert rc == 1                       # 'nope' fails the sweep
+    assert summary["checked"] == 3
+    assert summary["failed"] == ["nope"]
+    per = {d["query"]: d for d in lines[:-1]}
+    assert per["event_type_counts"]["match"] is True
+    assert per["pricing_summary"]["match"] is True
