@@ -114,6 +114,12 @@ HEADLINE = [
     "nation_profit_by_year",
     "important_part_value",
     "part_supplier_diversity",
+    # round-3c: modern-surface + analytics additions
+    "props_variant_stats",
+    "domain_capped_docs",
+    "rfm_customer_segments",
+    "events_asof_next_order",
+    "time_rollup_revenue",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and
