@@ -265,3 +265,24 @@ def test_bucketed_prefix_sum_equals_window_cumsum(spark, rows):
     ref = {r.id: r.off for r in df.withColumn(
         "off", F.coalesce(F.sum("n").over(wall), F.lit(0))).collect()}
     assert got == ref
+
+
+@SET
+@given(st.lists(st.integers(min_value=0, max_value=4),
+                min_size=2, max_size=90))
+def test_global_rank_column_heavy_ties(spark, small_vals):
+    """global_rank_column (the reusable two-phase rank RFM stands on) must
+    equal ROW_NUMBER under HEAVY ties — a 5-value domain puts most rows on
+    quantile split points, the regime where a bucketing bug would split a
+    tie group across buckets and corrupt ranks."""
+    from pyspark.sql import Window
+    from fts_errors_clustering_spark.operators.scale import global_rank_column
+
+    rows = [(i, v) for i, v in enumerate(small_vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {r.id: r.rk for r in
+           global_rank_column(df, "v", "id", "rk").collect()}
+    ref = {r.id: r.rk for r in df.withColumn(
+        "rk", F.row_number().over(Window.orderBy("v", "id")).cast("long"))
+        .collect()}
+    assert got == ref
