@@ -120,6 +120,15 @@ HEADLINE = [
     "rfm_customer_segments",
     "events_asof_next_order",
     "time_rollup_revenue",
+    # round-4: the r03 additions previously smoke-timed only (SCALE.md) —
+    # pinned here so the per-round artifact tracks them; kcore included
+    # now that the cached-und fix holds it at ~2-3 s at sf0.1
+    "copurchase_kcore",
+    "knn_knee_epsilon",
+    "knn_knee_sweep",
+    "market_share_by_year",
+    "cheapest_supplier_per_part",
+    "curriculum_length_phases",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and
@@ -254,11 +263,10 @@ def main() -> None:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
         load1 = None
-    line = json.dumps({
+    common = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "ml_fit_total": ml_total,
         # ambient-load telemetry: this container sees EXTERNAL load spikes
         # (load1 7-10 with zero user processes observed); identical runs
@@ -266,14 +274,19 @@ def main() -> None:
         # this context.
         "load1_end": load1,
         "sf": sf,
-    })
-    # durable copy: the stdout line is ~80 queries long and overflowed the
-    # round-2 driver's tail capture (BENCH_r02.json parsed: null, losing the
-    # headline total) — the file always parses regardless of capture limits
+    }
+    # durable full map: the ~100-query stdout line overflowed the driver's
+    # tail capture in r02 AND r03 (BENCH_r0{2,3}.json parsed: null) — the
+    # file carries every number; stdout gets a COMPACT line (headline total
+    # + the 20 most expensive queries) that always fits the capture window.
+    full = json.dumps({**common, "queries": timings})
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_out.json"), "w") as f:
-        f.write(line + "\n")
-    print(line)
+        f.write(full + "\n")
+    top20 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    print(json.dumps({**common, "queries": top20,
+                      "n_queries_total": len(timings),
+                      "full_map": "bench_out.json"}))
 
 
 if __name__ == "__main__":

@@ -125,6 +125,34 @@ def _indexed_curve(knn: DataFrame) -> DataFrame:
             .crossJoin(F.broadcast(scalars)))
 
 
+def knee_epsilon_value(knn: DataFrame, id_col: str = "vec_id") -> float:
+    """Distributed Kneedle knee -> epsilon as a Python scalar: the
+    ``knn_knee_epsilon`` plan (bucket-prefix-sum global index, broadcast
+    1-row scalars, argmax via TakeOrderedAndProject) reduced to ONE driver
+    row — the per-point curve is never collected, so the driver
+    materialization is O(1) at any corpus size (vs the O(n) ``collect()``
+    of the curve the reference does at ``word2vec_dbscan_approach.ipynb:
+    191-198``, which at 10^9 points is a multi-GB driver pull).
+
+    Degenerate-corpus note (the reference author hit this and hand-set
+    eps=20, SURVEY.md 2.9.3): when the kNN-mean curve is near-flat or
+    convex-decreasing, the Kneedle argmax lands on an epsilon that puts
+    almost the whole corpus in one DBSCAN cluster. The knee is still the
+    deterministic, reference-faithful value — callers that observe a
+    degenerate clustering should pass eps explicitly, exactly as the
+    reference did."""
+    curve = _indexed_curve(
+        knn.select(F.col(id_col).alias("vec_id"), "mean_dist"))
+    span = F.col("ymax") - F.col("ymin")
+    diffs = curve.select(
+        "idx", "mean_dist",
+        ((F.col("idx").cast("double") / F.greatest(F.col("n") - 1, F.lit(1)))
+         - F.when(span > 0, (F.col("mean_dist") - F.col("ymin")) / span)
+            .otherwise(F.lit(0.0))).alias("d"))
+    row = diffs.orderBy(F.desc("d"), F.asc("idx")).limit(1).first()
+    return float(row.mean_dist)
+
+
 @register(
     "knn_knee_epsilon",
     oracle=f"""

@@ -91,11 +91,13 @@ def pipeline_word2vec_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("i").orderBy(F.asc("dist"), F.asc("j"))
     knn = (pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
            .groupBy("i").agg(F.avg("dist").alias("mean_dist")))
-    curve = sorted(r.mean_dist for r in knn.collect())
-    lo, hi = curve[0], curve[-1]
-    knee = max(range(len(curve)),
-               key=lambda i: i / (len(curve) - 1) - (curve[i] - lo) / (hi - lo))
-    eps = curve[knee]
+    # distributed knee (knn.py plan): only the 1-row argmax reaches the
+    # driver — never the per-point curve (at 10^9 embeddings a curve
+    # collect() is a multi-GB driver pull). If the knee lands degenerate on
+    # a given corpus (one giant cluster — the reference hit this and
+    # hand-set eps=20), pass eps to dbscan_labels explicitly.
+    from .knn import knee_epsilon_value
+    eps = knee_epsilon_value(knn, id_col="i")
 
     labels = dbscan_labels(spark, emb, id_col="doc_id", dim=32,
                            eps=float(eps), min_pts=5)

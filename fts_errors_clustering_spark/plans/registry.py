@@ -86,70 +86,35 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: follows in registration order. tests/test_oracle_parity.py asserts every
 #: head name exists and sits inside the budget window.
 _HEAD = (
-    # ROUND-3 ROTATION: the two round-2 driver REDs re-verified after their
-    # fixes (scalar member string; bucket-prefix-sum + BIGINT bin_id cast)
-    "salted_group_members", "packed_sequences",
-    # the whole round-2 surface with no driver row in r01/r02 (48 queries,
-    # all local-parity green at sf0.001): BPE trainer/encoder, heavy
-    # hitters, PageRank, integrity fingerprint, contrastive pairs, the SQL
-    # front door, retrieval, incremental dedup, canonical keep
-    "bpe_merge_table", "bpe_vocab_tokens", "bpe_tokens_per_lang",
-    "heavy_hitter_tokens", "part_copurchase_pagerank", "dataset_fingerprint",
-    "contrastive_chunk_pairs", "sql_api_revenue_by_priority",
-    "bm25_search", "hybrid_search_rrf", "incremental_dedup_counts",
-    "canonical_by_quality",
-    # TPC-H correlated-subquery trio + relational extensions
-    "dominant_part_suppliers", "sole_late_suppliers", "idle_rich_customers",
-    "cube_priority_status_revenue", "forward_fill_values",
-    "modal_bucket_by_type", "global_value_rank",
-    "winsorized_value_stats", "chi2_priority_status",
-    "shipping_priority_topk", "nation_revenue_share",
-    "small_quantity_revenue", "user_profile_similarity_topk",
-    "fulfillment_lag_stats", "data_quality_report",
-    # textstats tail
-    "pmi_top_collocations", "lang_token_divergence",
-    "boilerplate_prefix_groups", "weighted_doc_sample",
-    "quality_signal_correlation",
-    # the 13 window-analytics queries
-    "rolling_7d_user_value", "debounced_event_counts",
-    "event_trigram_journeys", "hourly_resampled_counts",
-    "daily_cumulative_events", "hourly_anomaly_scores",
-    "weekly_cohort_retention", "event_transition_matrix",
-    "decayed_user_scores", "user_event_entropy",
-    "hourly_session_concurrency", "weekly_growth_by_type",
-    "activity_heatmap", "benford_deviation",
-    # signature tables (previously behind the budget window)
-    "minhash_signatures", "simhash_signatures",
-)
-
-#: rows-only entries rotated DIRECTLY AFTER the head (i.e. first past the
-#: driver's ~50-row budget): their regression gate is pytest
-#: (recall/agreement tests), so they spend driver-budget slots last — and
-#: if the driver budget runs a little past 50, an overflow here only adds
-#: cheap rows-only checks, never displaces an oracle row.
-_TAIL_AFTER_HEAD = (
-    # round-3 additions (oracle-backed, local-parity green): first in line
-    # past the budget window; rotate into _HEAD next round — including the
-    # two multimodal queries UPGRADED from rows-only to oracle-backed
-    # (byte-arithmetic codec replayed in SQL; ASCII-fixture precondition)
+    # ROUND-4 ROTATION: the 35 oracle-backed round-3 queries with no driver
+    # row yet (all local-parity green at sf0.001). Lead with the leakage
+    # pair, the incremental near-dup gate, and the two queries whose
+    # oracles were UPGRADED rows-only -> oracle in r03 (byte-arithmetic
+    # codec replay; RE2 rule-chain Treebank replay).
     "split_leakage_counts", "leakage_safe_splits",
     "incremental_neardup_counts",
     "multimodal_features", "multimodal_framesample", "treebank_tokens",
+    # TPC-H batch 2 + relational round-3 shapes
     "market_share_by_year", "cheapest_supplier_per_part",
-    "quality_percentile_by_lang", "mixture_sampled_counts",
-    "packing_efficiency",
-    "curriculum_length_phases", "snapshot_diff_counts",
-    "lang_temperature_weights",
-    "disjunctive_bracket_revenue", "embedding_quantization_error",
-    "doc_novelty_scores", "copurchase_triangle_count",
-    "forecast_revenue_delta", "nation_trade_volume",
-    "returned_item_losses", "customer_order_distribution",
-    "promo_revenue_share", "top_supplier_by_revenue",
-    "large_volume_customers", "late_exists_priority_counts",
-    "nation_profit_by_year", "important_part_value",
-    "part_supplier_diversity", "copurchase_kcore", "time_rollup_revenue",
-    "props_variant_stats", "domain_capped_docs", "rfm_customer_segments",
+    "disjunctive_bracket_revenue", "forecast_revenue_delta",
+    "nation_trade_volume", "returned_item_losses",
+    "customer_order_distribution", "promo_revenue_share",
+    "top_supplier_by_revenue", "large_volume_customers",
+    "late_exists_priority_counts", "nation_profit_by_year",
+    "important_part_value", "part_supplier_diversity",
+    # graph ops + modern-surface analytics
+    "copurchase_triangle_count", "copurchase_kcore",
+    "time_rollup_revenue", "props_variant_stats",
+    "domain_capped_docs", "rfm_customer_segments",
     "events_asof_next_order",
+    # curation/selection tail
+    "quality_percentile_by_lang", "mixture_sampled_counts",
+    "packing_efficiency", "curriculum_length_phases",
+    "snapshot_diff_counts", "lang_temperature_weights",
+    "embedding_quantization_error", "doc_novelty_scores",
+    # the 13 never-driver-checked rows-only queries (streaming twins, ANN
+    # IVF/PQ family, LSH/stratified/HLL): cheap rows-only driver checks —
+    # pytest recall/agreement/recovery tests remain their real gate
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
     "streaming_interval_join", "streaming_upsert_compaction",
     "streaming_debounce_gate",
@@ -157,8 +122,39 @@ _TAIL_AFTER_HEAD = (
     "lsh_neighbor_counts", "stratified_doc_sample",
     "semantic_dedup_ivf", "dbscan_labels_lsh",
     "hll_rollup_daily_users",
-    # r1/r2-proven oracle entries rotated out of the driver window to make
-    # room (their regression gate remains the local parity sweep)
+)
+
+#: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
+#: ~50-row budget): round-4 additions (new this round, oracle-backed) go
+#: first so a budget overflow verifies them early; then the r01-r03-proven
+#: names, whose regression gate remains the local parity sweep
+#: (tests/test_oracle_parity.py over all entries at sf0.001).
+_TAIL_AFTER_HEAD = (
+    # round-3-proven head (all green in CORRECTNESS_r03.json)
+    "salted_group_members", "packed_sequences",
+    "bpe_merge_table", "bpe_vocab_tokens", "bpe_tokens_per_lang",
+    "heavy_hitter_tokens", "part_copurchase_pagerank", "dataset_fingerprint",
+    "contrastive_chunk_pairs", "sql_api_revenue_by_priority",
+    "bm25_search", "hybrid_search_rrf", "incremental_dedup_counts",
+    "canonical_by_quality",
+    "dominant_part_suppliers", "sole_late_suppliers", "idle_rich_customers",
+    "cube_priority_status_revenue", "forward_fill_values",
+    "modal_bucket_by_type", "global_value_rank",
+    "winsorized_value_stats", "chi2_priority_status",
+    "shipping_priority_topk", "nation_revenue_share",
+    "small_quantity_revenue", "user_profile_similarity_topk",
+    "fulfillment_lag_stats", "data_quality_report",
+    "pmi_top_collocations", "lang_token_divergence",
+    "boilerplate_prefix_groups", "weighted_doc_sample",
+    "quality_signal_correlation",
+    "rolling_7d_user_value", "debounced_event_counts",
+    "event_trigram_journeys", "hourly_resampled_counts",
+    "daily_cumulative_events", "hourly_anomaly_scores",
+    "weekly_cohort_retention", "event_transition_matrix",
+    "decayed_user_scores", "user_event_entropy",
+    "hourly_session_concurrency", "weekly_growth_by_type",
+    "activity_heatmap", "benford_deviation",
+    "minhash_signatures", "simhash_signatures",
     "knn_mean_distance", "knn_knee_epsilon",
 )
 
