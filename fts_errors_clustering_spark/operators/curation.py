@@ -684,6 +684,52 @@ def split_leakage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_shared_texts")))
 
 
+def _neardup_leak_oracle() -> str:
+    from .dedup import _AUG_SQL, _MINHASH_PAIRS_SQL, _MINHASH_SQL
+    return f"""
+    WITH {_AUG_SQL}, {_MINHASH_SQL}, {_MINHASH_PAIRS_SQL},
+    dup AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+    labeled AS (
+      SELECT {_sql_split('a')} AS sa, {_sql_split('b')} AS sb FROM dup
+    )
+    SELECT COUNT(*) AS n_neardup_pairs,
+           CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_split_pairs,
+           CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same_split_pairs
+    FROM labeled
+    """
+
+
+@register(
+    "split_neardup_leakage",
+    oracle=_neardup_leak_oracle(),
+    tags=("curation", "split", "dedup"),
+)
+def split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate evaluation leakage: how many MinHash-LSH near-dup
+    pairs straddle two different naive hash splits. ``split_leakage_counts``
+    audits EXACT twins (md5 digests); this is its fuzzy sibling — the pairs
+    an exact-hash audit misses but a held-out eval still leaks through
+    (paraphrased twins memorize the same content). One row: total near-dup
+    pairs, cross-split pairs (the leak), same-split pairs. The fix is
+    ``leakage_safe_splits``' cluster-keyed assignment, under which the
+    cross-split count is zero by construction (planted-family property
+    test in tests/test_curation.py). Cost: the LSH candidate table + two
+    md5s per pair — no text bodies move."""
+    from .dedup import minhash_near_dups
+    pairs = minhash_near_dups(spark, sf_dir)
+    labeled = pairs.select(
+        _split_name(_split_bucket(F.col("a"))).alias("sa"),
+        _split_name(_split_bucket(F.col("b"))).alias("sb"))
+    return labeled.agg(
+        F.count("*").alias("n_neardup_pairs"),
+        F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+         .cast("long").alias("n_cross_split_pairs"),
+        F.sum(F.when(F.col("sa") == F.col("sb"), 1).otherwise(0))
+         .cast("long").alias("n_same_split_pairs"))
+
+
 def _cluster_split_oracle() -> str:
     from .dedup import _AUG_SQL, _MINHASH_PAIRS_SQL, _MINHASH_SQL
     return f"""

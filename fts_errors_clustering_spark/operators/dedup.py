@@ -246,6 +246,42 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.where(F.col("est_jaccard") >= 0.5)
 
 
+#: threshold grid for the LSH-estimate sensitivity sweep — multiples of
+#: 1/N_HASHES so every cutoff is an EXACT signature-agreement fraction
+#: (est_jaccard is k/16; a grid point between two representable fractions
+#: would make >= comparisons float-fragile across engines)
+NEARDUP_TAUS = (0.5, 0.625, 0.75, 0.875, 1.0)
+
+
+@register(
+    "neardup_threshold_sweep",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_MINHASH_SQL}, {_MINHASH_PAIRS_SQL},
+    taus AS (SELECT unnest({list(NEARDUP_TAUS)}) AS threshold)
+    SELECT t.threshold,
+           CAST(COUNT(e.est_jaccard) AS BIGINT) AS n_pairs
+    FROM taus t LEFT JOIN est e ON e.est_jaccard >= t.threshold
+    GROUP BY t.threshold
+    """,
+    tags=("dedup", "minhash", "sweep"),
+)
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sensitivity sweep: how many near-dup pairs the
+    MinHash-LSH estimate yields at each Jaccard cutoff — the tuning table a
+    corpus owner reads before fixing the dedup threshold (too low merges
+    distinct docs, too high leaves near-dups in). One pass over the
+    candidate-pair estimates (already bounded by LSH banding, never all
+    pairs); the sweep itself is a broadcast |taus|-row join + conditional
+    count, so the cost is one extra aggregate over the est table, not one
+    LSH run per threshold."""
+    est = minhash_near_dups(spark, sf_dir)
+    taus = spark.createDataFrame([(t,) for t in NEARDUP_TAUS],
+                                 "threshold double")
+    return (taus.join(est, est.est_jaccard >= taus.threshold, "left")
+            .groupBy("threshold")
+            .agg(F.count("est_jaccard").cast("long").alias("n_pairs")))
+
+
 # --- n-gram Jaccard ---------------------------------------------------------
 
 #: Jaccard near-dup threshold as an exact rational (3/5 = 0.6) so the

@@ -2187,3 +2187,96 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("k").cast("long").alias("min_k"),
                  F.max("k").cast("long").alias("max_k"),
                  F.sum("k").cast("long").alias("sum_k")))
+
+
+# --- round 4: the two remaining TPC-H shapes (Q5, Q12) -----------------------
+
+@register(
+    "local_supplier_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dec_sum('l.l_extendedprice * (1.0 - l.l_discount)', 6)}
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("relational", "tpch", "join"),
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (the last-but-one missing of the 22): revenue from
+    orders where the supplier and the customer share a nation, per nation
+    within one region and one order year. Completes the TPC-H surface
+    together with ``linestatus_priority_counts``.
+
+    Plan: the region -> nation chain reduces to a broadcast 5-key semi
+    filter BEFORE the fact joins; supplier and customer broadcast; the only
+    fact-fact shuffle is lineitem |> orders on orderkey, with the order
+    date window pruning orders ahead of it. The co-nation equality rides
+    the supplier broadcast join as a second key, never a post-join
+    filter over the full cross product."""
+    l = table(spark, sf_dir, "lineitem")
+    o = (table(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))))
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = (table(spark, sf_dir, "region")
+         .where(F.col("r_name") == "ASIA"))
+    nr = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+          .select("n_nationkey", "n_name"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(F.broadcast(s),
+                   (l.l_suppkey == s.s_suppkey)
+                   & (c.c_nationkey == s.s_nationkey))
+             .join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+             .groupBy("n_name")
+             .agg(dec_sum(rev, 6).alias("revenue")))
+
+
+@register(
+    "linestatus_priority_counts",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    tags=("relational", "tpch", "join"),
+)
+def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape, adapted to the fixture's column set (no
+    ``l_shipmode``/commit/receipt dates -> group by ``l_linestatus`` over a
+    ship-date year window): the two-branch conditional aggregation — count
+    urgent/high-priority vs other orders per group. The ship-date filter
+    prunes the lineitem scan (PushedFilters), the priority CASE is pure
+    column algebra on the probe side of the orderkey join, and the final
+    aggregate is 2 groups x 2 longs."""
+    l = (table(spark, sf_dir, "lineitem")
+         .where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))))
+    o = table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+             .groupBy("l_linestatus")
+             .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+                   .alias("high_line_count"),
+                  F.sum(F.when(~hi, 1).otherwise(0)).cast("long")
+                   .alias("low_line_count")))

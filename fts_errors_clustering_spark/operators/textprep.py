@@ -245,6 +245,21 @@ def cluster_stats_by_source(spark: SparkSession, sf_dir: str,
                  _dec_std_d("sim").alias("std_similarity")))
 
 
+@register("cluster_stats_by_source_exact", oracle=None,
+          tags=("text", "window", "udf"))
+def cluster_stats_by_source_exact(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """``cluster_stats_by_source`` with the bit-exact fuzzywuzzy-0.17
+    ``fuzz.ratio`` scorer (SequenceMatcher pandas UDF,
+    ``functions.text.fuzz_ratio_exact``) — the reference-parity slow path
+    registered as its own plan so SequenceMatcher parity is exercised in a
+    REGISTERED query, not only in tests/test_text.py. Rows-only driver
+    check (difflib's junk heuristics are not SQL-expressible); invariants:
+    same group sizes/first_text as the oracle-checked default, scores in
+    [0, 100] (tests/test_text.py)."""
+    return cluster_stats_by_source(spark, sf_dir, exact_ratio=True)
+
+
 # --- A11/M19: group membership materialization ------------------------------
 
 @register(

@@ -703,3 +703,98 @@ def quality_percentile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "doc_id", "quality",
                     F.round(F.percent_rank().over(w), 6)
                     .alias("quality_pct")))
+
+
+# --- round 4: PII audit + tokenizer fertility --------------------------------
+
+#: the M1 masking chain's entity patterns, counted instead of replaced —
+#: imported from functions/text.py so audit and scrub can never drift
+from ..functions.text import LINE_NUMBER_RE, UID_RE, UUID_RE  # noqa: E402
+
+_PII_TYPES = (
+    ("line_number", LINE_NUMBER_RE),
+    ("uuid", UUID_RE),
+    ("uid_run", UID_RE),
+)
+
+
+@register(
+    "pii_audit_counts",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS pii_type,
+               CAST(SUM(CASE WHEN len(regexp_extract_all(text, '{pat}')) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_hit,
+               CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)
+                 AS n_occurrences
+        FROM documents
+        """ for name, pat in _PII_TYPES),
+    tags=("text", "pii", "audit"),
+)
+def pii_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-scrub PII/identifier audit: for each maskable entity class of
+    the M1 chain (line numbers, UUIDs, long alphanumeric runs), how many
+    documents contain at least one occurrence and how many occurrences the
+    corpus carries in total — the report a curation pass publishes BEFORE
+    running ``mask_documents``, and the zero-check it re-runs after. Each
+    pattern is counted independently on the RAW text (a UUID also contains
+    uid-run substrings; the audit reports per-class exposure, not the
+    masking chain's sequential consumption). One JVM ``regexp_count`` scan
+    per class folded into a single aggregate — no Python, no shuffle wider
+    than 3 rows."""
+    docs = table(spark, sf_dir, "documents")
+    counted = docs.select(*[
+        F.regexp_count("text", F.lit(pat)).cast("long").alias(name)
+        for name, pat in _PII_TYPES])
+    per_type = F.explode(F.array(*[
+        F.struct(F.lit(name).alias("pii_type"),
+                 F.col(name).alias("n_hits"))
+        for name, _ in _PII_TYPES]))
+    return (counted.select(per_type.alias("kv"))
+            .select("kv.pii_type", "kv.n_hits")
+            .groupBy("pii_type")
+            .agg(F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+                  .cast("long").alias("n_docs_with_hit"),
+                 F.sum("n_hits").cast("long").alias("n_occurrences")))
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(len({sql_whitespace_tokens('text')}) AS BIGINT) AS n_toks,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 6) AS tokens_per_doc,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                 / GREATEST(CAST(SUM(n_toks) AS BIGINT), 1), 6)
+             AS chars_per_token
+    FROM per GROUP BY lang
+    """,
+    tags=("text", "tokens", "stats"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: documents, whitespace tokens,
+    tokens/document, and characters/token — the table that decides
+    per-language token budgets and flags scripts the tokenizer shreds
+    (CJK text without spaces shows as a huge chars-per-token outlier).
+    Integer sums shuffled per lang (5 groups x 2 longs), the two ratios a
+    single IEEE division each, identical in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(whitespace_tokens("text")).cast("long").alias("n_toks"),
+        F.length("text").cast("long").alias("n_chars"))
+    return (per.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_toks").cast("long").alias("n_tokens"),
+                 F.round(F.sum("n_toks").cast("double") / F.count("*"), 6)
+                  .alias("tokens_per_doc"),
+                 F.round(F.sum("n_chars").cast("double")
+                         / F.greatest(F.sum("n_toks").cast("long"), F.lit(1)),
+                         6).alias("chars_per_token")))

@@ -130,6 +130,12 @@ _HEAD = (
 #: names, whose regression gate remains the local parity sweep
 #: (tests/test_oracle_parity.py over all entries at sf0.001).
 _TAIL_AFTER_HEAD = (
+    # round-4 additions (oracle-backed unless noted): first in line past
+    # the budget window; rotate into _HEAD next round
+    "local_supplier_revenue", "linestatus_priority_counts",
+    "split_neardup_leakage", "neardup_threshold_sweep",
+    "pii_audit_counts", "tokenizer_fertility_by_lang",
+    "cluster_stats_by_source_exact",  # rows-only (SequenceMatcher UDF)
     # round-3-proven head (all green in CORRECTNESS_r03.json)
     "salted_group_members", "packed_sequences",
     "bpe_merge_table", "bpe_vocab_tokens", "bpe_tokens_per_lang",

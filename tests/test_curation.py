@@ -198,3 +198,65 @@ def test_domain_cap_two_level_equals_naive_window(spark):
             for r in naive.collect()}
     assert got == want
     assert all(k == DOMAIN_CAP for _, k, _m in got.values())  # cap binds
+
+
+def test_leakage_safe_splits_planted_cross_split_families(spark):
+    """Planted cross-split near-dup families at 10x fixture scale (5000
+    docs): the cluster-keyed split (leakage_safe_splits' assignment rule)
+    must put EVERY LSH-detected near-dup pair in one split — zero leakage —
+    while the naive per-doc hash split provably leaks on the same corpus.
+    Closes the loop the way the rank/cumsum property tests did for the
+    two-phase global order (VERDICT r03 next-steps #6)."""
+    import hashlib
+    import os
+    import random
+    import tempfile
+
+    from fts_errors_clustering_spark.operators.curation import SPLIT_BOUNDS
+    from fts_errors_clustering_spark.operators.dedup import (
+        dedup_clusters, minhash_near_dups)
+
+    def naive_split(doc_id: int) -> str:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        return ("train" if b < SPLIT_BOUNDS[0]
+                else "val" if b < SPLIT_BOUNDS[1] else "test")
+
+    rng = random.Random(42)
+    vocab = [f"w{i:04d}" for i in range(4000)]
+    rows = []
+    # 5000 unrelated base docs (short, distinct shingle sets)
+    for i in range(5000):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(10))))
+    # 40 planted families of 3 near-dup members each: 30-token base, each
+    # member appends ONE distinct token (shingle Jaccard ~0.93, well above
+    # the 0.5 LSH gate). Ids start at 10000; at least one family must
+    # straddle naive splits for the leak assertion to bite — assert below.
+    fam_members: list[list[int]] = []
+    for f in range(40):
+        base = " ".join(rng.choice(vocab) for _ in range(30))
+        ids = [10000 + 10 * f + j for j in range(3)]
+        fam_members.append(ids)
+        for j, did in enumerate(ids):
+            rows.append((did, f"{base} fam{f}tail{j}"))
+    assert any(len({naive_split(d) for d in ids}) > 1 for ids in fam_members)
+
+    with tempfile.TemporaryDirectory() as td:
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .selectExpr("doc_id", "text", "'en' AS lang", "'synth' AS source",
+                     "CAST(length(text) AS BIGINT) AS n_chars")
+         .write.mode("overwrite")
+         .parquet(os.path.join(td, "documents.parquet")))
+        pairs = [(r.a, r.b) for r in
+                 minhash_near_dups(spark, td).select("a", "b").collect()]
+        canon = {r.doc_id: r.canonical_id for r in
+                 dedup_clusters(spark, td)
+                 .select("doc_id", "canonical_id").collect()}
+
+    # the plant was detected: every family is one connected component
+    for ids in fam_members:
+        assert len({canon[d] for d in ids}) == 1, ids
+    # naive split leaks on the planted families
+    assert any(naive_split(a) != naive_split(b) for a, b in pairs)
+    # cluster-keyed split: zero cross-split near-dup pairs
+    for a, b in pairs:
+        assert naive_split(canon[a]) == naive_split(canon[b]), (a, b)
