@@ -260,6 +260,7 @@ _BNLJ_OK: set[str] = {
     "hourly_anomaly_scores",     # |event_type|-row distinct-types side
     "hybrid_search_rrf",         # 1-row BM25 stats + 1-row query vector
     "quality_signal_correlation",  # scalar vocabulary size (bigram CTE)
+    "neardup_threshold_sweep",   # 5-literal-row threshold table
     "decayed_user_scores",       # 1-row max-ts anchor
     "user_profile_similarity_topk",  # 1-row anchor norm
     "benford_deviation",         # 1-row digit total
@@ -337,6 +338,15 @@ _EXCHANGE_BUDGET = {
     "important_part_value": 12,
     "part_supplier_diversity": 8,
     "time_rollup_revenue": 2,
+    # round-4 additions: Q5 is all-broadcast (6 physical exchanges = dim
+    # builds + final agg), Q12/PII/fertility are scan -> one agg shuffle;
+    # the two leakage/sweep plans inherit the minhash pipeline's budget
+    "local_supplier_revenue": 12,
+    "linestatus_priority_counts": 4,
+    "pii_audit_counts": 2,
+    "tokenizer_fertility_by_lang": 2,
+    "split_neardup_leakage": 20,
+    "neardup_threshold_sweep": 22,
 }
 
 
