@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec_sum, sql_dec_sum
+from ..functions.text import sql_whitespace_tokens, whitespace_tokens
 from ..plans.registry import register
 from ..sources.readers import table
 
@@ -539,3 +540,60 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                      q("m_rk").alias("monetary_q"))
             .agg(F.count("*").cast("long").alias("n_customers"),
                  dec_sum("spend", 2).alias("segment_spend")))
+
+
+# --- round 4: training-shard balance audit -----------------------------------
+
+N_SHARDS = 16
+
+
+@register(
+    "shard_balance_audit",
+    oracle=f"""
+    WITH per AS (
+      SELECT CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % {N_SHARDS} AS shard_id,
+             CAST(len({sql_whitespace_tokens('text')}) AS BIGINT) AS n_toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    s AS (
+      SELECT shard_id, COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM per GROUP BY shard_id
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t, COUNT(*) AS k FROM s)
+    SELECT s.shard_id, s.n_docs, s.n_tokens,
+           ROUND(CAST(s.n_tokens AS DOUBLE)
+                 / (CAST(tot.t AS DOUBLE) / tot.k), 6) AS token_skew
+    FROM s, tot
+    """,
+    tags=("scale", "sharding"),
+)
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment + balance audit: every document lands in
+    one of {N_SHARDS} shards by salted content-independent hash (the
+    data-loader sharding a multi-host training job uses — deterministic,
+    reproducible, no coordination), and the audit reports per-shard doc and
+    TOKEN counts plus each shard's token skew vs the mean shard. A skew far
+    from 1.0 means stragglers: one host finishes its epoch late by exactly
+    that factor. One scan -> {N_SHARDS}-group aggregate -> 1-row broadcast
+    total; the salt differs from the train/val/test split hash so shard and
+    split assignments stay independent."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0)
+    shard = (F.conv(F.substring(F.md5(F.concat(F.lit("shard"),
+                                               F.col("doc_id").cast("string"))),
+                                1, 8), 16, 10)
+             .cast("long") % N_SHARDS)
+    n_toks = F.size(whitespace_tokens("text")).cast("long")
+    s = (docs.select(shard.alias("shard_id"), n_toks.alias("n_toks"))
+         .groupBy("shard_id")
+         .agg(F.count("*").alias("n_docs"),
+              F.sum("n_toks").cast("long").alias("n_tokens")))
+    tot = s.agg(F.sum("n_tokens").cast("long").alias("t"),
+                F.count("*").alias("k"))
+    return (s.crossJoin(F.broadcast(tot))
+            .select("shard_id", "n_docs", "n_tokens",
+                    F.round(F.col("n_tokens").cast("double")
+                            / (F.col("t").cast("double") / F.col("k")), 6)
+                    .alias("token_skew")))

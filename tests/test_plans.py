@@ -261,6 +261,7 @@ _BNLJ_OK: set[str] = {
     "hybrid_search_rrf",         # 1-row BM25 stats + 1-row query vector
     "quality_signal_correlation",  # scalar vocabulary size (bigram CTE)
     "neardup_threshold_sweep",   # 5-literal-row threshold table
+    "shard_balance_audit",       # 1-row grand-total broadcast
     "decayed_user_scores",       # 1-row max-ts anchor
     "user_profile_similarity_topk",  # 1-row anchor norm
     "benford_deviation",         # 1-row digit total
