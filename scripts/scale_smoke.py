@@ -94,6 +94,14 @@ QUERIES = [
     "important_part_value",        # lineitem: mean-relative global cutoff
     "time_rollup_revenue",         # orders: one-Expand grouping sets
     "props_variant_stats",         # events: VARIANT shred-once stats
+    # round-4 additions
+    "local_supplier_revenue",      # TPC-H Q5: bcast dims, one fact shuffle
+    "linestatus_priority_counts",  # TPC-H Q12: pushed window, cond sums
+    "split_neardup_leakage",       # documents: LSH pairs x split hash
+    "neardup_threshold_sweep",     # documents: one LSH pass, 5-tau join
+    "pii_audit_counts",            # documents: 3 regexp_count columns
+    "tokenizer_fertility_by_lang", # documents: integer sums per lang
+    "shard_balance_audit",         # documents: 16-shard token skew
 ]
 
 
