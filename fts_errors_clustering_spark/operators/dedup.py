@@ -282,6 +282,52 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("est_jaccard").cast("long").alias("n_pairs")))
 
 
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_MINHASH_SQL}, {_MINHASH_PAIRS_SQL},
+    src AS (
+      SELECT doc_id, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, source
+      FROM documents WHERE doc_id < 20
+    ),
+    dup AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+    labeled AS (
+      SELECT LEAST(sa.source, sb.source) AS source_a,
+             GREATEST(sa.source, sb.source) AS source_b
+      FROM dup JOIN src sa ON sa.doc_id = dup.a
+               JOIN src sb ON sb.doc_id = dup.b
+    )
+    SELECT source_a, source_b, COUNT(*) AS n_neardup_pairs
+    FROM labeled GROUP BY source_a, source_b
+    """,
+    tags=("dedup", "minhash", "provenance"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: near-dup pairs (MinHash-LSH,
+    >= 0.5) attributed to their sources — which crawls/feeds copy from
+    which. Off-diagonal mass means two upstream sources ship the same
+    content (pay for one); diagonal mass is intra-source duplication
+    (dedup before mixing weights are computed, or the duplicated source is
+    silently over-weighted). Source pairs are LEAST/GREATEST-normalized so
+    (a,b) and (b,a) land in one cell. Cost: the LSH pass + a doc_id->source
+    lookup join per pair side — source labels are small strings riding a
+    pair-sized shuffle, never text bodies."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    copies = (docs.where(F.col("doc_id") < 20)
+              .select((F.col("doc_id") + 100000).alias("doc_id"), "source"))
+    src = docs.unionByName(copies)
+    dup = minhash_near_dups(spark, sf_dir).select("a", "b")
+    sa = src.select(F.col("doc_id").alias("a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("b"), F.col("source").alias("src_b"))
+    return (dup.join(sa, "a").join(sb, "b")
+            .select(F.least("src_a", "src_b").alias("source_a"),
+                    F.greatest("src_a", "src_b").alias("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("n_neardup_pairs")))
+
+
 # --- n-gram Jaccard ---------------------------------------------------------
 
 #: Jaccard near-dup threshold as an exact rational (3/5 = 0.6) so the

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot_agg, sql_cosine
+from ..functions.vectors import cosine, dot_agg, norm, sql_cosine, sql_norm
 from ..plans.registry import register
 from ..sources.readers import table
 
@@ -598,3 +598,45 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("vmin").alias("vmin"), F.min("vmax").alias("vmax"),
                  F.round(_dec_sum(F.col("sqerr")) / F.count("*"), 12)
                  .alias("mse_q8")))
+
+
+# --- round 4: embedding QA --------------------------------------------------
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH n AS (
+      SELECT label, {sql_norm('embedding', 64)} AS nrm FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND({_SQL_DEC_SUM.format(x='nrm')} / COUNT(*), 6) AS mean_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+    tags=("similarity", "vectors", "audit"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA gate: per-label vector count, ZERO-norm count (the
+    failure mode of a broken encoder batch — zero vectors silently poison
+    every cosine downstream), and min/mean/max L2 norm. Run before any
+    similarity/dedup pass: a norm distribution with outliers means the
+    encoder wasn't normalized (cosine vs dot choice becomes load-bearing),
+    zero rows mean upstream nulls. Per-row norm is the left-to-right
+    fold (bit-identical to the oracle's explicit 64-term chain); the mean
+    goes through the decimal-exact sum. One scan, |labels|-group
+    aggregate."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select(F.col("label").cast("long").alias("label"),
+                   norm("embedding", 64).alias("nrm"))
+    return (n.groupBy("label")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0))
+                  .cast("long").alias("n_zero_norm"),
+                 F.round(F.min("nrm"), 6).alias("min_norm"),
+                 F.round(_dec_sum(F.col("nrm")) / F.count("*"), 6)
+                  .alias("mean_norm"),
+                 F.round(F.max("nrm"), 6).alias("max_norm")))

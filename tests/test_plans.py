@@ -348,6 +348,11 @@ _EXCHANGE_BUDGET = {
     "tokenizer_fertility_by_lang": 2,
     "split_neardup_leakage": 20,
     "neardup_threshold_sweep": 22,
+    # 42 when the shared minhash sigs cache is cold (both LSH branches
+    # print); collapses to ~24 once the InMemoryRelation is materialized
+    "source_overlap_matrix": 42,
+    "embedding_norm_stats": 2,
+    "shard_balance_audit": 8,
 }
 
 
