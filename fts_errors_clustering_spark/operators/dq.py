@@ -111,3 +111,74 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("n_orphans").cast("double"), 0.0,
                          F.col("n_orphans") == 0))
         .unionByName(row(d, "documents_blank_ratio", nb, 0.1, nb <= 0.1)))
+
+
+# --- round 4: generic single-pass column profiler ----------------------------
+
+#: (column, null-skipping distinct?, numeric min/max expression or None)
+_PROFILE_COLS = (
+    ("event_id", "CAST(event_id AS DOUBLE)"),
+    ("ts", "CAST(epoch_us(ts) AS DOUBLE)"),
+    ("user_id", "CAST(user_id AS DOUBLE)"),
+    ("event_type", None),
+    ("value", "value"),
+    ("props", None),
+)
+
+
+@register(
+    "events_column_profile",
+    oracle="SELECT * FROM (" + " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               {f'MIN({mm})' if mm else 'CAST(NULL AS DOUBLE)'} AS min_value,
+               {f'MAX({mm})' if mm else 'CAST(NULL AS DOUBLE)'} AS max_value
+        FROM events
+        """ for c, mm in _PROFILE_COLS) + ")",
+    tags=("dq", "profile"),
+)
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiler (the `df.profile()` every exploration
+    session starts with): per column — row count, null count, EXACT
+    distinct count, and min/max for the orderable columns (timestamps as
+    epoch-micros doubles, so the values are engine-neutral). One wide
+    aggregate over one scan, unpivoted to a 6-row report.
+
+    Scale note: the exact multi-column COUNT(DISTINCT) is the fidelity
+    tier (Expand-based, one shuffle per distinct column set); at 100 TB
+    swap `countDistinct` for `approx_count_distinct` — the HLL twin of
+    this report is `approx_distinct_and_quantiles`, already registered."""
+    ev = table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")]
+    for c, _mm in _PROFILE_COLS:
+        aggs.append((F.count("*") - F.count(c)).cast("long")
+                    .alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"dist_{c}"))
+    mins = {"event_id": F.min(F.col("event_id").cast("double")),
+            "ts": F.min(F.unix_micros("ts").cast("double")),
+            "user_id": F.min(F.col("user_id").cast("double")),
+            "value": F.min("value")}
+    maxs = {"event_id": F.max(F.col("event_id").cast("double")),
+            "ts": F.max(F.unix_micros("ts").cast("double")),
+            "user_id": F.max(F.col("user_id").cast("double")),
+            "value": F.max("value")}
+    for c in mins:
+        aggs.append(mins[c].alias(f"min_{c}"))
+        aggs.append(maxs[c].alias(f"max_{c}"))
+    wide = ev.agg(*aggs)
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col("n_rows").alias("n_rows"),
+                 F.col(f"null_{c}").alias("n_null"),
+                 F.col(f"dist_{c}").alias("n_distinct"),
+                 (F.col(f"min_{c}") if c in mins
+                  else F.lit(None).cast("double")).alias("min_value"),
+                 (F.col(f"max_{c}") if c in mins
+                  else F.lit(None).cast("double")).alias("max_value"))
+        for c, _mm in _PROFILE_COLS]))
+    return (wide.select(rows.alias("kv"))
+            .select("kv.column_name", "kv.n_rows", "kv.n_null",
+                    "kv.n_distinct", "kv.min_value", "kv.max_value"))

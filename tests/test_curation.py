@@ -260,3 +260,32 @@ def test_leakage_safe_splits_planted_cross_split_families(spark):
     # cluster-keyed split: zero cross-split near-dup pairs
     for a, b in pairs:
         assert naive_split(canon[a]) == naive_split(canon[b]), (a, b)
+
+
+def test_shard_balance_conserves_docs_and_mean_skew(spark):
+    """shard_balance_audit: shards partition the non-empty corpus exactly
+    (doc/token totals conserved) and the token-skew column averages 1 by
+    construction."""
+    from fts_errors_clustering_spark.operators.scale import shard_balance_audit
+    from fts_errors_clustering_spark.sources.readers import table
+
+    rows = shard_balance_audit(spark, SF_SMALL).collect()
+    docs = (table(spark, SF_SMALL, "documents")
+            .where(F.length(F.trim("text")) > 0))
+    assert sum(r.n_docs for r in rows) == docs.count()
+    mean_skew = sum(r.token_skew for r in rows) / len(rows)
+    assert abs(mean_skew - 1.0) < 1e-4
+    assert all(r.token_skew > 0 for r in rows)
+
+
+def test_source_overlap_matrix_conserves_pairs(spark):
+    """Every near-dup pair lands in exactly one (source_a<=source_b) cell:
+    the matrix total equals the LSH pair count."""
+    from fts_errors_clustering_spark.operators.dedup import (
+        minhash_near_dups, source_overlap_matrix)
+
+    cells = source_overlap_matrix(spark, SF_SMALL).collect()
+    n_pairs = minhash_near_dups(spark, SF_SMALL).count()
+    assert sum(r.n_neardup_pairs for r in cells) == n_pairs
+    for r in cells:
+        assert r.source_a <= r.source_b
