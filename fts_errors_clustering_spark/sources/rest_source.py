@@ -27,7 +27,9 @@ from __future__ import annotations
 import importlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 from pyspark.sql.types import StructType
 
 
@@ -79,6 +81,57 @@ class _RestPagesReader(DataSourceReader):
             page += partition.step
 
 
+class _RestPagesStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING twin of the page reader: ``spark.readStream.format(
+    "rest_pages")`` tails the endpoint — each micro-batch fetches the pages
+    that appeared since the last committed offset (offset = next page
+    number, a dict so it JSON-round-trips through the checkpoint log).
+    Replays are deterministic: ``readBetweenOffsets`` re-fetches exactly
+    [start, end) on recovery, the contract that makes the source
+    exactly-once into an idempotent sink. Per-batch page count is capped
+    (``max_pages_per_batch``) so a cold start against a deep feed
+    back-fills in bounded batches instead of one giant first batch."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.options = options
+        self.names = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"page": int(self.options.get("start", "1"))}
+
+    def _fetch_range(self, first: int, last_exclusive: int):
+        fetch = resolve_fetcher(self.options["fetcher"])
+        for page in range(first, last_exclusive):
+            payload = fetch(page)
+            for rec in payload.get("results", []):
+                yield tuple(rec.get(c) for c in self.names)
+            if not payload.get("next"):
+                return
+
+    def read(self, start: dict):
+        fetch = resolve_fetcher(self.options["fetcher"])
+        cap = int(self.options.get("max_pages_per_batch", "10"))
+        page = int(start["page"])
+        rows: list[tuple] = []
+        for _ in range(cap):
+            payload = fetch(page)
+            results = payload.get("results", [])
+            if not results:
+                break  # nothing new yet; offset stays put
+            for rec in results:
+                rows.append(tuple(rec.get(c) for c in self.names))
+            page += 1
+            if not payload.get("next"):
+                break
+        return iter(rows), {"page": page}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._fetch_range(int(start["page"]), int(end["page"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # the endpoint is remote state; nothing to clean up
+
+
 class RestPagesDataSource(DataSource):
     """``spark.read.format("rest_pages")`` after
     ``spark.dataSource.register(RestPagesDataSource)``.
@@ -102,6 +155,12 @@ class RestPagesDataSource(DataSource):
             raise ValueError("rest_pages requires a fetcher=module:function "
                              "option (see module docstring)")
         return _RestPagesReader(dict(self.options), schema)
+
+    def simpleStreamReader(self, schema: StructType) -> _RestPagesStreamReader:
+        if "fetcher" not in self.options:
+            raise ValueError("rest_pages requires a fetcher=module:function "
+                             "option (see module docstring)")
+        return _RestPagesStreamReader(dict(self.options), schema)
 
 
 # --- deterministic offline fetcher (tests / demos) ---------------------------
