@@ -289,3 +289,31 @@ def test_source_overlap_matrix_conserves_pairs(spark):
     assert sum(r.n_neardup_pairs for r in cells) == n_pairs
     for r in cells:
         assert r.source_a <= r.source_b
+
+
+def test_neardup_sweep_monotone_and_anchored(spark):
+    """Pair counts must be non-increasing in the threshold, and the 0.5
+    cell must equal the minhash_near_dups pair count (same gate)."""
+    from fts_errors_clustering_spark.operators.dedup import (
+        minhash_near_dups, neardup_threshold_sweep)
+
+    rows = sorted(neardup_threshold_sweep(spark, SF_SMALL).collect(),
+                  key=lambda r: r.threshold)
+    counts = [r.n_pairs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0].threshold == 0.5
+    assert rows[0].n_pairs == minhash_near_dups(spark, SF_SMALL).count()
+
+
+def test_column_profile_bounds(spark):
+    """Profiler sanity: nulls <= rows, distinct <= rows - nulls (+1 for the
+    null bucket never counted), min <= max where present."""
+    from fts_errors_clustering_spark.plans.registry import all_queries
+    rows = all_queries()["events_column_profile"].fn(spark, SF_SMALL).collect()
+    assert {r.column_name for r in rows} == {
+        "event_id", "ts", "user_id", "event_type", "value", "props"}
+    for r in rows:
+        assert 0 <= r.n_null <= r.n_rows
+        assert 0 <= r.n_distinct <= r.n_rows - r.n_null
+        if r.min_value is not None:
+            assert r.min_value <= r.max_value
