@@ -812,3 +812,37 @@ def streaming_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is asserted in tests/test_streaming.py."""
     from ..streaming.jobs import run_upsert_stream
     return run_upsert_stream(spark, sf_dir)
+
+
+# --- round 4: SCD-2 validity intervals ---------------------------------------
+
+@register(
+    "scd2_user_intervals",
+    oracle="""
+    SELECT user_id, event_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "scd", "temporal"),
+)
+def scd2_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension build from a change log: each event becomes a
+    VERSION row with a validity interval — ``valid_from`` = its timestamp,
+    ``valid_to`` = the user's next change (open/null on the current row).
+    This is how a warehouse turns an append-only CDC feed into a
+    point-in-time-joinable dimension (the as-of joins in operators/asof.py
+    are the read side; this is the build side).
+
+    Scale: ONE hash shuffle on user_id and one in-partition sort — the
+    same plan class as ``latest_event_per_user``; no self-join, no range
+    explosion. Interval half-open [from, to) by construction, so versions
+    tile each user's timeline with no overlap (tested)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select("user_id", "event_id", "event_type",
+                     F.col("ts").alias("valid_from"),
+                     nxt.alias("valid_to"),
+                     nxt.isNull().alias("is_current"))

@@ -87,3 +87,21 @@ def test_asof_forward_tolerance(frames):
     assert got[1] is None   # next is 2h ahead > 90min
     assert got[2] == 200    # 0 gap
     assert got[3] is None   # 9h ahead
+
+
+def test_scd2_intervals_tile_each_user_timeline(spark):
+    """SCD-2 build: per user, exactly one current row; intervals are
+    half-open, non-overlapping, and chain end-to-start in order."""
+    from fts_errors_clustering_spark.plans.registry import all_queries
+    from .conftest import SF_SMALL
+
+    rows = all_queries()["scd2_user_intervals"].fn(spark, SF_SMALL).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: (r.valid_from, r.event_id))
+        assert sum(1 for r in vs if r.is_current) == 1
+        assert vs[-1].is_current and vs[-1].valid_to is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from, uid
