@@ -129,6 +129,18 @@ HEADLINE = [
     "market_share_by_year",
     "cheapest_supplier_per_part",
     "curriculum_length_phases",
+    # round-4 operators
+    "local_supplier_revenue",
+    "linestatus_priority_counts",
+    "split_neardup_leakage",
+    "neardup_threshold_sweep",
+    "pii_audit_counts",
+    "tokenizer_fertility_by_lang",
+    "shard_balance_audit",
+    "source_overlap_matrix",
+    "embedding_norm_stats",
+    "events_column_profile",
+    "scd2_user_intervals",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and
