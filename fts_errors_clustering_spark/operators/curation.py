@@ -485,8 +485,12 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind round 1's top_users_share hash mismatch."""
     from .scale import bucket_prefix_offsets, quantile_buckets
     docs = table(spark, sf_dir, "documents")
+    # cache the tokenized counts: the two-phase composition runs two
+    # driver actions before the final job, and re-tokenizing the corpus
+    # three times is the dominant repeated cost (2-int rows cached)
     toks = (docs.where(F.length(F.trim("text")) > 0)
-            .select("doc_id", F.size(whitespace_tokens("text")).alias("n")))
+            .select("doc_id", F.size(whitespace_tokens("text")).alias("n"))
+            .cache())
     bucketed = quantile_buckets(toks, "doc_id")
     off0 = bucket_prefix_offsets(bucketed, F.sum("n"))
     w = (Window.partitionBy("bucket").orderBy("doc_id")
