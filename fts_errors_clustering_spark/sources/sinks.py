@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame
 
 __all__ = ["write_partitioned_parquet", "write_jsonl_shards",
            "write_bucketed_table", "write_zordered_parquet",
-           "compact_parquet"]
+           "compact_parquet", "publish_versioned_parquet",
+           "read_latest_version", "read_versioned"]
 
 
 def write_partitioned_parquet(
@@ -190,3 +191,58 @@ def compact_parquet(
     out = jvm.org.apache.hadoop.fs.Path(out_path)
     return sum(1 for s in fs.listStatus(out)
                if s.getPath().getName().endswith(".parquet"))
+
+
+def publish_versioned_parquet(df: DataFrame, root: str) -> int:
+    """Atomic snapshot publish — the minimal lakehouse commit protocol.
+
+    Writes the dataset to ``root/v=N/`` (N = last published version + 1),
+    then flips the ``root/_LATEST`` pointer with an atomic rename. Readers
+    that resolve the pointer (``read_versioned``) therefore see either the
+    previous snapshot or the complete new one, never a half-written
+    directory — the publish is all-or-nothing even if the writer dies
+    mid-write (an orphaned ``v=N`` directory without a pointer flip is
+    invisible and safe to GC). Old versions stay readable: time travel is
+    ``read_versioned(spark, root, version=K)``.
+
+    This is the pattern Iceberg/Delta implement with manifest files; the
+    single-pointer variant here is exactly right for the publish-once /
+    read-many cadence of a curated training-data drop, with no table
+    format dependency. Returns the new version number."""
+    import os
+    import tempfile
+
+    os.makedirs(root, exist_ok=True)
+    ptr = os.path.join(root, "_LATEST")
+    cur = read_latest_version(root)
+    new = cur + 1
+    df.write.mode("overwrite").parquet(os.path.join(root, f"v={new}"))
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="._latest_")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(str(new))
+    os.replace(tmp, ptr)  # POSIX-atomic pointer flip
+    return new
+
+
+def read_latest_version(root: str) -> int:
+    """Current published version (0 = nothing published)."""
+    import os
+    ptr = os.path.join(root, "_LATEST")
+    if not os.path.exists(ptr):
+        return 0
+    with open(ptr) as fh:
+        return int(fh.read().strip())
+
+
+def read_versioned(spark, root: str, version: int | None = None) -> DataFrame:
+    """Read a published snapshot: latest by default, or time-travel to an
+    explicit ``version``. Raises if nothing is published (or the requested
+    version was never committed) rather than scanning a partial write."""
+    import os
+    v = read_latest_version(root) if version is None else version
+    if v < 1:
+        raise ValueError(f"no published version under {root}")
+    path = os.path.join(root, f"v={v}")
+    if version is not None and version > read_latest_version(root):
+        raise ValueError(f"version {version} not committed under {root}")
+    return spark.read.parquet(path)

@@ -271,3 +271,35 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     n_out = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
     assert n_out == 1
     assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_versioned_publish_atomic_and_time_travel(spark, tmp_path):
+    """Snapshot publish: readers resolve the pointer to a COMPLETE version
+    only; old versions stay readable (time travel); an uncommitted version
+    directory is invisible."""
+    import os
+
+    import pytest
+
+    from fts_errors_clustering_spark.sources.sinks import (
+        publish_versioned_parquet, read_latest_version, read_versioned)
+
+    root = str(tmp_path / "snap")
+    with pytest.raises(ValueError):
+        read_versioned(spark, root)
+
+    v1 = publish_versioned_parquet(spark.range(5), root)
+    assert (v1, read_latest_version(root)) == (1, 1)
+    assert read_versioned(spark, root).count() == 5
+
+    v2 = publish_versioned_parquet(spark.range(9), root)
+    assert v2 == 2
+    assert read_versioned(spark, root).count() == 9          # latest
+    assert read_versioned(spark, root, version=1).count() == 5  # time travel
+
+    # a crashed writer = data dir without a pointer flip: invisible
+    spark.range(3).write.mode("overwrite").parquet(os.path.join(root, "v=3"))
+    assert read_latest_version(root) == 2
+    assert read_versioned(spark, root).count() == 9
+    with pytest.raises(ValueError):
+        read_versioned(spark, root, version=3)
