@@ -640,3 +640,25 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(_dec_sum(F.col("nrm")) / F.count("*"), 6)
                   .alias("mean_norm"),
                  F.round(F.max("nrm"), 6).alias("max_norm")))
+
+
+@register("ann_recall_audit", oracle=None,
+          tags=("similarity", "vectors", "ml", "audit"))
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible quality row for the approximate ANN tiers: recall@10
+    of IVF / PQ / IVF-PQ against the exact brute-force top-10 on the SAME
+    fixture query vector. This is the number an ANN rollout is judged by
+    (the speed numbers are in bench; this keeps the accuracy side in the
+    same per-round artifact). Rows-only: the approximate tiers are
+    KMeans/codebook-backed and not SQL-expressible; the hard floors live
+    in tests/test_similarity.py recall gates."""
+    exact = {r[0] for r in ann_bruteforce_topk(spark, sf_dir)
+             .select("vec_id").collect()}
+    rows = []
+    for method, fn in (("ivf", ann_ivf_topk), ("pq", ann_pq_topk),
+                       ("ivfpq", ann_ivfpq_topk)):
+        got = {r[0] for r in fn(spark, sf_dir).select("vec_id").collect()}
+        rows.append((method, len(got & exact),
+                     round(len(got & exact) / max(len(exact), 1), 4)))
+    return spark.createDataFrame(
+        rows, "method string, n_hits_at_10 long, recall_at_10 double")

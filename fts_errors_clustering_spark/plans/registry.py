@@ -138,6 +138,7 @@ _TAIL_AFTER_HEAD = (
     "cluster_stats_by_source_exact",  # rows-only (SequenceMatcher UDF)
     "shard_balance_audit", "source_overlap_matrix", "embedding_norm_stats",
     "events_column_profile", "scd2_user_intervals",
+    "ann_recall_audit",  # rows-only (KMeans/codebook-backed)
     # round-3-proven head (all green in CORRECTNESS_r03.json)
     "salted_group_members", "packed_sequences",
     "bpe_merge_table", "bpe_vocab_tokens", "bpe_tokens_per_lang",
