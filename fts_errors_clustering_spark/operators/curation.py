@@ -1039,3 +1039,55 @@ def domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_kept"),
         F.round(F.min("q"), 6).alias("min_kept_quality"))
     return cand.join(agg, "source")
+
+
+@register(
+    "split_stratification_chi2",
+    oracle=f"""
+    WITH obs AS (
+      SELECT {_sql_split('doc_id')} AS r, lang AS c, COUNT(*) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, SUM(o) AS row_tot FROM obs GROUP BY r),
+    ct AS (SELECT c, SUM(o) AS col_tot FROM obs GROUP BY c),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    terms AS (
+      SELECT obs.o,
+             (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+              / CAST((SELECT n FROM n) AS DOUBLE)) AS e
+      FROM obs JOIN rt ON obs.r = rt.r JOIN ct ON obs.c = ct.c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(27,18)))
+                      AS VARCHAR) AS DOUBLE), 6) AS chi2
+    FROM terms
+    """,
+    tags=("curation", "split", "stats"),
+)
+def split_stratification_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-stratification QA: Pearson chi-square of the (split x lang)
+    contingency — is the deterministic hash split independent of language,
+    or did the key correlate with content (the failure mode of splitting
+    on a key that encodes provenance, e.g. sequential ids assigned per
+    crawl)? A healthy hash split shows chi2 near its degrees of freedom;
+    a large value means per-language eval metrics are measuring the split,
+    not the model. Same decimal-exact statistic plan as
+    ``chi2_priority_status``: one corpus aggregate -> cell-sized math."""
+    docs = table(spark, sf_dir, "documents")
+    obs = (docs.groupBy(_split_name(_split_bucket(F.col("doc_id")))
+                        .alias("r"), F.col("lang").alias("c"))
+           .agg(F.count("*").alias("o")).cache())
+    rt = obs.groupBy("r").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = (F.col("row_tot").cast("double") * F.col("col_tot").cast("double")
+         / F.col("n").cast("double"))
+    terms = (obs.join(F.broadcast(rt), "r").join(F.broadcast(ct), "c")
+             .crossJoin(F.broadcast(n))
+             .select("o", e.alias("e")))
+    chi2 = ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+            / F.col("e"))
+    return terms.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum(chi2.cast("decimal(27,18)"))
+                .cast("string").cast("double"), 6).alias("chi2"))

@@ -2280,3 +2280,53 @@ def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("high_line_count"),
                   F.sum(F.when(~hi, 1).otherwise(0)).cast("long")
                    .alias("low_line_count")))
+
+
+@register(
+    "open_orders_backlog",
+    oracle="""
+    WITH span AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS start_day,
+             CAST(MAX(l.l_shipdate) AS DATE) AS end_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT start_day AS day, 1 AS d FROM span
+      UNION ALL
+      SELECT end_day AS day, -1 AS d FROM span
+    ),
+    daily AS (SELECT day, CAST(SUM(d) AS BIGINT) AS d FROM deltas GROUP BY day)
+    SELECT day, CAST(SUM(d) OVER (ORDER BY day) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+    tags=("relational", "temporal", "sweep"),
+)
+def open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog — interval counting WITHOUT a per-day
+    interval join: each order contributes +1 on its order day and -1 on
+    its last-ship day, and the running sum of the per-day deltas IS the
+    number of concurrently open orders (the sweep-line/stabbing-count
+    identity). The naive form joins every calendar day against every
+    interval (days x orders work at 100 TB); this is one fact aggregate
+    to |days| delta rows plus a window over that bounded, calendar-sized
+    table.
+
+    Half-open [order_day, last_ship_day): a same-day-shipped order nets
+    zero. The final running sum runs over <= a few thousand day rows —
+    bounded by the calendar, not the data."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    span = (l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.max("l_shipdate").alias("last_ship"))
+            .select(F.to_date("o_orderdate").alias("start_day"),
+                    F.to_date("last_ship").alias("end_day")))
+    deltas = (span.select(F.col("start_day").alias("day"), F.lit(1).alias("d"))
+              .unionByName(span.select(F.col("end_day").alias("day"),
+                                       F.lit(-1).alias("d"))))
+    daily = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("d"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return daily.select("day", F.sum("d").over(w).cast("long")
+                        .alias("open_orders"))

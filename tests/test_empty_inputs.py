@@ -27,6 +27,7 @@ FIT_BASED = {
     "lsh_neighbor_counts",
     "pipeline_tfidf_kmeans", "pipeline_word2vec_dbscan",
     "semantic_dedup_ivf", "tfidf_pipeline_features", "word2vec_doc_vectors",
+    "ann_recall_audit",  # composes the three fit-based ANN tiers above
 }
 
 
