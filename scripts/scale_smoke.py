@@ -102,6 +102,12 @@ QUERIES = [
     "pii_audit_counts",            # documents: 3 regexp_count columns
     "tokenizer_fertility_by_lang", # documents: integer sums per lang
     "shard_balance_audit",         # documents: 16-shard token skew
+    "source_overlap_matrix",       # documents: LSH pairs x source lookup
+    "embedding_norm_stats",        # embeddings: per-label norm fold
+    "events_column_profile",       # events: one wide agg, 6-row unpivot
+    "scd2_user_intervals",         # events: one user-partitioned LEAD
+    "split_stratification_chi2",   # documents: split x lang contingency
+    "open_orders_backlog",         # orders+lineitem: delta sweep cumsum
 ]
 
 

@@ -262,6 +262,7 @@ _BNLJ_OK: set[str] = {
     "quality_signal_correlation",  # scalar vocabulary size (bigram CTE)
     "neardup_threshold_sweep",   # 5-literal-row threshold table
     "shard_balance_audit",       # 1-row grand-total broadcast
+    "split_stratification_chi2",  # scalar grand total n (chi2 pattern)
     "decayed_user_scores",       # 1-row max-ts anchor
     "user_profile_similarity_topk",  # 1-row anchor norm
     "benford_deviation",         # 1-row digit total
