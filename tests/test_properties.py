@@ -286,3 +286,45 @@ def test_global_rank_column_heavy_ties(spark, small_vals):
         "rk", F.row_number().over(Window.orderBy("v", "id")).cast("long"))
         .collect()}
     assert got == ref
+
+
+@SET
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=60),
+                          st.integers(min_value=0, max_value=60)),
+                min_size=1, max_size=60))
+def test_backlog_sweep_equals_bruteforce(spark, iv):
+    """open_orders_backlog's +1/-1 delta sweep must equal the brute-force
+    per-day stabbing count over random half-open intervals."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from fts_errors_clustering_spark.plans.registry import all_queries
+
+    base = dt.date(1996, 1, 1)
+    spans = [(min(a, b), max(a, b)) for a, b in iv]
+    orders = [(i, dt.datetime.combine(base + dt.timedelta(days=s),
+                                      dt.time()), i, "O", 1.0, "P")
+              for i, (s, _e) in enumerate(spans)]
+    lines = [(i, i, i, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+              dt.datetime.combine(base + dt.timedelta(days=e), dt.time()))
+             for i, (_s, e) in enumerate(spans)]
+    with tempfile.TemporaryDirectory() as td:
+        (spark.createDataFrame(
+            orders, "o_orderkey long, o_orderdate timestamp, o_custkey long,"
+                    "o_orderstatus string, o_totalprice double,"
+                    "o_orderpriority string")
+         .write.parquet(os.path.join(td, "orders.parquet")))
+        (spark.createDataFrame(
+            lines, "l_orderkey long, l_partkey long, l_suppkey long,"
+                   "l_linenumber long, l_quantity double,"
+                   "l_extendedprice double, l_discount double, l_tax double,"
+                   "l_returnflag string, l_linestatus string,"
+                   "l_shipdate timestamp")
+         .write.parquet(os.path.join(td, "lineitem.parquet")))
+        got = {r.day: r.open_orders for r in
+               all_queries()["open_orders_backlog"].fn(spark, td).collect()}
+    days = sorted({d for s, e in spans for d in (s, e)})
+    ref = {base + dt.timedelta(days=d):
+           sum(1 for s, e in spans if s <= d < e) for d in days}
+    assert got == ref
