@@ -338,3 +338,74 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("d").cast("long").alias("core_degree"))
             .orderBy(F.desc("core_degree"), F.asc("part"))
             .limit(KCORE_TOP))
+
+
+#: association-rule gates: minimum co-containing orders for a pair to be
+#: scored (kills 1-order coincidences), and the report size
+MIN_PAIR_SUPPORT = 2
+TOP_PAIRS = 20
+
+
+@register(
+    "part_affinity_lift",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    item AS (SELECT l_partkey, COUNT(*) AS c FROM baskets GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.u AS part_a, p.v AS part_b,
+           CAST(p.c AS BIGINT) AS n_co_orders,
+           ROUND(CAST(p.c * n.n_orders AS DOUBLE)
+                 / CAST(ia.c * ib.c AS DOUBLE), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.u
+    JOIN item ib ON ib.l_partkey = p.v
+    CROSS JOIN n
+    WHERE p.c >= {MIN_PAIR_SUPPORT}
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT {TOP_PAIRS}
+    """,
+    tags=("graph", "association", "join"),
+)
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-{TOP_PAIRS} co-purchased part pairs by
+    LIFT — P(A,B)/(P(A)·P(B)) over order baskets, the association-rule
+    statistic behind "bought together" (lift > 1 = genuinely associated,
+    = 1 independent). The statistical companion to the structural
+    co-purchase ops (PageRank/triangles/k-core) on the same graph.
+
+    Scale: pair generation is the bounded-fanout basket self-join (TPC-H
+    orders hold <= 7 parts -> <= 21 pairs per order, never a hot-key
+    explosion); item counts and the 1-row order total broadcast; lift is
+    one integer multiply each side of a single IEEE division, so the
+    statistic hash-matches without decimal scaffolding; top-{TOP_PAIRS} is
+    TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct().cache()
+    n = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    b = baskets.select(F.col("l_orderkey").alias("o2"),
+                       F.col("l_partkey").alias("v"))
+    pair = (baskets.join(b, (baskets.l_orderkey == b.o2)
+                         & (baskets.l_partkey < b.v))
+            .groupBy(F.col("l_partkey").alias("u"), "v")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") >= MIN_PAIR_SUPPORT))
+    ia = item.select(F.col("l_partkey").alias("u"), F.col("c").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("v"), F.col("c").alias("cb"))
+    return (pair.join(F.broadcast(ia), "u").join(F.broadcast(ib), "v")
+            .crossJoin(F.broadcast(n))
+            .select(F.col("u").alias("part_a"), F.col("v").alias("part_b"),
+                    F.col("c").cast("long").alias("n_co_orders"),
+                    F.round((F.col("c") * F.col("n_orders")).cast("double")
+                            / (F.col("ca") * F.col("cb")).cast("double"), 6)
+                    .alias("lift"))
+            .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+            .limit(TOP_PAIRS))

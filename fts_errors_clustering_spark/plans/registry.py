@@ -140,6 +140,7 @@ _TAIL_AFTER_HEAD = (
     "events_column_profile", "scd2_user_intervals",
     "ann_recall_audit",  # rows-only (KMeans/codebook-backed)
     "split_stratification_chi2", "open_orders_backlog",
+    "part_affinity_lift",
     # round-3-proven head (all green in CORRECTNESS_r03.json)
     "salted_group_members", "packed_sequences",
     "bpe_merge_table", "bpe_vocab_tokens", "bpe_tokens_per_lang",

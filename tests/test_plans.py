@@ -263,6 +263,7 @@ _BNLJ_OK: set[str] = {
     "neardup_threshold_sweep",   # 5-literal-row threshold table
     "shard_balance_audit",       # 1-row grand-total broadcast
     "split_stratification_chi2",  # scalar grand total n (chi2 pattern)
+    "part_affinity_lift",        # 1-row order-total broadcast
     "decayed_user_scores",       # 1-row max-ts anchor
     "user_profile_similarity_topk",  # 1-row anchor norm
     "benford_deviation",         # 1-row digit total
