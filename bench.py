@@ -141,6 +141,9 @@ HEADLINE = [
     "embedding_norm_stats",
     "events_column_profile",
     "scd2_user_intervals",
+    "split_stratification_chi2",
+    "open_orders_backlog",
+    "part_affinity_lift",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -108,6 +108,7 @@ QUERIES = [
     "scd2_user_intervals",         # events: one user-partitioned LEAD
     "split_stratification_chi2",   # documents: split x lang contingency
     "open_orders_backlog",         # orders+lineitem: delta sweep cumsum
+    "part_affinity_lift",          # lineitem: bounded basket pair join
 ]
 
 
