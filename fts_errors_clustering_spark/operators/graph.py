@@ -20,6 +20,18 @@ and cached; each iteration shuffles only the rank table (one row per node)
 plus map-side-combined per-node partial sums — the dbscan.py propagation
 discipline. Rank updates are pure column algebra; convergence-to-fixpoint
 variants would swap the fixed range for the label-sum certificate loop.
+
+Cache hygiene: every registered query here pins intermediates (`.cache()`)
+for reuse across consuming branches/iterations, MATERIALIZES its bounded
+final result (top-k / 1-row audits) while those caches are hot, then
+releases them in a ``finally`` — a long-lived session running the full
+query sweep accumulates nothing (the ``fit_kmeans_best`` discipline).
+The fixed-round loops (5 PageRank updates, {KCORE_ROUNDS} peels) carry
+their full lineage instead of ``localCheckpoint``-ing per round: lineage
+depth is bounded by the compile-time constant, and lazy localCheckpoint
+pins an un-unpersistable node-sized RDD per round for the session's
+lifetime. Unbounded loops elsewhere (dbscan label propagation, the BPE
+trainer) keep per-round truncation — there the lineage actually grows.
 """
 
 from __future__ import annotations
@@ -30,6 +42,19 @@ from pyspark.sql import functions as F
 from ..plans.registry import register
 from ..sources.readers import table
 
+
+def materialize_release(df: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """Collect a BOUNDED result while its supporting caches are hot, then
+    unpersist them and rehydrate the rows as a local-relation DataFrame
+    with the identical schema. Only for results bounded by construction
+    (LIMIT k / 1-row audits) — never node- or edge-sized tables."""
+    try:
+        rows = df.collect()
+    finally:
+        for c in caches:
+            c.unpersist()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
 DAMPING = 0.85
 N_ITER = 5
 TOP_PARTS = 25
@@ -37,9 +62,12 @@ ROUND_AT = 10  # ~6 significant digits at rank ~1e-4; double-sum cross-
                # engine noise is ~1e-15 relative — 9 orders below the round
 
 
-def _pagerank(edges: DataFrame, damping: float, n_iter: int) -> DataFrame:
+def _pagerank(edges: DataFrame, damping: float, n_iter: int,
+              caches: list[DataFrame] | None = None) -> DataFrame:
     """Weighted PageRank over a directed edge list (u, v, w). Returns
-    (id, r).
+    (id, r). Internal caches (normalized edges, node list) are appended to
+    ``caches`` when given so the caller can release them once its bounded
+    output is materialized (see module docstring).
 
     PRECONDITION (asserted): every edge target also appears as a source —
     i.e. no dangling nodes, automatically true for symmetric graphs like
@@ -62,6 +90,8 @@ def _pagerank(edges: DataFrame, damping: float, n_iter: int) -> DataFrame:
           .select("u", "v", (F.col("w") / F.col("s")).alias("p"))
           .repartition("u").cache())
     nodes = outs.select(F.col("u").alias("id")).cache()
+    if caches is not None:
+        caches.extend([ep, nodes])
     n = nodes.count()
     if n == 0:  # empty graph -> empty rank table, same schema
         return nodes.select("id", F.lit(0.0).alias("r"))
@@ -76,8 +106,7 @@ def _pagerank(edges: DataFrame, damping: float, n_iter: int) -> DataFrame:
         ranks = (nodes.join(contrib, "id", "left")
                  .select("id",
                          (F.lit(base) + F.lit(damping) *
-                          F.coalesce(F.col("m"), F.lit(0.0))).alias("r"))
-                 .localCheckpoint(eager=False))
+                          F.coalesce(F.col("m"), F.lit(0.0))).alias("r")))
     return ranks
 
 
@@ -130,10 +159,12 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                .distinct())
     edges = (copairs.groupBy("u", "v")
              .agg(F.count("*").cast("double").alias("w")))
-    ranks = _pagerank(edges, DAMPING, N_ITER)
-    return (ranks.select(F.col("id").alias("part"),
-                         F.round("r", ROUND_AT).alias("rank"))
-            .orderBy(F.desc("rank"), F.asc("part")).limit(TOP_PARTS))
+    caches: list[DataFrame] = []
+    ranks = _pagerank(edges, DAMPING, N_ITER, caches=caches)
+    out = (ranks.select(F.col("id").alias("part"),
+                        F.round("r", ROUND_AT).alias("rank"))
+           .orderBy(F.desc("rank"), F.asc("part")).limit(TOP_PARTS))
+    return materialize_release(out, caches)
 
 
 #: rank encoding for the degree total order: deg * 2^31 + node id. partkeys
@@ -198,13 +229,17 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (li.l_partkey < l2.b))
            .select(F.col("l_partkey").alias("a"), "b")
            .distinct().cache())  # reused by deg / orient / edge count
-    return triangle_stats(und)
+    caches: list[DataFrame] = [und]
+    out = triangle_stats(und, caches=caches)
+    return materialize_release(out, caches)
 
 
-def triangle_stats(und: DataFrame) -> DataFrame:
+def triangle_stats(und: DataFrame,
+                   caches: list[DataFrame] | None = None) -> DataFrame:
     """Degree-ordered triangle audit over an undirected edge list
     ``(a, b)`` with ``a < b``, distinct. Returns one row
-    ``(n_edges, n_wedges, n_triangles)``."""
+    ``(n_edges, n_wedges, n_triangles)``. The internal oriented-edge cache
+    is appended to ``caches`` when given (see module docstring)."""
     deg = (und.select(F.col("a").alias("x"))
            .unionAll(und.select(F.col("b").alias("x")))
            .groupBy("x").agg(F.count("*").alias("d")))
@@ -219,6 +254,8 @@ def triangle_stats(und: DataFrame) -> DataFrame:
                        .otherwise(F.col("a")).alias("hi"),
                       F.greatest("ra", "rb").alias("hi_r"))
               .cache())  # feeds both wedge sides, the closer, and n_w
+    if caches is not None:
+        caches.append(orient)
     o1 = orient.select(F.col("lo"), F.col("hi").alias("v"),
                        F.col("hi_r").alias("vr"))
     o2 = orient.select(F.col("lo").alias("lo2"), F.col("hi").alias("w"),
@@ -300,9 +337,9 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash row on an iterative graph algorithm). Scale shape: each
     round shuffles a node-sized degree aggregate plus two LEFT SEMI joins
     keyed on the edge endpoints — never the adjacency materialized per
-    node — and lineage is truncated per round via localCheckpoint, the
-    graph-loop discipline shared with ``_pagerank``/dbscan propagation.
-    The k scalar is a 1-row broadcast, not a SinglePartition window."""
+    node. Lineage depth is bounded by the compile-time KCORE_ROUNDS so the
+    loop carries it un-truncated (module docstring); the k scalar is a
+    1-row broadcast, not a SinglePartition window."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l2 = li.select(F.col("l_orderkey").alias("o2"),
                    F.col("l_partkey").alias("b"))
@@ -329,15 +366,15 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (edges
                  .join(keep.withColumnRenamed("x", "a"), "a", "left_semi")
                  .join(keep.withColumnRenamed("x", "b"), "b", "left_semi")
-                 .select("a", "b")
-                 .localCheckpoint(eager=False))
+                 .select("a", "b"))
     final = degrees(edges)
-    return (final.crossJoin(F.broadcast(kdf))
-            .where(F.col("d") >= F.col("k"))
-            .select(F.col("x").alias("part"),
-                    F.col("d").cast("long").alias("core_degree"))
-            .orderBy(F.desc("core_degree"), F.asc("part"))
-            .limit(KCORE_TOP))
+    out = (final.crossJoin(F.broadcast(kdf))
+           .where(F.col("d") >= F.col("k"))
+           .select(F.col("x").alias("part"),
+                   F.col("d").cast("long").alias("core_degree"))
+           .orderBy(F.desc("core_degree"), F.asc("part"))
+           .limit(KCORE_TOP))
+    return materialize_release(out, [und])
 
 
 #: association-rule gates: minimum co-containing orders for a pair to be
@@ -383,10 +420,22 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair generation is the bounded-fanout basket self-join (TPC-H
     orders hold <= 7 parts -> <= 21 pairs per order, never a hot-key
-    explosion); item counts and the 1-row order total broadcast; lift is
-    one integer multiply each side of a single IEEE division, so the
-    statistic hash-matches without decimal scaffolding; top-{TOP_PAIRS} is
+    explosion); only the 1-row order total carries a broadcast HINT — the
+    per-part count tables grow with part cardinality, so their join onto
+    the support-filtered pair table is left to AQE's runtime stats (it
+    broadcasts them while they fit and falls back to shuffle joins beyond
+    any budget, instead of a forced hint OOMing the driver); lift is one
+    integer multiply each side of a single IEEE division, so the statistic
+    hash-matches without decimal scaffolding; top-{TOP_PAIRS} is
     TakeOrderedAndProject."""
+    out, caches = _affinity_lift_plan(spark, sf_dir)
+    return materialize_release(out, caches)
+
+
+def _affinity_lift_plan(spark: SparkSession,
+                        sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
+    """Lazy plan for ``part_affinity_lift`` plus its caches (split out so
+    plan tests can assert hint discipline on the un-materialized tree)."""
     li = table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct().cache()
     n = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
@@ -400,12 +449,13 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("c") >= MIN_PAIR_SUPPORT))
     ia = item.select(F.col("l_partkey").alias("u"), F.col("c").alias("ca"))
     ib = item.select(F.col("l_partkey").alias("v"), F.col("c").alias("cb"))
-    return (pair.join(F.broadcast(ia), "u").join(F.broadcast(ib), "v")
-            .crossJoin(F.broadcast(n))
-            .select(F.col("u").alias("part_a"), F.col("v").alias("part_b"),
-                    F.col("c").cast("long").alias("n_co_orders"),
-                    F.round((F.col("c") * F.col("n_orders")).cast("double")
-                            / (F.col("ca") * F.col("cb")).cast("double"), 6)
-                    .alias("lift"))
-            .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
-            .limit(TOP_PAIRS))
+    out = (pair.join(ia, "u").join(ib, "v")
+           .crossJoin(F.broadcast(n))
+           .select(F.col("u").alias("part_a"), F.col("v").alias("part_b"),
+                   F.col("c").cast("long").alias("n_co_orders"),
+                   F.round((F.col("c") * F.col("n_orders")).cast("double")
+                           / (F.col("ca") * F.col("cb")).cast("double"), 6)
+                   .alias("lift"))
+           .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+           .limit(TOP_PAIRS))
+    return out, [baskets]

@@ -86,62 +86,25 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: follows in registration order. tests/test_oracle_parity.py asserts every
 #: head name exists and sits inside the budget window.
 _HEAD = (
-    # ROUND-4 ROTATION: the 35 oracle-backed round-3 queries with no driver
-    # row yet (all local-parity green at sf0.001). Lead with the leakage
-    # pair, the incremental near-dup gate, and the two queries whose
-    # oracles were UPGRADED rows-only -> oracle in r03 (byte-arithmetic
-    # codec replay; RE2 rule-chain Treebank replay).
-    "split_leakage_counts", "leakage_safe_splits",
-    "incremental_neardup_counts",
-    "multimodal_features", "multimodal_framesample", "treebank_tokens",
-    # TPC-H batch 2 + relational round-3 shapes
-    "market_share_by_year", "cheapest_supplier_per_part",
-    "disjunctive_bracket_revenue", "forecast_revenue_delta",
-    "nation_trade_volume", "returned_item_losses",
-    "customer_order_distribution", "promo_revenue_share",
-    "top_supplier_by_revenue", "large_volume_customers",
-    "late_exists_priority_counts", "nation_profit_by_year",
-    "important_part_value", "part_supplier_diversity",
-    # graph ops + modern-surface analytics
-    "copurchase_triangle_count", "copurchase_kcore",
-    "time_rollup_revenue", "props_variant_stats",
-    "domain_capped_docs", "rfm_customer_segments",
-    "events_asof_next_order",
-    # curation/selection tail
-    "quality_percentile_by_lang", "mixture_sampled_counts",
-    "packing_efficiency", "curriculum_length_phases",
-    "snapshot_diff_counts", "lang_temperature_weights",
-    "embedding_quantization_error", "doc_novelty_scores",
-    # the 13 never-driver-checked rows-only queries (streaming twins, ANN
-    # IVF/PQ family, LSH/stratified/HLL): cheap rows-only driver checks —
-    # pytest recall/agreement/recovery tests remain their real gate
-    "streaming_tumbling_hourly", "streaming_stateful_dedup",
-    "streaming_interval_join", "streaming_upsert_compaction",
-    "streaming_debounce_gate",
-    "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-    "lsh_neighbor_counts", "stratified_doc_sample",
-    "semantic_dedup_ivf", "dbscan_labels_lsh",
-    "hll_rollup_daily_users",
-)
-
-#: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
-#: ~50-row budget): round-4 additions (new this round, oracle-backed) go
-#: first so a budget overflow verifies them early; then the r01-r03-proven
-#: names, whose regression gate remains the local parity sweep
-#: (tests/test_oracle_parity.py over all entries at sf0.001).
-_TAIL_AFTER_HEAD = (
-    # round-4 additions (oracle-backed unless noted): first in line past
-    # the budget window; rotate into _HEAD next round
-    "local_supplier_revenue", "linestatus_priority_counts",
+    # ROUND-5 ROTATION: the 14 round-4 additions whose only missing
+    # evidence is a driver CORRECTNESS row (all local-parity green at
+    # sf0.001; 12 oracle-backed + 2 rows-only). Verifying these closes the
+    # ledger: every registered query then has a driver row.
     "split_neardup_leakage", "neardup_threshold_sweep",
     "pii_audit_counts", "tokenizer_fertility_by_lang",
-    "cluster_stats_by_source_exact",  # rows-only (SequenceMatcher UDF)
     "shard_balance_audit", "source_overlap_matrix", "embedding_norm_stats",
     "events_column_profile", "scd2_user_intervals",
-    "ann_recall_audit",  # rows-only (KMeans/codebook-backed)
     "split_stratification_chi2", "open_orders_backlog",
     "part_affinity_lift",
-    # round-3-proven head (all green in CORRECTNESS_r03.json)
+    "cluster_stats_by_source_exact",  # rows-only (SequenceMatcher UDF)
+    "ann_recall_audit",  # rows-only (KMeans/codebook-backed)
+    # ROUND-5 ADDITIONS: new queries registered this round go here, ahead
+    # of the re-confirmation fills, so they get first-class driver rows.
+    # (names appended as operators land)
+    # RE-CONFIRMATION FILLS: long-proven green names (r01-r03 rows) padding
+    # the driver's ~50-row budget — oldest evidence first, so stale rows
+    # get refreshed.
+    "flagship_top_error_users",
     "salted_group_members", "packed_sequences",
     "bpe_merge_table", "bpe_vocab_tokens", "bpe_tokens_per_lang",
     "heavy_hitter_tokens", "part_copurchase_pagerank", "dataset_fingerprint",
@@ -157,8 +120,16 @@ _TAIL_AFTER_HEAD = (
     "fulfillment_lag_stats", "data_quality_report",
     "pmi_top_collocations", "lang_token_divergence",
     "boilerplate_prefix_groups", "weighted_doc_sample",
-    "quality_signal_correlation",
-    "rolling_7d_user_value", "debounced_event_counts",
+    "quality_signal_correlation", "rolling_7d_user_value",
+)
+
+#: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
+#: ~50-row budget): every name here already has a green driver row
+#: (r01-r04); the local parity sweep (tests/test_oracle_parity.py over all
+#: entries at sf0.001) remains their regression gate.
+_TAIL_AFTER_HEAD = (
+    "local_supplier_revenue", "linestatus_priority_counts",
+    "debounced_event_counts",
     "event_trigram_journeys", "hourly_resampled_counts",
     "daily_cumulative_events", "hourly_anomaly_scores",
     "weekly_cohort_retention", "event_transition_matrix",
@@ -167,6 +138,32 @@ _TAIL_AFTER_HEAD = (
     "activity_heatmap", "benford_deviation",
     "minhash_signatures", "simhash_signatures",
     "knn_mean_distance", "knn_knee_epsilon",
+    # round-4 head (all green in CORRECTNESS_r04.json)
+    "split_leakage_counts", "leakage_safe_splits",
+    "incremental_neardup_counts",
+    "multimodal_features", "multimodal_framesample", "treebank_tokens",
+    "market_share_by_year", "cheapest_supplier_per_part",
+    "disjunctive_bracket_revenue", "forecast_revenue_delta",
+    "nation_trade_volume", "returned_item_losses",
+    "customer_order_distribution", "promo_revenue_share",
+    "top_supplier_by_revenue", "large_volume_customers",
+    "late_exists_priority_counts", "nation_profit_by_year",
+    "important_part_value", "part_supplier_diversity",
+    "copurchase_triangle_count", "copurchase_kcore",
+    "time_rollup_revenue", "props_variant_stats",
+    "domain_capped_docs", "rfm_customer_segments",
+    "events_asof_next_order",
+    "quality_percentile_by_lang", "mixture_sampled_counts",
+    "packing_efficiency", "curriculum_length_phases",
+    "snapshot_diff_counts", "lang_temperature_weights",
+    "embedding_quantization_error", "doc_novelty_scores",
+    "streaming_tumbling_hourly", "streaming_stateful_dedup",
+    "streaming_interval_join", "streaming_upsert_compaction",
+    "streaming_debounce_gate",
+    "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "lsh_neighbor_counts", "stratified_doc_sample",
+    "semantic_dedup_ivf", "dbscan_labels_lsh",
+    "hll_rollup_daily_users",
 )
 
 

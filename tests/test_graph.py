@@ -157,3 +157,25 @@ def test_kcore_monotone_in_k(spark):
     s_lo, s_hi = survivors(5), survivors(6)
     assert s_lo, "k=5 core unexpectedly empty on this graph"
     assert s_hi <= s_lo
+
+
+def _persist_ids(spark):
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def test_graph_queries_leave_no_persistent_rdds(spark):
+    """Cache hygiene: every registered graph query pins intermediates only
+    for the span of its own materialization (materialize_release) — running
+    them back-to-back in one session must leave the persistent-RDD map
+    exactly as found (no .cache() leak, no lingering lazy localCheckpoint),
+    or a long-lived service session accumulates node/edge-sized blocks
+    until LRU eviction starts thrashing."""
+    from fts_errors_clustering_spark.plans.registry import all_queries
+    defs = all_queries()
+    before = _persist_ids(spark)
+    for q in ("part_copurchase_pagerank", "copurchase_triangle_count",
+              "copurchase_kcore", "part_affinity_lift"):
+        out = defs[q].fn(spark, SF_SMALL)
+        assert out.collect()  # bounded local relation; driver-style consume
+        assert _persist_ids(spark) == before, f"{q} leaked persistent RDDs"

@@ -222,6 +222,28 @@ def test_kernel_broadcast_cache_bounded(spark):
     assert (b3.value[0] == b1.value[0]).all()
 
 
+def test_affinity_lift_no_forced_dim_broadcasts(spark):
+    """part_affinity_lift may force-broadcast ONLY the 1-row order total:
+    the per-part count tables grow with part cardinality, so their join
+    strategy must be left to AQE runtime stats (a forced hint on them would
+    blow any broadcast budget at scale while the support-filtered pair
+    side is already small). The support-filtered pair aggregate must stay
+    the streamed/probe side shape: top-k plans as TakeOrderedAndProject,
+    never a CartesianProduct."""
+    from fts_errors_clustering_spark.operators.graph import \
+        _affinity_lift_plan
+    df, caches = _affinity_lift_plan(spark, SF_SMALL)
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == 1, analyzed
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 def test_hll_rollup_error_bound(spark):
     """Merged daily HLL sketches must estimate per-type distinct users
     within the sketch's configured error (lgK=14 → well under 2%)."""
