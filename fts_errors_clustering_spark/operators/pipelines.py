@@ -118,6 +118,94 @@ def pipeline_word2vec_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster"))
 
 
+# --- driver-visible ingest/publish round trips -------------------------------
+
+@register(
+    "snapshot_publish_roundtrip",
+    oracle="""
+    SELECT 1 AS version,
+           (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS n_rows
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n_rows FROM documents
+    """,
+    tags=("sources", "sink", "pipeline"),
+)
+def snapshot_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end certification of the versioned-snapshot sink
+    (``sources/sinks.publish_versioned_parquet``): publish the even-doc_id
+    half as v1, the full corpus as v2, then read BOTH back through the
+    pointer protocol (v1 via time travel, v2 via _LATEST). The oracle
+    recomputes the two counts straight from the source table, so a publish
+    that dropped/duplicated rows, mis-numbered versions, or resolved the
+    pointer to the wrong directory all hash-mismatch. Writes go to a
+    per-call temp root, removed after materialization."""
+    import shutil
+    import tempfile
+
+    from ..sources.sinks import publish_versioned_parquet, read_versioned
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    root = tempfile.mkdtemp(prefix="snap_publish_")
+    try:
+        v1 = publish_versioned_parquet(
+            docs.where(F.col("doc_id") % 2 == 0), root)
+        v2 = publish_versioned_parquet(docs, root)
+        rows = [(v1, read_versioned(spark, root, version=1).count()),
+                (v2, read_versioned(spark, root).count())]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "version int, n_rows long")
+
+
+@register(
+    "rest_tail_category_counts",
+    oracle="""
+    SELECT category, COUNT(*) AS n_records FROM (
+      SELECT ['timeout', 'auth', 'network'][(i % 3) + 1] AS category
+      FROM range(35) t(i)
+    ) GROUP BY category
+    """,
+    tags=("sources", "streaming"),
+)
+def rest_tail_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end certification of the ``rest_pages`` STREAMING source: a
+    real ``readStream`` tails the deterministic synthetic endpoint (7 pages
+    x 5 records, the reference pagination contract of
+    ``fetch_issues.py:29-39``) through a checkpointed micro-batch query
+    into a memory sink, then aggregates per-category record counts. The
+    oracle replays the synthetic feed's closed form (ids 0..34, category =
+    id mod 3), so a tail that dropped the final partial page, duplicated a
+    replay, or mis-ordered offsets hash-mismatches. ``sf_dir`` is unused —
+    the endpoint, like a real feed, is external to the lake."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import rest_source
+
+    rest_source.register(spark)
+    name = "rest_tail_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="rest_tail_ckpt_")
+    q = (spark.readStream.format("rest_pages")
+         .option("fetcher", "fts_errors_clustering_spark.sources."
+                 "rest_source:synthetic_fetcher")
+         .option("max_pages_per_batch", "10")
+         .load()
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    agg = (spark.table(name).groupBy("category")
+           .agg(F.count("*").alias("n_records")))
+    out = spark.createDataFrame(agg.collect(), agg.schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 # --- S5/S6: filesystem + catalog listings ------------------------------------
 
 def list_files(spark: SparkSession, path: str) -> list[str]:

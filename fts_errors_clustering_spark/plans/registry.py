@@ -100,7 +100,7 @@ _HEAD = (
     "ann_recall_audit",  # rows-only (KMeans/codebook-backed)
     # ROUND-5 ADDITIONS: new queries registered this round go here, ahead
     # of the re-confirmation fills, so they get first-class driver rows.
-    # (names appended as operators land)
+    "snapshot_publish_roundtrip", "rest_tail_category_counts",
     # RE-CONFIRMATION FILLS: long-proven green names (r01-r03 rows) padding
     # the driver's ~50-row budget — oldest evidence first, so stale rows
     # get refreshed.
@@ -120,7 +120,6 @@ _HEAD = (
     "fulfillment_lag_stats", "data_quality_report",
     "pmi_top_collocations", "lang_token_divergence",
     "boilerplate_prefix_groups", "weighted_doc_sample",
-    "quality_signal_correlation", "rolling_7d_user_value",
 )
 
 #: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
@@ -128,6 +127,7 @@ _HEAD = (
 #: (r01-r04); the local parity sweep (tests/test_oracle_parity.py over all
 #: entries at sf0.001) remains their regression gate.
 _TAIL_AFTER_HEAD = (
+    "quality_signal_correlation", "rolling_7d_user_value",
     "local_supplier_revenue", "linestatus_priority_counts",
     "debounced_event_counts",
     "event_trigram_journeys", "hourly_resampled_counts",

@@ -83,12 +83,22 @@ class _RestPagesReader(DataSourceReader):
 
 class _RestPagesStreamReader(SimpleDataSourceStreamReader):
     """STREAMING twin of the page reader: ``spark.readStream.format(
-    "rest_pages")`` tails the endpoint — each micro-batch fetches the pages
-    that appeared since the last committed offset (offset = next page
-    number, a dict so it JSON-round-trips through the checkpoint log).
-    Replays are deterministic: ``readBetweenOffsets`` re-fetches exactly
-    [start, end) on recovery, the contract that makes the source
-    exactly-once into an idempotent sink. Per-batch page count is capped
+    "rest_pages")`` tails the endpoint — each micro-batch fetches what
+    appeared since the last committed offset. The offset is
+    ``{"page": P, "rec": K}``: records of page P before index K are
+    consumed (a dict so it JSON-round-trips through the checkpoint log).
+    Tracking the WITHIN-PAGE index matters for the normal fixed-page-size
+    shape of an append-only feed: the tail page (the one with ``next ==
+    null``) is usually still filling, so the reader consumes its current
+    records without advancing past it — records appended to that page
+    later surface in the next batch instead of being skipped forever.
+
+    Feed contract (the assumption that makes replays deterministic): the
+    feed is append-only and only the tail page grows; a page that has ever
+    advertised a ``next`` link is immutable. ``readBetweenOffsets``
+    re-fetches exactly [start, end) on recovery — under the contract those
+    slices are stable, which makes the source exactly-once into an
+    idempotent sink. Per-batch page count is capped
     (``max_pages_per_batch``) so a cold start against a deep feed
     back-fills in bounded batches instead of one giant first batch."""
 
@@ -97,36 +107,40 @@ class _RestPagesStreamReader(SimpleDataSourceStreamReader):
         self.names = [f.name for f in schema.fields]
 
     def initialOffset(self) -> dict:
-        return {"page": int(self.options.get("start", "1"))}
-
-    def _fetch_range(self, first: int, last_exclusive: int):
-        fetch = resolve_fetcher(self.options["fetcher"])
-        for page in range(first, last_exclusive):
-            payload = fetch(page)
-            for rec in payload.get("results", []):
-                yield tuple(rec.get(c) for c in self.names)
-            if not payload.get("next"):
-                return
+        return {"page": int(self.options.get("start", "1")), "rec": 0}
 
     def read(self, start: dict):
         fetch = resolve_fetcher(self.options["fetcher"])
         cap = int(self.options.get("max_pages_per_batch", "10"))
-        page = int(start["page"])
+        page, rec = int(start["page"]), int(start.get("rec", 0))
         rows: list[tuple] = []
         for _ in range(cap):
             payload = fetch(page)
             results = payload.get("results", [])
-            if not results:
-                break  # nothing new yet; offset stays put
-            for rec in results:
-                rows.append(tuple(rec.get(c) for c in self.names))
-            page += 1
+            for r in results[rec:]:
+                rows.append(tuple(r.get(c) for c in self.names))
             if not payload.get("next"):
+                # tail page (possibly still filling): consume its current
+                # records but DON'T advance past it — later appends to this
+                # page land in the next batch
+                rec = len(results)
                 break
-        return iter(rows), {"page": page}
+            page, rec = page + 1, 0
+        return iter(rows), {"page": page, "rec": rec}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._fetch_range(int(start["page"]), int(end["page"]))
+        fetch = resolve_fetcher(self.options["fetcher"])
+        sp, sr = int(start["page"]), int(start.get("rec", 0))
+        ep, er = int(end["page"]), int(end.get("rec", 0))
+        for page in range(sp, ep + 1):
+            if page == ep and er == 0:
+                return  # end offset sits at the top of an unread page
+            payload = fetch(page)
+            results = payload.get("results", [])
+            lo = sr if page == sp else 0
+            hi = er if page == ep else len(results)
+            for r in results[lo:hi]:
+                yield tuple(r.get(c) for c in self.names)
 
     def commit(self, end: dict) -> None:
         pass  # the endpoint is remote state; nothing to clean up

@@ -208,19 +208,51 @@ def publish_versioned_parquet(df: DataFrame, root: str) -> int:
     This is the pattern Iceberg/Delta implement with manifest files; the
     single-pointer variant here is exactly right for the publish-once /
     read-many cadence of a curated training-data drop, with no table
-    format dependency. Returns the new version number."""
+    format dependency. Returns the new version number.
+
+    Scope: ``root`` must be a DRIVER-LOCAL path (bare path or ``file:``
+    URI) — the pointer flip uses POSIX rename, whose atomicity an object
+    store (s3/dbfs) does not provide; a remote root is rejected loudly
+    instead of publishing a pointer whose flip is not atomic. Concurrent
+    publishers are serialized by an O_EXCL lock file so two writers cannot
+    both compute version N and have the second clobber a ``v=N`` directory
+    readers already resolved; a crash while holding the lock leaves
+    ``_PUBLISH_LOCK`` behind for manual GC (same rule as an orphaned
+    ``v=N`` without a pointer flip), which the error message states."""
     import os
     import tempfile
+    from urllib.parse import urlparse
 
-    os.makedirs(root, exist_ok=True)
-    ptr = os.path.join(root, "_LATEST")
-    cur = read_latest_version(root)
-    new = cur + 1
-    df.write.mode("overwrite").parquet(os.path.join(root, f"v={new}"))
-    fd, tmp = tempfile.mkstemp(dir=root, prefix="._latest_")
-    with os.fdopen(fd, "w") as fh:
-        fh.write(str(new))
-    os.replace(tmp, ptr)  # POSIX-atomic pointer flip
+    scheme = urlparse(root).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"publish_versioned_parquet requires a driver-local root "
+            f"(bare path or file: URI); got scheme {scheme!r} — the "
+            f"_LATEST pointer flip relies on POSIX-atomic rename")
+    local_root = urlparse(root).path if scheme == "file" else root
+    os.makedirs(local_root, exist_ok=True)
+    lock = os.path.join(local_root, "_PUBLISH_LOCK")
+    try:
+        lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"another publisher holds {lock}; if its process died, delete "
+            f"the lock file (and any orphaned v=N directory) and retry"
+        ) from None
+    try:
+        os.write(lock_fd, str(os.getpid()).encode())
+        os.close(lock_fd)
+        ptr = os.path.join(local_root, "_LATEST")
+        cur = read_latest_version(local_root)
+        new = cur + 1
+        df.write.mode("overwrite").parquet(
+            os.path.join(local_root, f"v={new}"))
+        fd, tmp = tempfile.mkstemp(dir=local_root, prefix="._latest_")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(new))
+        os.replace(tmp, ptr)  # POSIX-atomic pointer flip
+    finally:
+        os.unlink(lock)
     return new
 
 

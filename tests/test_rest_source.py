@@ -96,12 +96,68 @@ def test_stream_reader_batches_and_offsets(rest):
                                           3 * _FAKE_PER_PAGE,
                                           1 * _FAKE_PER_PAGE]
     assert seen[3] == [] and seen[4] == []  # drained: no phantom rows
-    assert off == {"page": _FAKE_PAGES + 1}
+    # the tail page (next == null) is NOT advanced past: the offset parks
+    # at its record count so later appends to it are picked up
+    assert off == {"page": _FAKE_PAGES, "rec": _FAKE_PER_PAGE}
     ids = [t[0] for b in seen for t in b]
     assert ids == list(range(_FAKE_PAGES * _FAKE_PER_PAGE))
+    # legacy page-only offsets (pre-"rec" checkpoints) still replay
     replay = list(r.readBetweenOffsets({"page": 2}, {"page": 4}))
     assert [t[0] for t in replay] == list(range(_FAKE_PER_PAGE,
                                                 3 * _FAKE_PER_PAGE))
+
+
+#: mutable geometry for the growing-tail fetcher below (per-test reset)
+_GROW = {"total": 5}
+_GROW_PER_PAGE = 10
+
+
+def growing_fetcher(page: int) -> dict:
+    """Append-only feed whose TAIL page fills in place: `_GROW['total']`
+    records paginated 10/page; `next` appears only once a page is outgrown."""
+    base = (page - 1) * _GROW_PER_PAGE
+    cnt = max(0, min(_GROW_PER_PAGE, _GROW["total"] - base))
+    return {
+        "results": [{"id": base + i, "message": f"m{base + i}",
+                     "category": "c"} for i in range(cnt)],
+        "next": f"?page={page + 1}"
+        if _GROW["total"] > page * _GROW_PER_PAGE else None,
+    }
+
+
+def test_stream_reader_tail_page_appends_not_skipped(rest):
+    """The exactly-once contract on the normal append-only feed shape:
+    records appended to the final, still-filling page after a batch
+    consumed it must surface in the next batch (the offset tracks a
+    within-page record index), and readBetweenOffsets replays exactly the
+    committed slice across the page boundary."""
+    from pyspark.sql.types import StructType
+    from fts_errors_clustering_spark.sources.rest_source import (
+        _RestPagesStreamReader, RestPagesDataSource)
+
+    _GROW["total"] = 5
+    opts = {"fetcher": "tests.test_rest_source:growing_fetcher"}
+    schema = StructType.fromDDL(RestPagesDataSource(opts).schema())
+    r = _RestPagesStreamReader(opts, schema)
+
+    rows1, off1 = r.read(r.initialOffset())
+    assert [t[0] for t in rows1] == list(range(5))
+    assert off1 == {"page": 1, "rec": 5}
+    rows_idle, off_idle = r.read(off1)
+    assert list(rows_idle) == [] and off_idle == off1
+
+    _GROW["total"] = 8          # tail page grows in place
+    rows2, off2 = r.read(off1)
+    assert [t[0] for t in rows2] == [5, 6, 7]
+    assert off2 == {"page": 1, "rec": 8}
+
+    _GROW["total"] = 12         # page 1 fills; page 2 becomes the tail
+    rows3, off3 = r.read(off2)
+    assert [t[0] for t in rows3] == [8, 9, 10, 11]
+    assert off3 == {"page": 2, "rec": 2}
+
+    replay = list(r.readBetweenOffsets(off1, off3))
+    assert [t[0] for t in replay] == list(range(5, 12))
 
 
 def test_stream_end_to_end_available_now(rest, tmp_path):

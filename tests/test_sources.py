@@ -303,3 +303,33 @@ def test_versioned_publish_atomic_and_time_travel(spark, tmp_path):
     assert read_versioned(spark, root).count() == 9
     with pytest.raises(ValueError):
         read_versioned(spark, root, version=3)
+
+
+def test_versioned_publish_guards(spark, tmp_path):
+    """The publish protocol's stated scope is enforced, not just documented:
+    a non-local root is rejected (POSIX rename is the atomicity source), a
+    held lock file refuses a second publisher instead of letting it clobber
+    the same v=N, and the lock is released after a successful publish."""
+    import os
+
+    import pytest
+
+    from fts_errors_clustering_spark.sources.sinks import (
+        publish_versioned_parquet, read_latest_version)
+
+    with pytest.raises(ValueError, match="driver-local"):
+        publish_versioned_parquet(spark.range(1), "s3://bucket/snap")
+
+    root = str(tmp_path / "snap2")
+    os.makedirs(root)
+    lock = os.path.join(root, "_PUBLISH_LOCK")
+    open(lock, "w").close()
+    with pytest.raises(RuntimeError, match="another publisher"):
+        publish_versioned_parquet(spark.range(1), root)
+    assert read_latest_version(root) == 0   # blocked publish wrote nothing
+    os.unlink(lock)
+
+    assert publish_versioned_parquet(spark.range(4), root) == 1
+    assert not os.path.exists(lock)         # lock released on success
+    # file: URI form of a local root is accepted
+    assert publish_versioned_parquet(spark.range(2), "file://" + root) == 2
