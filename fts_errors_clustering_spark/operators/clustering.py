@@ -385,7 +385,20 @@ def fit_word2vec(docs_tokens: DataFrame, vector_size: int = 32,
     ``numPartitions=1`` trains the whole corpus in ONE task — fine for the
     fixture corpora (and kept there for bit-stable fits), a serial
     bottleneck on a real cluster where the fit would otherwise ignore
-    every executor but one."""
+    every executor but one.
+
+    100 TB posture — the limit is the VOCABULARY, not the corpus: MLlib
+    Word2Vec materializes the full vocab x vector_size float matrix on the
+    driver and broadcasts a copy to every executor (two copies per epoch
+    hogwild-merge), so memory scales with distinct surviving tokens, never
+    with corpus bytes. Web-scale corpora must therefore bound the vocab
+    BEFORE the fit: raise ``min_count`` (the standard mitigation — vocab
+    growth is roughly Heaps-law sublinear, and min_count=5+ caps it at
+    tens of millions of tokens even at 100 TB), pre-mask high-cardinality
+    junk (the M1 scrubber already folds uuids/hex/paths to fixed tokens,
+    which is what keeps THIS corpus's vocab bounded), or switch to a
+    hashing-trick doc embedding (dimension fixed a priori; no vocab table
+    at all) when ids must stay raw. See SCALE.md "Word2Vec vocab cap"."""
     from pyspark.ml.feature import Word2Vec
 
     from .model_cache import memo

@@ -33,22 +33,50 @@ BAND_SIZE = 4  # 4 bands x 4 rows
 
 # --- planted near-dup corpus (identical in Spark and SQL) -------------------
 
-_AUG_SQL = """
+#: plant geometry — the ONE definition every consumer (corpus builder,
+#: source lookup, oracle CTEs) derives from, so the constants cannot drift
+#: between the pair detector and any doc_id -> attribute lookup joined onto
+#: its pairs (a drifted inner join would silently DROP pairs).
+PLANT_THRESHOLD = 20    # docs with doc_id below this get a planted near-dup
+PLANT_OFFSET = 100_000  # planted copy's doc_id = original + offset
+
+_AUG_SQL = f"""
     corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text || ' xdup' AS text
-      FROM documents WHERE doc_id < 20
+      SELECT doc_id + {PLANT_OFFSET} AS doc_id, text || ' xdup' AS text
+      FROM documents WHERE doc_id < {PLANT_THRESHOLD}
+    )
+"""
+
+#: doc_id -> source lookup covering the planted ids (same plant geometry
+#: by construction: shares the constants above)
+_SRC_SQL = f"""
+    src AS (
+      SELECT doc_id, source FROM documents
+      UNION ALL
+      SELECT doc_id + {PLANT_OFFSET} AS doc_id, source
+      FROM documents WHERE doc_id < {PLANT_THRESHOLD}
     )
 """
 
 
 def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    dups = (docs.where(F.col("doc_id") < 20)
-            .select((F.col("doc_id") + 100000).alias("doc_id"),
+    dups = (docs.where(F.col("doc_id") < PLANT_THRESHOLD)
+            .select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
                     F.concat(F.col("text"), F.lit(" xdup")).alias("text")))
     return docs.unionByName(dups)
+
+
+def _augmented_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> source over the SAME augmented id space as ``_augmented``
+    (one source of truth for the plant constants)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    copies = (docs.where(F.col("doc_id") < PLANT_THRESHOLD)
+              .select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+                      "source"))
+    return docs.unionByName(copies)
 
 
 def _tok_sql(rel: str = "corpus") -> str:
@@ -285,13 +313,7 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_overlap_matrix",
     oracle=f"""
-    WITH {_AUG_SQL}, {_MINHASH_SQL}, {_MINHASH_PAIRS_SQL},
-    src AS (
-      SELECT doc_id, source FROM documents
-      UNION ALL
-      SELECT doc_id + 100000 AS doc_id, source
-      FROM documents WHERE doc_id < 20
-    ),
+    WITH {_AUG_SQL}, {_MINHASH_SQL}, {_MINHASH_PAIRS_SQL}, {_SRC_SQL},
     dup AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
     labeled AS (
       SELECT LEAST(sa.source, sb.source) AS source_a,
@@ -313,18 +335,23 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently over-weighted). Source pairs are LEAST/GREATEST-normalized so
     (a,b) and (b,a) land in one cell. Cost: the LSH pass + a doc_id->source
     lookup join per pair side — source labels are small strings riding a
-    pair-sized shuffle, never text bodies."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
-    copies = (docs.where(F.col("doc_id") < 20)
-              .select((F.col("doc_id") + 100000).alias("doc_id"), "source"))
-    src = docs.unionByName(copies)
+    pair-sized shuffle, never text bodies. The lookup shares ``_augmented``'s
+    plant constants (one source of truth) and joins LEFT with a loud
+    null-source guard, so an id-space drift fails instead of silently
+    undercounting the matrix."""
+    src = _augmented_sources(spark, sf_dir)
     dup = minhash_near_dups(spark, sf_dir).select("a", "b")
     sa = src.select(F.col("doc_id").alias("a"), F.col("source").alias("src_a"))
     sb = src.select(F.col("doc_id").alias("b"), F.col("source").alias("src_b"))
-    return (dup.join(sa, "a").join(sb, "b")
-            .select(F.least("src_a", "src_b").alias("source_a"),
-                    F.greatest("src_a", "src_b").alias("source_b"))
-            .groupBy("source_a", "source_b")
+    labeled = (dup.join(sa, "a", "left").join(sb, "b", "left")
+               .select(F.when(F.col("src_a").isNull() | F.col("src_b").isNull(),
+                              F.raise_error(F.lit(
+                                  "source_overlap_matrix: near-dup pair "
+                                  "references a doc_id outside the source "
+                                  "lookup — plant constants drifted")))
+                       .otherwise(F.least("src_a", "src_b")).alias("source_a"),
+                       F.greatest("src_a", "src_b").alias("source_b")))
+    return (labeled.groupBy("source_a", "source_b")
             .agg(F.count("*").alias("n_neardup_pairs")))
 
 

@@ -115,14 +115,23 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- round 4: generic single-pass column profiler ----------------------------
 
-#: (column, null-skipping distinct?, numeric min/max expression or None)
+#: (column, DuckDB min/max operand SQL or None, Spark min/max operand
+#: factory or None). Oracle SQL and Spark plan both derive their min/max
+#: from the SAME entry, so a column can't grow an oracle expression
+#: without the matching plan aggregate (or vice versa) — one source of
+#: truth, no drift point. None = non-orderable column (min/max reported
+#: as NULL). Null-skipping needs no flag: COUNT/COUNT(DISTINCT col)
+#: skip nulls identically in both engines.
 _PROFILE_COLS = (
-    ("event_id", "CAST(event_id AS DOUBLE)"),
-    ("ts", "CAST(epoch_us(ts) AS DOUBLE)"),
-    ("user_id", "CAST(user_id AS DOUBLE)"),
-    ("event_type", None),
-    ("value", "value"),
-    ("props", None),
+    ("event_id", "CAST(event_id AS DOUBLE)",
+     lambda: F.col("event_id").cast("double")),
+    ("ts", "CAST(epoch_us(ts) AS DOUBLE)",
+     lambda: F.unix_micros("ts").cast("double")),
+    ("user_id", "CAST(user_id AS DOUBLE)",
+     lambda: F.col("user_id").cast("double")),
+    ("event_type", None, None),
+    ("value", "value", lambda: F.col("value")),
+    ("props", None, None),
 )
 
 
@@ -137,7 +146,7 @@ _PROFILE_COLS = (
                {f'MIN({mm})' if mm else 'CAST(NULL AS DOUBLE)'} AS min_value,
                {f'MAX({mm})' if mm else 'CAST(NULL AS DOUBLE)'} AS max_value
         FROM events
-        """ for c, mm in _PROFILE_COLS) + ")",
+        """ for c, mm, _ in _PROFILE_COLS) + ")",
     tags=("dq", "profile"),
 )
 def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,32 +162,26 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     this report is `approx_distinct_and_quantiles`, already registered."""
     ev = table(spark, sf_dir, "events")
     aggs = [F.count("*").alias("n_rows")]
-    for c, _mm in _PROFILE_COLS:
+    orderable = set()
+    for c, _mm, mk in _PROFILE_COLS:
         aggs.append((F.count("*") - F.count(c)).cast("long")
                     .alias(f"null_{c}"))
         aggs.append(F.countDistinct(c).cast("long").alias(f"dist_{c}"))
-    mins = {"event_id": F.min(F.col("event_id").cast("double")),
-            "ts": F.min(F.unix_micros("ts").cast("double")),
-            "user_id": F.min(F.col("user_id").cast("double")),
-            "value": F.min("value")}
-    maxs = {"event_id": F.max(F.col("event_id").cast("double")),
-            "ts": F.max(F.unix_micros("ts").cast("double")),
-            "user_id": F.max(F.col("user_id").cast("double")),
-            "value": F.max("value")}
-    for c in mins:
-        aggs.append(mins[c].alias(f"min_{c}"))
-        aggs.append(maxs[c].alias(f"max_{c}"))
+        if mk is not None:
+            orderable.add(c)
+            aggs.append(F.min(mk()).alias(f"min_{c}"))
+            aggs.append(F.max(mk()).alias(f"max_{c}"))
     wide = ev.agg(*aggs)
     rows = F.explode(F.array(*[
         F.struct(F.lit(c).alias("column_name"),
                  F.col("n_rows").alias("n_rows"),
                  F.col(f"null_{c}").alias("n_null"),
                  F.col(f"dist_{c}").alias("n_distinct"),
-                 (F.col(f"min_{c}") if c in mins
+                 (F.col(f"min_{c}") if c in orderable
                   else F.lit(None).cast("double")).alias("min_value"),
-                 (F.col(f"max_{c}") if c in mins
+                 (F.col(f"max_{c}") if c in orderable
                   else F.lit(None).cast("double")).alias("max_value"))
-        for c, _mm in _PROFILE_COLS]))
+        for c, _mm, _mk in _PROFILE_COLS]))
     return (wide.select(rows.alias("kv"))
             .select("kv.column_name", "kv.n_rows", "kv.n_null",
                     "kv.n_distinct", "kv.min_value", "kv.max_value"))
