@@ -211,6 +211,31 @@ def main() -> None:
     }
     print(json.dumps({"ngram_planted_recall": results["ngram_planted_recall"]}),
           flush=True)
+
+    # LSH-DBSCAN crossover: the 10x vectors (20k rows) sit exactly at the
+    # driver-kernel tier boundary where exact DBSCAN pays its worst case
+    # (tier hand-off + ~100x-densified eps-graph). Run the approximate-
+    # candidate twin on the SAME vectors: side-by-side timing makes the
+    # tier hand-off measurable, and the >=95% label agreement gate from
+    # tests/test_dbscan.py must hold at this scale too, or the at-scale
+    # path isn't a drop-in for the exact one.
+    t0 = time.perf_counter()
+    exact = {r.vec_id: r.cluster
+             for r in defs["dbscan_labels"].fn(spark, OUT).collect()}
+    t_exact = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lsh = {r.vec_id: r.cluster
+           for r in defs["dbscan_labels_lsh"].fn(spark, OUT).collect()}
+    t_lsh = time.perf_counter() - t0
+    agree = (sum(1 for k in exact if exact[k] == lsh.get(k))
+             / max(len(exact), 1))
+    assert agree >= 0.95, f"LSH-DBSCAN agreement {agree:.3f} < 0.95 at 10x"
+    results["dbscan_lsh_crossover"] = {
+        "exact_10x_sec": round(t_exact, 2), "lsh_10x_sec": round(t_lsh, 2),
+        "n_points": len(exact), "label_agreement": round(agree, 4),
+    }
+    print(json.dumps(
+        {"dbscan_lsh_crossover": results["dbscan_lsh_crossover"]}), flush=True)
     print(json.dumps({"metric": "scale_smoke_10x", "queries": results}))
 
 

@@ -228,3 +228,30 @@ def test_driver_dense_tier_matches_edge_list_kernel(spark):
     assert a == b
     assert sum(1 for v in a.values() if v == -1) == 5     # the noise points
     assert len({v for v in a.values() if v != -1}) == 3   # three blobs
+
+
+def test_propagation_chain_graph_log_rounds(spark):
+    """Chaos test for the at-scale pointer-halving propagation: a PATH
+    graph is the worst case (diameter = n-1; every fixture graph is
+    shallow). On a 4096-node chain the loop must (a) label every node with
+    the chain head under the distributed tier, and (b) converge within
+    ~log2(n) + slack rounds — max_iter is set to 18, so an accidental
+    revert to plain one-hop min-propagation (which needs n-1 rounds) fails
+    loudly via the non-convergence RuntimeError instead of silently
+    costing O(n) rounds at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from fts_errors_clustering_spark.operators.dbscan import dbscan_labels
+
+    n = 4096
+    fwd = (spark.range(n - 1)
+           .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b")))
+    pairs = fwd.unionByName(fwd.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b")))
+    emb = spark.range(n).select(F.col("id").alias("vec_id"))
+    out = dbscan_labels(spark, emb, id_col="vec_id", pairs=pairs,
+                        min_pts=2, max_iter=18,
+                        small_graph_edges=0, driver_kernel_rows=0)
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r.cluster == 0 for r in rows)
