@@ -203,6 +203,16 @@ def _wait_for_idle(max_wait_s: float = 90.0, load_per_cpu: float = 0.15) -> None
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    # iteration filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 trims both tiers (and
+    # the warm-up) to the named queries — for validating a bench-loop or
+    # plan change without paying the full ~120-query sweep. The artifact
+    # run never sets it.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    global HEADLINE, ML_FIT
+    if only:
+        keep = set(only.split(","))
+        HEADLINE = [q for q in HEADLINE if q in keep]
+        ML_FIT = [q for q in ML_FIT if q in keep]
     _wait_for_idle()
     spark = get_spark("fts-spark-bench")
     defs = all_queries()

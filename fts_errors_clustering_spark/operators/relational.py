@@ -834,6 +834,81 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("v").alias("max_w")))
 
 
+#: MAD outlier gate: consistency constant (normal-distribution MAD -> sigma)
+#: and the z-score cutoff — the robust twin of the 3-sigma rule.
+_MAD_K = 1.4826
+_MAD_Z = 3.0
+
+
+@register(
+    "value_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, m.med, ABS(e.value - m.med) AS ad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      WHERE e.value IS NOT NULL
+    ),
+    mad AS (
+      SELECT event_type, ANY_VALUE(med) AS med,
+             quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, COUNT(*) AS n,
+           ROUND(ANY_VALUE(d.med), 6) AS median,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           CAST(COUNT(*) FILTER (
+             WHERE d.ad > {_MAD_Z} * {_MAD_K} * m.mad) AS BIGINT)
+             AS n_outliers,
+           ROUND(CAST(COUNT(*) FILTER (
+             WHERE d.ad > {_MAD_Z} * {_MAD_K} * m.mad) AS DOUBLE)
+             / COUNT(*), 6) AS outlier_ratio
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("relational", "robust", "stats"),
+)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per event type: median / MAD (median absolute
+    deviation) and the count of points whose robust z-score
+    ``|x - med| / ({_MAD_K} * MAD)`` exceeds {_MAD_Z} — the
+    heavy-tail-safe twin of the 3-sigma rule (mean/std are themselves
+    dragged by the outliers they're meant to find; median/MAD have a 50%
+    breakdown point). The telemetry gate that decides whether a feed's
+    ``value`` channel went bad before it poisons training statistics.
+
+    Scale: same shape as ``winsorized_value_stats`` — two exact grouped
+    percentiles (|event_type|-row tables, broadcast back into the scan)
+    plus one counting aggregate; Spark ``percentile`` and DuckDB
+    ``quantile_cont`` agree bit-for-bit, and the outlier comparison runs
+    on both engines' identical IEEE doubles, so the counts are exact. The
+    at-scale note from `value_percentiles_by_type` applies: a group so
+    hot its values overflow one task swaps `percentile` for the bucketed
+    two-phase rank (`global_value_rank`'s mechanism)."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = (ev.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5)").alias("med")))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("ad")))
+    mad = (dev.groupBy("event_type")
+           .agg(F.expr("percentile(ad, 0.5)").alias("mad")))
+    cut = F.lit(_MAD_Z) * F.lit(_MAD_K) * F.col("mad")
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.first("med"), 6).alias("median"),
+                 F.round(F.first("mad"), 6).alias("mad"),
+                 F.count(F.when(F.col("ad") > cut, 1)).cast("long")
+                  .alias("n_outliers"),
+                 F.round(F.count(F.when(F.col("ad") > cut, 1))
+                          .cast("double") / F.count("*"), 6)
+                  .alias("outlier_ratio")))
+
+
 @register(
     "chi2_priority_status",
     oracle="""

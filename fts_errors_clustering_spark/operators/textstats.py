@@ -192,6 +192,63 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "lang"))
 
 
+#: Knuth multiplicative hash for the deterministic sampler: exact integer
+#: arithmetic both engines share (no RNG stream to match). 2^32 modulus.
+_HASH_A = 2_654_435_761
+_HASH_M = 4_294_967_296
+
+
+@register(
+    "stratified_hash_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+    ),
+    t AS (SELECT MIN(n_total) AS target FROM counts),
+    sel AS (
+      SELECT d.lang
+      FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN t
+      WHERE CAST((d.doc_id * {_HASH_A}) % {_HASH_M} AS DOUBLE)
+            / {_HASH_M} < LEAST(1.0, CAST(t.target AS DOUBLE) / c.n_total)
+    )
+    SELECT c.lang, c.n_total, t.target,
+           CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM counts c
+    LEFT JOIN (SELECT lang, COUNT(*) AS n_sampled FROM sel GROUP BY lang) s
+      ON c.lang = s.lang
+    CROSS JOIN t
+    """,
+    tags=("textstats", "sampling"),
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampler — the REPRODUCIBLE twin of
+    ``stratified_doc_sample``: per-language keep-fractions (down to the
+    minority-class size) decided by a Knuth multiplicative hash of the
+    doc_id instead of an RNG stream, so the selected SET is identical
+    across reruns, engines, partitionings, and code versions — the
+    property real pipelines need for holdout stability and incremental
+    re-materialization (a re-run must not re-roll the corpus). Exact
+    value-hash oracle: the hash is integer arithmetic both engines share.
+
+    Scale: one |lang|-row count aggregate broadcast into a single
+    filtering scan; no shuffle of the corpus, no RNG state."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    target = counts.agg(F.min("n_total").alias("target"))
+    frac = F.least(F.lit(1.0),
+                   F.col("target").cast("double") / F.col("n_total"))
+    u = ((F.col("doc_id") * _HASH_A) % _HASH_M).cast("double") / F.lit(_HASH_M)
+    sel = (docs.join(F.broadcast(counts), "lang")
+           .crossJoin(F.broadcast(target))
+           .where(u < frac)
+           .groupBy("lang").agg(F.count("*").alias("n_sampled")))
+    return (counts.join(sel, "lang", "left")
+            .crossJoin(F.broadcast(target))
+            .select("lang", "n_total", "target",
+                    F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long")
+                     .alias("n_sampled")))
+
+
 #: Zipf fit: how many head terms enter the OLS regression
 ZIPF_TOP_N = 100
 

@@ -57,6 +57,7 @@ _MODULES = (
     "fts_errors_clustering_spark.operators.pipelines",
     "fts_errors_clustering_spark.operators.knn",
     "fts_errors_clustering_spark.operators.graph",
+    "fts_errors_clustering_spark.operators.linkage",
     "fts_errors_clustering_spark.operators.bpe",
     "fts_errors_clustering_spark.plans.sqlapi",
     "fts_errors_clustering_spark.operators.retrieval",
