@@ -144,6 +144,12 @@ HEADLINE = [
     "split_stratification_chi2",
     "open_orders_backlog",
     "part_affinity_lift",
+    # round-5 operators
+    "part_entity_matches",
+    "value_mad_outliers",
+    "stratified_hash_sample",
+    "user_interarrival_stats",
+    "snapshot_publish_roundtrip",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -38,6 +38,54 @@ def tumbling_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_us, 0.5) / 1e6, 6) AS median_gap_s,
+           ROUND(quantile_cont(gap_us, 0.95) / 1e6, 6) AS p95_gap_s,
+           ROUND(MAX(gap_us) / 1e6, 6) AS max_gap_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("windows", "stats"),
+)
+def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile: per-user consecutive event gaps (LAG
+    over (user_id, ts) with event_id as the deterministic tie-break),
+    grouped by the LATER event's type — median/p95/max gap in seconds.
+    The cadence fingerprint behind bot detection, session-gap tuning
+    (pick the session_window gap from the p95 here, not folklore), and
+    retention modeling; complements the grid-anchored windows (tumbling/
+    sliding) with the row-anchored view.
+
+    Scale: one exchange on user_id + per-partition sort (the
+    ``latest_event_per_user`` shape); gaps stay integer micros until the
+    final division so both engines aggregate identical values; exact
+    percentiles per |event_type|-row group via the `percentile` /
+    `quantile_cont` parity precedent."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (ev.select("event_type",
+                      (F.unix_micros("ts") -
+                       F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"))
+            .where(F.col("gap_us").isNotNull()))
+    return (gaps.groupBy("event_type")
+            .agg(F.count("gap_us").cast("long").alias("n_gaps"),
+                 F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6)
+                  .alias("median_gap_s"),
+                 F.round(F.expr("percentile(gap_us, 0.95)") / 1e6, 6)
+                  .alias("p95_gap_s"),
+                 F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s")))
+
+
+@register(
     "sliding_2h_windows",
     oracle=f"""
     WITH slid AS (

@@ -109,6 +109,11 @@ QUERIES = [
     "split_stratification_chi2",   # documents: split x lang contingency
     "open_orders_backlog",         # orders+lineitem: delta sweep cumsum
     "part_affinity_lift",          # lineitem: bounded basket pair join
+    # round-5 additions
+    "part_entity_matches",         # part: multi-pass blocked ER (capped)
+    "value_mad_outliers",          # events: two exact grouped percentiles
+    "stratified_hash_sample",      # documents: broadcast-fraction scan
+    "user_interarrival_stats",     # events: one user-partitioned LAG
 ]
 
 
