@@ -150,6 +150,8 @@ HEADLINE = [
     "stratified_hash_sample",
     "user_interarrival_stats",
     "snapshot_publish_roundtrip",
+    "hourly_cusum_changepoint",
+    "incremental_agg_maintenance",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -603,3 +603,56 @@ def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_tokens").cast("double")
                             / (F.col("t").cast("double") / F.col("k")), 6)
                     .alias("token_skew")))
+
+
+#: incremental-maintenance cutoff: rows at/after this instant are the
+#: "delta batch"; earlier rows are the materialized base state.
+_INC_CUTOFF = "2024-01-21 00:00:00"
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           {sql_dec_sum('value', 6)} AS sum_value,
+           ROUND({sql_dec_sum('value', 6)} / COUNT(value), 6) AS mean_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("scale", "incremental"),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the base partition
+    (ts < {_INC_CUTOFF}) is aggregated into a PARTIAL STATE (count +
+    DECIMAL sum per event type), the delta batch (ts >= cutoff) into its
+    own state, and the published view MERGES the two states — no rescan of
+    the base. The oracle recomputes the aggregate over the full table
+    directly, so the value-hash match IS the proof that merge(state_base,
+    state_delta) == recompute(all) — the algebraic property (decimal sums
+    are exact and associative; counts add) every incremental-view /
+    streaming-upsert pipeline silently relies on. The HLL twin for
+    distinct counts is `hll_rollup_daily_users`; this is the exact-sum
+    form. Final mean divides AFTER the merge (mean itself is not
+    mergeable — the state carries the sum).
+
+    Scale: each side is one map-side-combinable aggregate; the merge
+    re-aggregates |event_type| x 2 state rows. At 100 TB the base state is
+    a stored table and only the delta is scanned per refresh."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cut = F.lit(_INC_CUTOFF).cast("timestamp")
+
+    def state(part: DataFrame) -> DataFrame:
+        return (part.groupBy("event_type")
+                .agg(F.count("value").alias("n"),
+                     F.sum(F.col("value").cast("decimal(27,6)")).alias("s")))
+
+    base = state(ev.where(F.col("ts") < cut))
+    delta = state(ev.where(F.col("ts") >= cut))
+    merged = (base.unionByName(delta)
+              .groupBy("event_type")
+              .agg(F.sum("n").cast("long").alias("n"),
+                   F.sum("s").alias("s")))
+    total = F.col("s").cast("string").cast("double")
+    return merged.select("event_type", "n", total.alias("sum_value"),
+                         F.round(total / F.col("n"), 6).alias("mean_value"))

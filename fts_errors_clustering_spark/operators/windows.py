@@ -86,6 +86,69 @@ def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hourly_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    mu AS (
+      SELECT event_type, AVG(n) AS mu, COUNT(*) AS n_hours
+      FROM hourly GROUP BY event_type
+    ),
+    cusum AS (
+      SELECT h.event_type, h.h, m.n_hours,
+             SUM(h.n - m.mu) OVER (
+               PARTITION BY h.event_type ORDER BY h.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM hourly h JOIN mu m ON h.event_type = m.event_type
+    ),
+    ranked AS (
+      SELECT event_type, h, n_hours, ABS(c) AS a,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(c) DESC, h ASC) AS rk
+      FROM cusum
+    )
+    SELECT event_type, h AS changepoint_hour,
+           ROUND(a, 6) AS max_abs_cusum, n_hours
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("windows", "stats", "anomaly"),
+)
+def hourly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: hourly counts, running
+    sum of deviations from the per-type mean, and the hour where |CUSUM|
+    peaks — the classic level-shift locator (the peak of the cumulative
+    deviation walk IS the most likely mean-shift point). The feed-health
+    question `hourly_anomaly_scores` (pointwise z) can't answer: WHEN did
+    the rate regime change, not which single hours are odd.
+
+    Scale: the windows run over the HOURLY AGGREGATE (calendar-sized,
+    thousands of rows/type at any corpus size), partitioned by event_type —
+    never over raw events; the running sum's addition order is fixed by
+    the hour ordering, so both engines produce bit-identical doubles."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count("*").cast("long").alias("n")))
+    mu = (hourly.groupBy("event_type")
+          .agg(F.avg("n").alias("mu"), F.count("*").alias("n_hours")))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cusum = (hourly.join(F.broadcast(mu), "event_type")
+             .select("event_type", "h", "n_hours",
+                     F.sum(F.col("n") - F.col("mu")).over(w).alias("c")))
+    rk = Window.partitionBy("event_type").orderBy(F.desc(F.abs("c")),
+                                                  F.asc("h"))
+    return (cusum.withColumn("rk", F.row_number().over(rk))
+            .where(F.col("rk") == 1)
+            .select("event_type", F.col("h").alias("changepoint_hour"),
+                    F.round(F.abs("c"), 6).alias("max_abs_cusum"),
+                    "n_hours"))
+
+
+@register(
     "sliding_2h_windows",
     oracle=f"""
     WITH slid AS (

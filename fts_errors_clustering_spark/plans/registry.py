@@ -104,6 +104,7 @@ _HEAD = (
     "snapshot_publish_roundtrip", "rest_tail_category_counts",
     "part_entity_matches", "value_mad_outliers",
     "stratified_hash_sample", "user_interarrival_stats",
+    "hourly_cusum_changepoint", "incremental_agg_maintenance",
     # RE-CONFIRMATION FILLS: long-proven green names (r01-r03 rows) padding
     # the driver's ~50-row budget — oldest evidence first, so stale rows
     # get refreshed.
@@ -120,7 +121,6 @@ _HEAD = (
     "winsorized_value_stats", "chi2_priority_status",
     "shipping_priority_topk", "nation_revenue_share",
     "small_quantity_revenue", "user_profile_similarity_topk",
-    "fulfillment_lag_stats", "data_quality_report",
 )
 
 #: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
@@ -128,6 +128,7 @@ _HEAD = (
 #: (r01-r04); the local parity sweep (tests/test_oracle_parity.py over all
 #: entries at sf0.001) remains their regression gate.
 _TAIL_AFTER_HEAD = (
+    "fulfillment_lag_stats", "data_quality_report",
     "pmi_top_collocations", "lang_token_divergence",
     "boilerplate_prefix_groups", "weighted_doc_sample",
     "quality_signal_correlation", "rolling_7d_user_value",

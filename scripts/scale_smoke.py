@@ -114,6 +114,8 @@ QUERIES = [
     "value_mad_outliers",          # events: two exact grouped percentiles
     "stratified_hash_sample",      # documents: broadcast-fraction scan
     "user_interarrival_stats",     # events: one user-partitioned LAG
+    "hourly_cusum_changepoint",    # events: calendar-sized CUSUM windows
+    "incremental_agg_maintenance", # events: two states + tiny merge
 ]
 
 
