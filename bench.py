@@ -152,6 +152,7 @@ HEADLINE = [
     "snapshot_publish_roundtrip",
     "hourly_cusum_changepoint",
     "incremental_agg_maintenance",
+    "value_decile_histogram",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

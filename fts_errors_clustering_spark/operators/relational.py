@@ -910,6 +910,61 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_decile_histogram",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+      SELECT 1 + list_sum(list_transform(c.qs,
+               q -> CASE WHEN e.value > q THEN 1 ELSE 0 END)) AS decile,
+             e.value AS v
+      FROM events e CROSS JOIN cuts c
+      WHERE e.value IS NOT NULL
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(v), 6) AS min_value, ROUND(MAX(v), 6) AS max_value
+    FROM binned GROUP BY decile
+    """,
+    tags=("relational", "stats"),
+)
+def value_decile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram: exact global deciles of ``value`` as cut
+    points, every row binned by how many cuts it exceeds — the
+    equal-frequency companion to the fixed-width `value_histogram`
+    (equi-depth bins are what optimizers and drift monitors want: each
+    bucket carries the same mass, so a shifted distribution shows up as
+    bucket-count imbalance instead of hiding in one wide bin).
+
+    Scale: one exact percentile aggregate (9 doubles, broadcast) + one
+    binning scan + a 10-group aggregate — the cut row is the ONLY
+    broadcast, and the bin expression is a fold over a 9-literal array
+    (whole-stage-codegen'd, no join per cut). Bucket boundaries use
+    identical IEEE comparisons on both engines' identical cut values, so
+    the counts are exact. The at-scale percentile caveat of
+    `value_percentiles_by_type` applies (swap to the bucketed two-phase
+    rank if one task can't hold the sorted values)."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cuts = ev.agg(F.expr(
+        "percentile(value, array(0.1, 0.2, 0.3, 0.4, 0.5, "
+        "0.6, 0.7, 0.8, 0.9))").alias("qs"))
+    binned = (ev.crossJoin(F.broadcast(cuts))
+              .select((F.lit(1) + F.aggregate(
+                          "qs", F.lit(0),
+                          lambda acc, q: acc + F.when(F.col("value") > q, 1)
+                                                .otherwise(0)))
+                      .cast("long").alias("decile"),
+                      F.col("value").alias("v")))
+    return (binned.groupBy("decile")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.min("v"), 6).alias("min_value"),
+                 F.round(F.max("v"), 6).alias("max_value")))
+
+
+@register(
     "chi2_priority_status",
     oracle="""
     WITH obs AS (

@@ -105,6 +105,7 @@ _HEAD = (
     "part_entity_matches", "value_mad_outliers",
     "stratified_hash_sample", "user_interarrival_stats",
     "hourly_cusum_changepoint", "incremental_agg_maintenance",
+    "value_decile_histogram",
     # RE-CONFIRMATION FILLS: long-proven green names (r01-r03 rows) padding
     # the driver's ~50-row budget — oldest evidence first, so stale rows
     # get refreshed.
@@ -120,7 +121,7 @@ _HEAD = (
     "modal_bucket_by_type", "global_value_rank",
     "winsorized_value_stats", "chi2_priority_status",
     "shipping_priority_topk", "nation_revenue_share",
-    "small_quantity_revenue", "user_profile_similarity_topk",
+    "small_quantity_revenue",
 )
 
 #: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
@@ -128,6 +129,7 @@ _HEAD = (
 #: (r01-r04); the local parity sweep (tests/test_oracle_parity.py over all
 #: entries at sf0.001) remains their regression gate.
 _TAIL_AFTER_HEAD = (
+    "user_profile_similarity_topk",
     "fulfillment_lag_stats", "data_quality_report",
     "pmi_top_collocations", "lang_token_divergence",
     "boilerplate_prefix_groups", "weighted_doc_sample",

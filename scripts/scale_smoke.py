@@ -116,6 +116,7 @@ QUERIES = [
     "user_interarrival_stats",     # events: one user-partitioned LAG
     "hourly_cusum_changepoint",    # events: calendar-sized CUSUM windows
     "incremental_agg_maintenance", # events: two states + tiny merge
+    "value_decile_histogram",      # events: 1-row cuts bcast + bin scan
 ]
 
 

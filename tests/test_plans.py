@@ -299,6 +299,7 @@ _BNLJ_OK: set[str] = {
     "important_part_value",      # 1-row global-total cutoff vs part rows
     "copurchase_kcore",          # 1-row adaptive-k scalar vs degree rows
     "rfm_customer_segments",     # 1-row customer-count scalar vs rank rows
+    "value_decile_histogram",    # 1-row decile-cut array broadcast
 }
 
 #: CartesianProduct allowed only against a literal parameter table
