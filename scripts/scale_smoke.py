@@ -220,6 +220,25 @@ def main() -> None:
     print(json.dumps({"ngram_planted_recall": results["ngram_planted_recall"]}),
           flush=True)
 
+    # planted ER recall: the round-5 collapse mode was SILENT — a too-
+    # coarse blocking key made every block overflow the skew cap at 20k
+    # parts and the matcher returned zero rows (oracle agreed: 0 == 0).
+    # Gate recall of the planted typo pairs at BOTH scales so key
+    # coarseness vs corpus size can never regress quietly again.
+    from fts_errors_clustering_spark.operators.linkage import (PLANT_N,
+                                                               PLANT_OFFSET)
+    for scale, path in (("small", SRC), ("big", OUT)):
+        got = {(r.part_a, r.part_b)
+               for r in defs["part_entity_matches"].fn(spark, path)
+               .where(F.col("part_a") < PLANT_N).collect()}
+        want = {(k, k + PLANT_OFFSET) for k in range(PLANT_N)}
+        missing = want - got
+        assert not missing, f"planted ER recall lost at {scale}: {missing}"
+    results["er_planted_recall"] = {"complete_both_scales": True,
+                                    "n_planted": PLANT_N}
+    print(json.dumps({"er_planted_recall": results["er_planted_recall"]}),
+          flush=True)
+
     # LSH-DBSCAN crossover: the 10x vectors (20k rows) sit exactly at the
     # driver-kernel tier boundary where exact DBSCAN pays its worst case
     # (tier hand-off + ~100x-densified eps-graph). Run the approximate-
