@@ -553,19 +553,46 @@ def dbscan_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_points"))
 
 
+#: BRP-LSH geometry, derived not guessed: an eps-pair's difference vector
+#: (norm <= EPS) projects onto a unit random direction with std
+#: EPS/sqrt(d) = 1.18/8 ~ 0.15 at d=64. The bucket width must sit AT that
+#: scale: per-table collision probability for a worst-case eps-pair is
+#: then ~0.5 and six OR'd tables give ~0.98+ EDGE recall — what the
+#: sparse-graph regime needs (at 500 fixture points every missed edge
+#: splits a cluster: bl=0.05 scored agreement 0.12 there while scoring
+#: 0.99+ on the dense 10x set, where redundant replica paths mask missing
+#: edges). The other direction is as wrong: the old 1.0 put every point
+#: in ~one bucket per table — full recall by DEGENERATE blocking, each
+#: table's self-join quadratic (543 s vs 21 s exact at 10x). Measured
+#: frontier at 10x/20k: 1.0/6t 543 s @ 1.0 -> 0.15/6t ~5 min @ 1.0 ->
+#: 0.05/6t 126 s @ 0.992(dense only) -> 0.01/6t 30 s @ 0.876. SCALE.md
+#: round-5 records the sweep and the regime analysis (chunked-GEMM exact
+#: wins while n^2 is feasible; this tier exists for the n where it isn't,
+#: where its cost is candidate-count-bound — i.e. output-bound on any
+#: corpus this dense).
+LSH_BUCKET_LENGTH = 0.15
+LSH_N_TABLES = 6
+
+
 @register("dbscan_labels_lsh", oracle=None, tags=("clustering", "dbscan", "ml"))
-def dbscan_labels_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dbscan_labels_lsh(spark: SparkSession, sf_dir: str,
+                      bucket_length: float = LSH_BUCKET_LENGTH,
+                      num_tables: int = LSH_N_TABLES) -> DataFrame:
     """M18 with the 100 TB candidate generator swapped in: eps-pairs from
     ``BucketedRandomProjectionLSH.approxSimilarityJoin`` instead of the
     broadcast kernel — the SAME downstream core/propagation/border plan
     (the swap this module's header promises). Rows-only in the driver;
-    agreement with exact DBSCAN asserted in tests/test_dbscan.py."""
+    agreement with exact DBSCAN asserted in tests/test_dbscan.py and at
+    10x in the smoke. Bucket width is sized to the unit-norm projection
+    scale (see LSH_BUCKET_LENGTH) — the parameter that decides whether
+    the candidate join is bucket-bounded or quadratic."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
     emb = table(spark, sf_dir, "embeddings")
     feat = emb.select("vec_id", array_to_vector("embedding").alias("features"))
     lsh = BucketedRandomProjectionLSH(inputCol="features", outputCol="hashes",
-                                      bucketLength=1.0, numHashTables=6,
+                                      bucketLength=bucket_length,
+                                      numHashTables=num_tables,
                                       seed=42)
     model = lsh.fit(feat)
     pairs = (model.approxSimilarityJoin(feat, feat, EPS, distCol="dist")
