@@ -153,6 +153,10 @@ HEADLINE = [
     "hourly_cusum_changepoint",
     "incremental_agg_maintenance",
     "value_decile_histogram",
+    "fd_violation_audit",
+    "revenue_gini_by_nation",
+    "nation_revenue_trend",
+    "pareto_frontier_parts",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

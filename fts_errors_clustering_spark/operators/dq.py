@@ -135,6 +135,73 @@ _PROFILE_COLS = (
 )
 
 
+# --- round 5: functional-dependency audit ------------------------------------
+
+#: candidate FDs to audit as (table, determinant, dependent). One tuple
+#: drives BOTH the oracle SQL and the Spark plan (same single-source rule
+#: as _PROFILE_COLS). The set mixes a key FD that must hold (an orderkey
+#: determines its status) with soft FDs the fixture violates — the audit's
+#: value is the measured violation count, not a fixed verdict.
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("part", "p_brand", "p_type"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+)
+
+_FD_SQL_ONE = """
+    SELECT '{t}' AS table_name,
+           '{det}' AS determinant,
+           '{dep}' AS dependent,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(cnt - mx) AS BIGINT) AS n_violations,
+           SUM(cnt - mx) = 0 AS holds
+    FROM (SELECT {det} AS det, SUM(c) AS cnt, MAX(c) AS mx
+          FROM (SELECT {det}, {dep}, COUNT(*) AS c FROM {t} GROUP BY 1, 2)
+          GROUP BY 1)
+"""
+
+
+@register(
+    "fd_violation_audit",
+    oracle=" UNION ALL ".join(
+        _FD_SQL_ONE.format(t=t, det=det, dep=dep)
+        for t, det, dep in _FD_CANDIDATES),
+    tags=("dq", "fd", "profile"),
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (the Deequ `hasUniqueness`/metanome-style
+    check): for each candidate FD ``det -> dep``, the minimum number of rows
+    that must change for the FD to hold = sum over det-groups of
+    (group size - size of the group's majority dep value). ``holds`` is the
+    exact-FD verdict; a key constraint is the special case where the
+    determinant is a candidate key.
+
+    Scale: per candidate, two map-side-combinable aggregates — a
+    (det, dep) count then a det-level sum/max — shuffling only distinct
+    key pairs, never rows; the report UNIONs one-row results. The same
+    plan shape at any table size; no window, no collect.
+    """
+    out = None
+    for t, det, dep in _FD_CANDIDATES:
+        pair = table(spark, sf_dir, t).groupBy(det, dep).count()
+        grp = pair.groupBy(det).agg(F.sum("count").alias("cnt"),
+                                    F.max("count").alias("mx"))
+        one = (grp.agg(
+                   F.count("*").cast("long").alias("n_groups"),
+                   F.sum("cnt").cast("long").alias("n_rows"),
+                   F.sum(F.col("cnt") - F.col("mx")).cast("long")
+                    .alias("n_violations"))
+               .select(F.lit(t).alias("table_name"),
+                       F.lit(det).alias("determinant"),
+                       F.lit(dep).alias("dependent"),
+                       "n_groups", "n_rows", "n_violations",
+                       (F.col("n_violations") == 0).alias("holds")))
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
 @register(
     "events_column_profile",
     oracle="SELECT * FROM (" + " UNION ALL ".join(

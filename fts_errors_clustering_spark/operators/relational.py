@@ -2460,3 +2460,136 @@ def open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return daily.select("day", F.sum("d").over(w).cast("long")
                         .alias("open_orders"))
+
+
+# --- round 5: concentration + trend analytics --------------------------------
+
+#: revenue in integer CENTS: o_totalprice is a double holding an exact
+#: 2-dp value, so ROUND(x*100) -> BIGINT is exact in both engines and every
+#: downstream sum/product is integer arithmetic — the rank-weighted Gini
+#: sum and the OLS moment sums below stay bit-identical without the
+#: decimal-sum detour (products of decimals would outgrow DECIMAL(38,_)).
+_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+
+
+@register(
+    "revenue_gini_by_nation",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey, CAST(SUM({_CENTS}) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT n.n_name, r.rev_cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
+                   ORDER BY r.rev_cents, r.o_custkey) AS BIGINT) AS rk
+      FROM rev r
+      JOIN customer c ON c.c_custkey = r.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           (2.0 * CAST(SUM(rk * rev_cents) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(rev_cents) AS DOUBLE))
+             - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE)
+             AS gini
+    FROM ranked GROUP BY 1
+    """,
+    tags=("relational", "concentration", "window"),
+)
+def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue within each nation —
+    the concentration question ("is our revenue a few whales or a broad
+    base?") behind the reference's top-N share ratio (A7), upgraded to the
+    full Lorenz statistic: G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending-ranked x. Customers with no orders are out of frame (inner
+    join); the (rev, custkey) tiebreak fixes the rank order, and equal
+    revenues contribute the same rank-weighted sum under any permutation,
+    so the result is deterministic.
+
+    Scale: rank windows partition by NATION — bounded fan-in per task at
+    ~1/25 of customers; for a degenerate partition cardinality compose with
+    the quantile_buckets two-phase rank (scale.global_value_rank) instead.
+    All sums are exact int64 cents; the final expression is IEEE-identical
+    across engines."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rev = (table(spark, sf_dir, "orders")
+           .groupBy("o_custkey")
+           .agg(F.sum(cents).cast("long").alias("rev_cents")))
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ranked = (rev.join(cust, rev.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+              .select("n_name", "rev_cents", "o_custkey"))
+    w = Window.partitionBy("n_name").orderBy("rev_cents", "o_custkey")
+    r = ranked.withColumn("rk", F.row_number().over(w).cast("long"))
+    g = r.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev_cents").cast("long").alias("s"),
+        F.sum(F.col("rk") * F.col("rev_cents")).cast("long").alias("s1"))
+    nd = F.col("n_customers").cast("double")
+    gini = ((F.lit(2.0) * F.col("s1").cast("double"))
+            / (nd * F.col("s").cast("double"))
+            - (nd + F.lit(1.0)) / nd)
+    return g.select("n_name", "n_customers", gini.alias("gini"))
+
+
+@register(
+    "nation_revenue_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT n.n_name,
+             CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM({_CENTS}) AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+           / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+           / 100.0 AS slope_dollars_per_day
+    FROM daily GROUP BY 1
+    """,
+    tags=("relational", "trend", "regression"),
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS slope of daily order revenue over time (dollars/day)
+    — "which markets are growing?" as one aggregate. REGR_SLOPE exists in
+    both engines but sums doubles in engine-specific order; this computes
+    the same closed form n*Sxy - Sx*Sy / (n*Sxx - Sx^2) from EXACT integer
+    moment sums (day index x, daily cents y), so the slope is bit-identical
+    across engines — the same doctrine as functions/numeric.py, extended
+    to second moments via the cents trick.
+
+    Scale: two map-side-combinable aggregates (nation x day, then nation);
+    the moment sums make every regression over any group-by a single
+    shuffle — no per-group sorting, no window."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    x = F.datediff(F.to_date("o_orderdate"),
+                   F.lit("1995-01-01").cast("date")).cast("long")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders")
+    daily = (o.join(cust, o.o_custkey == cust.c_custkey)
+             .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+             .groupBy("n_name", x.alias("x"))
+             .agg(F.sum(cents).cast("long").alias("y")))
+    m = daily.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"))
+    nd = F.col("n_days").cast("double")
+    slope = ((nd * F.col("sxy").cast("double")
+              - F.col("sx").cast("double") * F.col("sy").cast("double"))
+             / (nd * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double"))
+             / F.lit(100.0))
+    return m.select("n_name", "n_days", slope.alias("slope_dollars_per_day"))

@@ -656,3 +656,76 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.col("s").cast("string").cast("double")
     return merged.select("event_type", "n", total.alias("sum_value"),
                          F.round(total / F.col("n"), 6).alias("mean_value"))
+
+
+# --- round 5: 2-D skyline via two-phase prefix max ----------------------------
+
+def bucket_prefix_running_max(bucketed: DataFrame, col: str) -> "F.Column":
+    """``bucket_prefix_offsets`` generalized from prefix-SUM to prefix-MAX:
+    per-bucket maxima (<= n_buckets rows to the driver) folded into an
+    exclusive running max, returned as a literal-map expression —
+    ``offset(bucket) = max of all earlier buckets' max`` (NULL for the
+    first bucket: element_at on a missing key). Together with a
+    WITHIN-bucket running-max window this composes the exact global
+    prefix max without a single-partition global sort — the same
+    two-phase trick as global_value_rank, for any associative prefix op."""
+    rows = bucketed.groupBy("bucket").agg(F.max(col).alias("v")).collect()
+    maxima = {r["bucket"]: r["v"] for r in rows}
+    offsets, acc = {}, None
+    for b in sorted(maxima):
+        if acc is not None:
+            offsets[b] = acc
+        acc = maxima[b] if acc is None else max(acc, maxima[b])
+    if not offsets:
+        return F.lit(None).cast("long")
+    return F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("bucket")).cast("long")
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+    tags=("scale", "skyline", "sort"),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (minimize p_retailprice, maximize p_size) — the multi-objective
+    shortlist query. The oracle states the semantics as quadratic NOT
+    EXISTS dominance; the plan uses the sorted-sweep identity instead: a
+    point survives iff its size equals the max size at its exact price AND
+    strictly exceeds the running max size over all strictly-cheaper
+    prices. Equal (price, size) twins survive together (neither dominates).
+
+    Scale: group to one row per distinct price (map-side combinable), then
+    the strict-lower running max via quantile_buckets +
+    bucket_prefix_running_max — per-bucket windows in parallel, no global
+    single-partition sort; the threshold table (one row per distinct
+    price) joins back by price, AQE picks broadcast vs shuffle from its
+    runtime size. Every stage is key-bounded; nothing is quadratic."""
+    pts = (table(spark, sf_dir, "part")
+           .select("p_partkey", "p_retailprice",
+                   F.col("p_size").cast("long").alias("p_size")))
+    grp = pts.groupBy("p_retailprice").agg(F.max("p_size").alias("mx"))
+    b = quantile_buckets(grp, "p_retailprice")
+    off = bucket_prefix_running_max(b, "mx")
+    w = (Window.partitionBy("bucket").orderBy("p_retailprice")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    # greatest() skips NULLs: below is NULL only when BOTH the within-bucket
+    # prefix and the earlier-bucket offset are empty (the globally cheapest
+    # price), where the strict-dominance clause is vacuously true.
+    thr = b.withColumn("below", F.greatest(F.max("mx").over(w), off))
+    sky = (pts.join(thr.select("p_retailprice", "mx", "below"),
+                    "p_retailprice")
+           .where((F.col("p_size") == F.col("mx"))
+                  & (F.col("below").isNull()
+                     | (F.col("p_size") > F.col("below"))))
+           .select("p_partkey", "p_retailprice", "p_size"))
+    return sky

@@ -117,6 +117,10 @@ QUERIES = [
     "hourly_cusum_changepoint",    # events: calendar-sized CUSUM windows
     "incremental_agg_maintenance", # events: two states + tiny merge
     "value_decile_histogram",      # events: 1-row cuts bcast + bin scan
+    "fd_violation_audit",          # 4 tables: key-pair-bounded shuffles
+    "revenue_gini_by_nation",      # orders: nation-partitioned rank
+    "nation_revenue_trend",        # orders: exact OLS moment sums
+    "pareto_frontier_parts",       # part: two-phase prefix-max skyline
 ]
 
 

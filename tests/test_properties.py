@@ -328,3 +328,94 @@ def test_backlog_sweep_equals_bruteforce(spark, iv):
     ref = {base + dt.timedelta(days=d):
            sum(1 for s, e in spans if s <= d < e) for d in days}
     assert got == ref
+
+
+@SET
+@given(st.lists(st.tuples(
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=-50, max_value=500)),
+    min_size=1, max_size=120))
+def test_bucket_prefix_running_max_equals_window_cummax(spark, rows):
+    """Exclusive bucket-prefix running max (the pareto_frontier_parts
+    threshold composition) == the unpartitioned exclusive running MAX,
+    on arbitrary distributions — duplicates and skew included."""
+    from pyspark.sql import Window
+    from fts_errors_clustering_spark.operators.scale import (
+        bucket_prefix_running_max, quantile_buckets)
+
+    df = (spark.createDataFrame(rows, "id long, n long")
+          .groupBy("id").agg(F.max("n").alias("n")))  # unique keys
+    bucketed = quantile_buckets(df, "id", n_buckets=5)
+    off = bucket_prefix_running_max(bucketed, "n")
+    wb = (Window.partitionBy("bucket").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    got = {r.id: r.below for r in bucketed.withColumn(
+        "below", F.greatest(F.max("n").over(wb), off)).collect()}
+    wall = (Window.orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    ref = {r.id: r.below for r in df.withColumn(
+        "below", F.max("n").over(wall)).collect()}
+    assert got == ref
+
+
+def test_skyline_equals_bruteforce_dominance(spark):
+    """pareto_frontier_parts' sorted-sweep plan must equal the quadratic
+    dominance definition computed independently in Python on the fixture."""
+    from fts_errors_clustering_spark.operators.scale import (
+        pareto_frontier_parts)
+    from fts_errors_clustering_spark.sources.readers import table
+
+    pts = [(r.p_partkey, r.p_retailprice, r.p_size)
+           for r in table(spark, SF_SMALL, "part")
+           .select("p_partkey", "p_retailprice", "p_size").collect()]
+    brute = {k for k, pr, sz in pts
+             if not any(qr <= pr and qs >= sz and (qr < pr or qs > sz)
+                        for _, qr, qs in pts)}
+    got = {r.p_partkey for r in pareto_frontier_parts(spark, SF_SMALL)
+           .collect()}
+    assert got == brute and got
+
+
+def test_gini_and_trend_match_numpy(spark):
+    """revenue_gini_by_nation / nation_revenue_trend vs independent numpy
+    derivations (sorted-rank Gini; polyfit slope) on the fixture."""
+    import numpy as np
+    from fts_errors_clustering_spark.operators.relational import (
+        nation_revenue_trend, revenue_gini_by_nation)
+    from fts_errors_clustering_spark.sources.readers import table
+
+    o = (table(spark, SF_SMALL, "orders")
+         .join(table(spark, SF_SMALL, "customer"),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(table(spark, SF_SMALL, "nation"),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("n_name", "o_custkey", "o_totalprice",
+                 F.to_date("o_orderdate").alias("day")).collect())
+    by_nat: dict = {}
+    for r in o:
+        by_nat.setdefault(r.n_name, []).append(r)
+    for row in revenue_gini_by_nation(spark, SF_SMALL).collect():
+        rows = by_nat[row.n_name]
+        rev: dict = {}
+        for r in rows:
+            rev[r.o_custkey] = rev.get(r.o_custkey, 0) + round(
+                r.o_totalprice * 100)
+        x = np.sort(np.array(list(rev.values()), dtype=float))
+        n = len(x)
+        want = 2.0 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) \
+            - (n + 1.0) / n
+        assert row.n_customers == n
+        assert abs(row.gini - want) < 1e-12
+        assert 0.0 <= row.gini < 1.0
+    for row in nation_revenue_trend(spark, SF_SMALL).collect():
+        daily: dict = {}
+        epoch = __import__("datetime").date(1995, 1, 1)
+        for r in by_nat[row.n_name]:
+            d = (r.day - epoch).days
+            daily[d] = daily.get(d, 0) + round(r.o_totalprice * 100)
+        xs = np.array(sorted(daily), dtype=float)
+        ys = np.array([daily[k] for k in sorted(daily)], dtype=float)
+        want = np.polyfit(xs, ys, 1)[0] / 100.0
+        assert row.n_days == len(xs)
+        assert abs(row.slope_dollars_per_day - want) < 1e-6 * max(
+            1.0, abs(want))
