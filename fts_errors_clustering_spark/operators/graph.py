@@ -26,12 +26,17 @@ for reuse across consuming branches/iterations, MATERIALIZES its bounded
 final result (top-k / 1-row audits) while those caches are hot, then
 releases them in a ``finally`` — a long-lived session running the full
 query sweep accumulates nothing (the ``fit_kmeans_best`` discipline).
-The fixed-round loops (5 PageRank updates, {KCORE_ROUNDS} peels) carry
-their full lineage instead of ``localCheckpoint``-ing per round: lineage
-depth is bounded by the compile-time constant, and lazy localCheckpoint
-pins an un-unpersistable node-sized RDD per round for the session's
-lifetime. Unbounded loops elsewhere (dbscan label propagation, the BPE
-trainer) keep per-round truncation — there the lineage actually grows.
+Loop lineage: a fixed-round loop may carry its full lineage ONLY if each
+round references the previous round ONCE (PageRank: ranks feed one join
+-> linear depth, bounded by the compile-time constant). A round that
+reads its predecessor k times multiplies plan size by k^rounds — k-core
+reads edges three times per peel (degree agg + both semi joins), which
+OOM'd a default-1g-driver session at task-serialization time — so k-core
+materializes each round's edge set into a cache and releases the
+previous one (the Pregel frontier discipline; at most one round cache
+pinned at any moment, none after the query returns). Unbounded loops
+elsewhere (dbscan label propagation, the BPE trainer) likewise truncate
+per round.
 """
 
 from __future__ import annotations
@@ -337,9 +342,14 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash row on an iterative graph algorithm). Scale shape: each
     round shuffles a node-sized degree aggregate plus two LEFT SEMI joins
     keyed on the edge endpoints — never the adjacency materialized per
-    node. Lineage depth is bounded by the compile-time KCORE_ROUNDS so the
-    loop carries it un-truncated (module docstring); the k scalar is a
-    1-row broadcast, not a SinglePartition window."""
+    node, and each round MATERIALIZES its shrinking edge set and releases
+    the previous round's (the Pregel/GraphX frontier discipline). The
+    lazy alternative — carrying the whole loop as one plan — triples the
+    lineage per round (``edges`` feeds the degree aggregate AND both semi
+    joins), i.e. 3^rounds plan copies, which was measured OOM-ing a
+    default-1g-driver session at task-serialization time. k is a 1-row
+    driver materialization (the ``knee_epsilon_value`` discipline), so no
+    per-round scalar subplan either."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l2 = li.select(F.col("l_orderkey").alias("o2"),
                    F.col("l_partkey").alias("b"))
@@ -356,25 +366,26 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .unionAll(e.select(F.col("b").alias("x")))
                 .groupBy("x").agg(F.count("*").alias("d")))
 
-    d0 = degrees(und)
-    kdf = d0.agg(F.ceil(F.lit(KCORE_FRAC) * F.avg("d")).cast("long")
-                 .alias("k"))
-    edges = und
+    k = degrees(und).agg(F.ceil(F.lit(KCORE_FRAC) * F.avg("d"))
+                         .cast("long").alias("k")).collect()[0]["k"]
+    klit = F.lit(k).cast("long")
+    edges, live = und, und  # `live` = the one cache currently pinned
     for _ in range(KCORE_ROUNDS):
-        keep = (degrees(edges).crossJoin(F.broadcast(kdf))
-                .where(F.col("d") >= F.col("k")).select("x"))
-        edges = (edges
-                 .join(keep.withColumnRenamed("x", "a"), "a", "left_semi")
-                 .join(keep.withColumnRenamed("x", "b"), "b", "left_semi")
-                 .select("a", "b"))
-    final = degrees(edges)
-    out = (final.crossJoin(F.broadcast(kdf))
-           .where(F.col("d") >= F.col("k"))
+        keep = degrees(edges).where(F.col("d") >= klit).select("x")
+        nxt = (edges
+               .join(keep.withColumnRenamed("x", "a"), "a", "left_semi")
+               .join(keep.withColumnRenamed("x", "b"), "b", "left_semi")
+               .select("a", "b")).cache()
+        nxt.count()  # materialize while the previous round's cache is hot
+        live.unpersist()
+        edges = live = nxt
+    out = (degrees(edges)
+           .where(F.col("d") >= klit)
            .select(F.col("x").alias("part"),
                    F.col("d").cast("long").alias("core_degree"))
            .orderBy(F.desc("core_degree"), F.asc("part"))
            .limit(KCORE_TOP))
-    return materialize_release(out, [und])
+    return materialize_release(out, [live])
 
 
 #: association-rule gates: minimum co-containing orders for a pair to be

@@ -297,7 +297,6 @@ _BNLJ_OK: set[str] = {
     "copurchase_triangle_count",  # 1-row edge/wedge/triangle count stitch
     "top_supplier_by_revenue",   # 1-row max-revenue scalar vs supplier rows
     "important_part_value",      # 1-row global-total cutoff vs part rows
-    "copurchase_kcore",          # 1-row adaptive-k scalar vs degree rows
     "rfm_customer_segments",     # 1-row customer-count scalar vs rank rows
     "value_decile_histogram",    # 1-row decile-cut array broadcast
     "stratified_hash_sample",    # 1-row minority-class target broadcast
@@ -379,6 +378,13 @@ _EXCHANGE_BUDGET = {
     "source_overlap_matrix": 42,
     "embedding_norm_stats": 2,
     "shard_balance_audit": 8,
+    # round-5 batch 2: FD audit = 4 candidates x (pair agg + det agg +
+    # 1-row final); gini/trend = joins + window/moment aggs; skyline =
+    # price group + bucket window + join-back
+    "fd_violation_audit": 24,
+    "revenue_gini_by_nation": 8,
+    "nation_revenue_trend": 8,
+    "pareto_frontier_parts": 6,
 }
 
 
