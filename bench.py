@@ -157,6 +157,7 @@ HEADLINE = [
     "revenue_gini_by_nation",
     "nation_revenue_trend",
     "pareto_frontier_parts",
+    "rolling_7d_distinct_users",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -957,3 +957,47 @@ def scd2_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("ts").alias("valid_from"),
                      nxt.alias("valid_to"),
                      nxt.isNull().alias("is_current"))
+
+
+@register(
+    "rolling_7d_distinct_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+    FROM days d JOIN ud u ON u.day >= d.day - 6 AND u.day <= d.day
+    GROUP BY 1
+    """,
+    tags=("windows", "rolling", "distinct"),
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT active users per event day — the sliding
+    DAU/WAU overlap metric. DISTINCT does not decompose over sliding
+    windows the way SUM/COUNT do (rolling_7d_user_value), so the plan
+    inverts the window: dedupe to (user, day) once, then each user-day
+    CONTRIBUTES itself to the 7 window-ends it falls inside (a bounded
+    calendar explode, x7) and one COUNT(DISTINCT) groups by window end.
+    Output keeps only days that actually have events (inner semi join),
+    matching the oracle's range-join formulation.
+
+    Scale: the explode factor is the window length (a compile-time
+    constant), applied AFTER the (user, day) dedupe — the shuffled volume
+    is 7x distinct user-days, never 7x raw events; the final distinct
+    aggregate is one Expand shuffle keyed by day. No per-user window, no
+    range join."""
+    ud = (table(spark, sf_dir, "events")
+          .select("user_id", F.to_date("ts").alias("day"))
+          .distinct())
+    days = ud.select("day").distinct()
+    contrib = (ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day")
+        .select("user_id", F.date_add(F.col("day"), F.col("off"))
+                .alias("wday")))
+    return (contrib
+            .join(days.withColumnRenamed("day", "wday"), "wday", "left_semi")
+            .groupBy(F.col("wday").alias("day"))
+            .agg(F.countDistinct("user_id").cast("long")
+                 .alias("n_users_7d")))

@@ -121,6 +121,7 @@ QUERIES = [
     "revenue_gini_by_nation",      # orders: nation-partitioned rank
     "nation_revenue_trend",        # orders: exact OLS moment sums
     "pareto_frontier_parts",       # part: two-phase prefix-max skyline
+    "rolling_7d_distinct_users",   # events: 7x user-day explode + Expand
 ]
 
 
