@@ -158,6 +158,7 @@ HEADLINE = [
     "nation_revenue_trend",
     "pareto_frontier_parts",
     "rolling_7d_distinct_users",
+    "quality_retention_curve",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -855,3 +855,58 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("n_chars").cast("double")
                          / F.greatest(F.sum("n_toks").cast("long"), F.lit(1)),
                          6).alias("chars_per_token")))
+
+
+from ..functions.numeric import dec_sum, sql_dec_sum  # noqa: E402
+
+
+@register(
+    "quality_retention_curve",
+    oracle=f"""
+    WITH q AS ({_REG['doc_quality_scores'].oracle}),
+    cuts AS (
+      SELECT quantile_cont(quality, [0.0, 0.1, 0.2, 0.3, 0.4,
+                                     0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM q
+    ),
+    lvl AS (
+      SELECT i - 1 AS lvl, qs[i] AS cut
+      FROM cuts CROSS JOIN generate_series(1, 10) t(i)
+    )
+    SELECT CAST(l.lvl AS BIGINT) AS lvl,
+           ROUND(l.cut, 6) AS cut,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,
+           ({sql_dec_sum('q.quality', 6)} / COUNT(q.quality)) AS mean_quality
+    FROM lvl l JOIN q ON q.quality >= l.cut
+    GROUP BY 1, 2
+    """,
+    tags=("textstats", "curation", "calibration"),
+)
+def quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration curve: for each exact decile cut of the quality
+    distribution, how many documents and tokens survive a `quality >= cut`
+    filter and at what mean quality — the quantity-vs-quality tradeoff
+    table a corpus curator reads before picking the threshold
+    (doc_quality_scores gives the score; this says what each cut COSTS).
+    Composes the registered doc_quality_scores oracle as a CTE (no drift),
+    and the decile cuts are exact percentiles, so the curve's x-axis is
+    the same in both engines bit-for-bit.
+
+    Scale: one exact-percentile aggregate (10 doubles, broadcast as ONE
+    row), a 10x bounded expansion of the scored docs (compile-time
+    constant, like the rolling-distinct explode), one 10-group aggregate.
+    The at-scale percentile caveat of value_decile_histogram applies."""
+    q = doc_quality_scores(spark, sf_dir).select("n_tokens", "quality")
+    cuts = q.agg(F.expr(
+        "percentile(quality, array(0.0, 0.1, 0.2, 0.3, 0.4, "
+        "0.5, 0.6, 0.7, 0.8, 0.9))").alias("qs"))
+    lvl = cuts.select(F.posexplode("qs").alias("lvl", "cut"))
+    return (q.crossJoin(F.broadcast(lvl))
+            .where(F.col("quality") >= F.col("cut"))
+            .groupBy(F.col("lvl").cast("long").alias("lvl"),
+                     F.round("cut", 6).alias("cut"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 (dec_sum("quality", 6) / F.count("quality"))
+                 .alias("mean_quality")))

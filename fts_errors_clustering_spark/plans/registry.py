@@ -108,7 +108,7 @@ _HEAD = (
     "value_decile_histogram",
     "fd_violation_audit", "revenue_gini_by_nation",
     "nation_revenue_trend", "pareto_frontier_parts",
-    "rolling_7d_distinct_users",
+    "rolling_7d_distinct_users", "quality_retention_curve",
     # RE-CONFIRMATION FILLS: long-proven green names (r01-r03 rows) padding
     # the driver's ~50-row budget — oldest evidence first, so stale rows
     # get refreshed.
@@ -120,7 +120,7 @@ _HEAD = (
     "bm25_search", "hybrid_search_rrf", "incremental_dedup_counts",
     "canonical_by_quality",
     "dominant_part_suppliers", "sole_late_suppliers", "idle_rich_customers",
-    "cube_priority_status_revenue", "forward_fill_values",
+    "forward_fill_values",
     "modal_bucket_by_type", "global_value_rank",
 )
 
@@ -129,7 +129,7 @@ _HEAD = (
 #: (r01-r04); the local parity sweep (tests/test_oracle_parity.py over all
 #: entries at sf0.001) remains their regression gate.
 _TAIL_AFTER_HEAD = (
-    "winsorized_value_stats",
+    "winsorized_value_stats", "cube_priority_status_revenue",
     "chi2_priority_status", "shipping_priority_topk",
     "nation_revenue_share", "small_quantity_revenue",
     "user_profile_similarity_topk",

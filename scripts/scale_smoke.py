@@ -122,6 +122,7 @@ QUERIES = [
     "nation_revenue_trend",        # orders: exact OLS moment sums
     "pareto_frontier_parts",       # part: two-phase prefix-max skyline
     "rolling_7d_distinct_users",   # events: 7x user-day explode + Expand
+    "quality_retention_curve",     # documents: 10x bounded doc expansion
 ]
 
 

@@ -300,6 +300,7 @@ _BNLJ_OK: set[str] = {
     "rfm_customer_segments",     # 1-row customer-count scalar vs rank rows
     "value_decile_histogram",    # 1-row decile-cut array broadcast
     "stratified_hash_sample",    # 1-row minority-class target broadcast
+    "quality_retention_curve",   # 10-row exploded decile-cut broadcast
 }
 
 #: CartesianProduct allowed only against a literal parameter table
