@@ -159,6 +159,7 @@ HEADLINE = [
     "pareto_frontier_parts",
     "rolling_7d_distinct_users",
     "quality_retention_curve",
+    "revenue_autocorrelation",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

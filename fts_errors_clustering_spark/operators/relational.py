@@ -2593,3 +2593,77 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("sx").cast("double") * F.col("sx").cast("double"))
              / F.lit(100.0))
     return m.select("n_name", "n_days", slope.alias("slope_dollars_per_day"))
+
+
+@register(
+    "revenue_autocorrelation",
+    oracle=f"""
+    WITH rev AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({_CENTS}) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(0, 14)) AS lag),
+    j AS (
+      SELECT l.lag, a.y AS x, b.y AS y
+      FROM lags l
+      JOIN rev a ON TRUE
+      JOIN rev b ON b.day = a.day + CAST(l.lag AS INTEGER)
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           (CAST(COUNT(*) AS DOUBLE)
+              * CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE)
+            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+           / SQRT(
+             (CAST(COUNT(*) AS DOUBLE)
+                * CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+             * (CAST(COUNT(*) AS DOUBLE)
+                * CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE)
+              - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)))
+           AS r
+    FROM j GROUP BY 1
+    """,
+    tags=("relational", "trend", "autocorrelation"),
+)
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 0..14 — the
+    seasonality detector (a weekly cycle shows as a peak at lag 7; lag 0
+    is the r=1 sanity row). Same exact-moment doctrine as
+    nation_revenue_trend, extended to PRODUCTS OF PAIRED OBSERVATIONS:
+    the day-lag pairing is an equi-join on a calendar key (never a
+    window), the second-moment sums go through DECIMAL because sum(y*y)
+    overflows int64 on cents-scaled revenue, and the Pearson closed form
+    then runs on bit-identical doubles in both engines.
+
+    Scale: the daily aggregate is calendar-sized regardless of order
+    volume; the 15x lag expansion is a compile-time constant on that
+    calendar-sized table; one equi-join + one 15-group moment aggregate.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rev = (table(spark, sf_dir, "orders")
+           .groupBy(F.to_date("o_orderdate").alias("day"))
+           .agg(F.sum(cents).cast("long").alias("y")))
+    a = rev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(14))).alias("lag"),
+        F.col("day"), F.col("y").alias("x"))
+    b = rev.select(F.col("day").alias("bday"), "y")
+    j = a.join(b, F.date_add(F.col("day"), F.col("lag")) == F.col("bday"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = j.groupBy(F.col("lag").cast("long").alias("lag")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(dec("x") * F.col("y")).cast("string").cast("double")
+         .alias("sxy"),
+        F.sum(dec("x") * F.col("x")).cast("string").cast("double")
+         .alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("string").cast("double")
+         .alias("syy"))
+    nd = F.col("n_days").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = ((nd * F.col("sxy") - sxd * syd)
+         / F.sqrt((nd * F.col("sxx") - sxd * sxd)
+                  * (nd * F.col("syy") - syd * syd)))
+    return m.select("lag", "n_days", r.alias("r"))

@@ -123,6 +123,7 @@ QUERIES = [
     "pareto_frontier_parts",       # part: two-phase prefix-max skyline
     "rolling_7d_distinct_users",   # events: 7x user-day explode + Expand
     "quality_retention_curve",     # documents: 10x bounded doc expansion
+    "revenue_autocorrelation",     # orders: calendar-sized lag join
 ]
 
 

@@ -419,3 +419,31 @@ def test_gini_and_trend_match_numpy(spark):
         assert row.n_days == len(xs)
         assert abs(row.slope_dollars_per_day - want) < 1e-6 * max(
             1.0, abs(want))
+
+
+def test_autocorrelation_matches_numpy(spark):
+    """revenue_autocorrelation vs numpy corrcoef on the lag-paired daily
+    series, plus the lag-0 r == 1 identity."""
+    import numpy as np
+    from fts_errors_clustering_spark.operators.relational import (
+        revenue_autocorrelation)
+    from fts_errors_clustering_spark.sources.readers import table
+
+    daily: dict = {}
+    for r in (table(spark, SF_SMALL, "orders")
+              .select(F.to_date("o_orderdate").alias("day"), "o_totalprice")
+              .collect()):
+        daily[r.day] = daily.get(r.day, 0) + round(r.o_totalprice * 100)
+    got = {r.lag: (r.n_days, r.r)
+           for r in revenue_autocorrelation(spark, SF_SMALL).collect()}
+    assert abs(got[0][1] - 1.0) < 1e-12
+    for lag, (n, r) in got.items():
+        xs, ys = [], []
+        for d, v in daily.items():
+            d2 = d + __import__("datetime").timedelta(days=lag)
+            if d2 in daily:
+                xs.append(float(v))
+                ys.append(float(daily[d2]))
+        assert n == len(xs)
+        want = float(np.corrcoef(xs, ys)[0, 1])
+        assert abs(r - want) < 1e-9
