@@ -160,6 +160,7 @@ HEADLINE = [
     "rolling_7d_distinct_users",
     "quality_retention_curve",
     "revenue_autocorrelation",
+    "twa_value_per_user",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -1001,3 +1001,56 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("wday").alias("day"))
             .agg(F.countDistinct("user_id").cast("long")
                  .alias("n_users_7d")))
+
+
+@register(
+    "twa_value_per_user",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(27,6)) AS v,
+             epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER w AS t_next
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us,
+           CAST(CAST(SUM(v * (t_next - t)) AS VARCHAR) AS DOUBLE)
+             / CAST(MAX(t) - MIN(t) AS DOUBLE) AS twa_value
+    FROM seg GROUP BY user_id
+    HAVING MAX(t) > MIN(t)
+    """,
+    tags=("window", "temporal", "twa"),
+)
+def twa_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average of ``value`` per user — the irregular-series
+    integral (TWAP/gauge-metric semantics): each observation holds until
+    the user's next one (step interpolation), so the mean weights each
+    value by how long it was current, not by how often it was sampled —
+    the correction plain AVG gets wrong whenever sampling is bursty.
+    sum(v * dt) runs in DECIMAL (exact, order-independent); the final
+    division is one IEEE op on bit-identical inputs. Users with a single
+    observation have no duration and are excluded (HAVING span > 0);
+    the open-ended last segment contributes no weight by construction
+    (LEAD is null), mirrored exactly in the oracle.
+
+    Scale: the same one-shuffle plan class as scd2_user_intervals — one
+    hash exchange on user_id, one in-partition sort, one aggregate; no
+    self-join, no range explosion, segment arithmetic all JVM-side."""
+    ev = (table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("user_id", "event_id", "ts",
+                  F.col("value").cast("decimal(27,6)").alias("v"),
+                  F.unix_micros("ts").alias("t")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.withColumn("t_next", F.lead("t").over(w))
+    span = F.max("t") - F.min("t")
+    return (seg.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_obs"),
+                 span.cast("long").alias("span_us"),
+                 (F.sum(F.col("v") * (F.col("t_next") - F.col("t")))
+                  .cast("string").cast("double")
+                  / span.cast("double")).alias("twa_value"))
+            .where(F.col("span_us") > 0))

@@ -109,7 +109,7 @@ _HEAD = (
     "fd_violation_audit", "revenue_gini_by_nation",
     "nation_revenue_trend", "pareto_frontier_parts",
     "rolling_7d_distinct_users", "quality_retention_curve",
-    "revenue_autocorrelation",
+    "revenue_autocorrelation", "twa_value_per_user",
     # RE-CONFIRMATION FILLS: long-proven green names (r01-r03 rows) padding
     # the driver's ~50-row budget — oldest evidence first, so stale rows
     # get refreshed.
@@ -121,7 +121,6 @@ _HEAD = (
     "bm25_search", "hybrid_search_rrf", "incremental_dedup_counts",
     "canonical_by_quality",
     "dominant_part_suppliers", "sole_late_suppliers",
-    "forward_fill_values",
     "modal_bucket_by_type", "global_value_rank",
 )
 
@@ -131,7 +130,7 @@ _HEAD = (
 #: entries at sf0.001) remains their regression gate.
 _TAIL_AFTER_HEAD = (
     "winsorized_value_stats", "cube_priority_status_revenue",
-    "idle_rich_customers",
+    "idle_rich_customers", "forward_fill_values",
     "chi2_priority_status", "shipping_priority_topk",
     "nation_revenue_share", "small_quantity_revenue",
     "user_profile_similarity_topk",

@@ -124,6 +124,7 @@ QUERIES = [
     "rolling_7d_distinct_users",   # events: 7x user-day explode + Expand
     "quality_retention_curve",     # documents: 10x bounded doc expansion
     "revenue_autocorrelation",     # orders: calendar-sized lag join
+    "twa_value_per_user",          # events: one user shuffle + decimal dt
 ]
 
 
