@@ -161,6 +161,7 @@ HEADLINE = [
     "quality_retention_curve",
     "revenue_autocorrelation",
     "twa_value_per_user",
+    "token_weighted_quality_quantiles",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -910,3 +910,60 @@ def quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").cast("long").alias("n_tokens"),
                  (dec_sum("quality", 6) / F.count("quality"))
                  .alias("mean_quality")))
+
+
+from .scale import bucket_prefix_offsets, quantile_buckets  # noqa: E402
+
+#: weighted-quantile targets — literal doubles, identical in both engines
+_WQ_PS = (0.25, 0.5, 0.75)
+
+
+@register(
+    "token_weighted_quality_quantiles",
+    oracle=f"""
+    WITH q AS ({_REG['doc_quality_scores'].oracle}),
+    tot AS (SELECT SUM(n_tokens) AS w FROM q),
+    c AS (
+      SELECT quality, doc_id,
+             SUM(n_tokens) OVER (ORDER BY quality, doc_id) AS cw
+      FROM q
+    ),
+    ps AS (SELECT unnest([{', '.join(str(p) for p in _WQ_PS)}]) AS p)
+    SELECT ps.p, MIN(c.quality) AS weighted_quality
+    FROM ps JOIN c ON CAST(c.cw AS DOUBLE) >= ps.p * (SELECT w FROM tot)
+    GROUP BY ps.p
+    """,
+    tags=("textstats", "selection", "weighted-quantile"),
+)
+def token_weighted_quality_quantiles(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """TOKEN-weighted quality quantiles: the quality level below which
+    25/50/75% of the corpus's TOKENS (not documents) sit — the statistic
+    that matters when a filter budget is expressed in training tokens
+    (document-weighted medians overweight short docs). Exact, not
+    sketched: weighted quantile q_p = min quality whose cumulative token
+    weight crosses p x total.
+
+    Scale: the cumulative weight uses quantile_buckets +
+    bucket_prefix_offsets (the packed_sequences machinery) — per-bucket
+    running sums in parallel plus <=n_buckets driver-side offsets, never
+    a single-partition global sort; the oracle states the same semantics
+    with the plain (single-partition) window. The crossing-row selection
+    is a 3-row literal join + MIN, valid because cumulative weight is
+    monotone in the (quality, doc_id) order."""
+    q = (doc_quality_scores(spark, sf_dir)
+         .select("doc_id", "quality", "n_tokens"))
+    total = F.lit(float(q.agg(F.sum("n_tokens")).collect()[0][0] or 0))
+    bucketed = quantile_buckets(q, "quality")
+    off = bucket_prefix_offsets(bucketed, F.sum("n_tokens"))
+    wb = (Window.partitionBy("bucket").orderBy("quality", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = bucketed.withColumn(
+        "cw", (off + F.sum("n_tokens").over(wb)).cast("long"))
+    ps = None
+    for p in _WQ_PS:
+        one = (cum.where(F.col("cw").cast("double") >= F.lit(p) * total)
+               .agg(F.min("quality").alias("weighted_quality"))
+               .select(F.lit(p).alias("p"), "weighted_quality"))
+        ps = one if ps is None else ps.unionByName(one)
+    return ps

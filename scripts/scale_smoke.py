@@ -125,6 +125,7 @@ QUERIES = [
     "quality_retention_curve",     # documents: 10x bounded doc expansion
     "revenue_autocorrelation",     # orders: calendar-sized lag join
     "twa_value_per_user",          # events: one user shuffle + decimal dt
+    "token_weighted_quality_quantiles",  # documents: bucketed cum weights
 ]
 
 
