@@ -950,7 +950,14 @@ def token_weighted_quality_quantiles(spark: SparkSession,
     a single-partition global sort; the oracle states the same semantics
     with the plain (single-partition) window. The crossing-row selection
     is a 3-row literal join + MIN, valid because cumulative weight is
-    monotone in the (quality, doc_id) order."""
+    monotone in the (quality, doc_id) order.
+
+    Cost note: the scalar total, the bucket cuts, and the main plan each
+    re-derive doc_quality_scores, so the tokenize/score scan runs ~4x.
+    Registered queries keep no session caches (hygiene rule), so at
+    100 TB feed this op from a MATERIALIZED scores table instead — e.g.
+    publish doc_quality_scores through sinks.publish_versioned_parquet
+    and point the three consumers at the snapshot."""
     q = (doc_quality_scores(spark, sf_dir)
          .select("doc_id", "quality", "n_tokens"))
     total = F.lit(float(q.agg(F.sum("n_tokens")).collect()[0][0] or 0))

@@ -386,6 +386,11 @@ _EXCHANGE_BUDGET = {
     "revenue_gini_by_nation": 8,
     "nation_revenue_trend": 8,
     "pareto_frontier_parts": 6,
+    "rolling_7d_distinct_users": 10,
+    "twa_value_per_user": 2,
+    "quality_retention_curve": 6,
+    "token_weighted_quality_quantiles": 12,
+    "revenue_autocorrelation": 8,
 }
 
 
