@@ -447,3 +447,61 @@ def test_autocorrelation_matches_numpy(spark):
         assert n == len(xs)
         want = float(np.corrcoef(xs, ys)[0, 1])
         assert abs(r - want) < 1e-9
+
+
+def test_twa_matches_bruteforce_integration(spark):
+    """twa_value_per_user vs a direct python step-integration per user."""
+    from fts_errors_clustering_spark.operators.windows import (
+        twa_value_per_user)
+    from fts_errors_clustering_spark.sources.readers import table
+
+    rows = (table(spark, SF_SMALL, "events")
+            .where(F.col("value").isNotNull())
+            .select("user_id", "event_id", F.unix_micros("ts").alias("t"),
+                    "value").collect())
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.t, r.event_id, r.value))
+    got = {r.user_id: (r.n_obs, r.span_us, r.twa_value)
+           for r in twa_value_per_user(spark, SF_SMALL).collect()}
+    expect_users = {u for u, obs in by_user.items()
+                    if max(t for t, _, _ in obs) > min(t for t, _, _ in obs)}
+    assert set(got) == expect_users
+    for u in expect_users:
+        obs = sorted(by_user[u], key=lambda x: (x[0], x[1]))
+        num = sum(round(v * 10**6) * (obs[i + 1][0] - t)
+                  for i, (t, _, v) in enumerate(obs[:-1])) / 10**6
+        span = obs[-1][0] - obs[0][0]
+        n, s, twa = got[u]
+        assert n == len(obs) and s == span
+        assert abs(twa - num / span) < 1e-9 * max(1.0, abs(twa))
+
+
+def test_retention_curve_and_weighted_quantiles_invariants(spark):
+    """Monotonicity of the retention curve (raising the cut never keeps
+    more docs/tokens, never lowers the kept-set mean) and the
+    weighted-quantile crossing property checked against a direct
+    cumulative scan."""
+    from fts_errors_clustering_spark.operators.textstats import (
+        doc_quality_scores, quality_retention_curve,
+        token_weighted_quality_quantiles)
+
+    curve = sorted(quality_retention_curve(spark, SF_SMALL).collect(),
+                   key=lambda r: r.lvl)
+    assert curve[0].lvl == 0
+    for a, b in zip(curve, curve[1:]):
+        assert a.cut <= b.cut
+        assert a.n_docs >= b.n_docs and a.n_tokens >= b.n_tokens
+        assert a.mean_quality <= b.mean_quality + 1e-12
+
+    q = sorted(((r.quality, r.doc_id, r.n_tokens)
+                for r in doc_quality_scores(spark, SF_SMALL).collect()))
+    total = sum(w for _, _, w in q)
+    for row in token_weighted_quality_quantiles(spark, SF_SMALL).collect():
+        cum, want = 0, None
+        for qual, _, w in q:
+            cum += w
+            if cum >= row.p * total:
+                want = qual
+                break
+        assert row.weighted_quality == want
