@@ -162,6 +162,7 @@ HEADLINE = [
     "revenue_autocorrelation",
     "twa_value_per_user",
     "token_weighted_quality_quantiles",
+    "dow_seasonality_index",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -2667,3 +2667,53 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.sqrt((nd * F.col("sxx") - sxd * sxd)
                   * (nd * F.col("syy") - syd * syd)))
     return m.select("lag", "n_days", r.alias("r"))
+
+
+@register(
+    "dow_seasonality_index",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+             CAST(SUM({_CENTS}) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(y) AS BIGINT) AS s
+          FROM daily GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_days) AS BIGINT) AS nd,
+                   CAST(SUM(s) AS BIGINT) AS st FROM g)
+    SELECT g.dow, g.n_days,
+           (CAST(g.s AS DOUBLE) / CAST(g.n_days AS DOUBLE))
+             / (CAST(t.st AS DOUBLE) / CAST(t.nd AS DOUBLE))
+             AS seasonal_index
+    FROM g CROSS JOIN tot t
+    """,
+    tags=("relational", "trend", "seasonality"),
+)
+def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of daily revenue: mean revenue on ISO
+    weekday d divided by the overall daily mean (index 1.0 = flat; the
+    quantification companion to revenue_autocorrelation, which only
+    DETECTS the cycle). ISO day numbering is aligned explicitly —
+    Spark's weekday() is 0=Monday, DuckDB's isodow() is 1=Monday — and
+    all sums are exact int cents, so both ratios-of-means divide
+    bit-identical doubles.
+
+    Scale: two map-side-combinable aggregates (calendar-sized daily
+    table, then 7 groups) + a 1-row grand-total broadcast."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (table(spark, sf_dir, "orders")
+             .groupBy(F.to_date("o_orderdate").alias("day"),
+                      (F.weekday(F.to_date("o_orderdate")) + 1).cast("long")
+                      .alias("dow"))
+             .agg(F.sum(cents).cast("long").alias("y")))
+    g = daily.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("s"))
+    tot = g.agg(F.sum("n_days").cast("long").alias("nd"),
+                F.sum("s").cast("long").alias("st"))
+    idx = ((F.col("s").cast("double") / F.col("n_days").cast("double"))
+           / (F.col("st").cast("double") / F.col("nd").cast("double")))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("dow", "n_days", idx.alias("seasonal_index")))

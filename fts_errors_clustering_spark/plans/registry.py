@@ -110,7 +110,7 @@ _HEAD = (
     "nation_revenue_trend", "pareto_frontier_parts",
     "rolling_7d_distinct_users", "quality_retention_curve",
     "revenue_autocorrelation", "twa_value_per_user",
-    "token_weighted_quality_quantiles",
+    "token_weighted_quality_quantiles", "dow_seasonality_index",
     # RE-CONFIRMATION FILLS: long-proven green names (r01-r03 rows) padding
     # the driver's ~50-row budget — oldest evidence first, so stale rows
     # get refreshed.
@@ -121,7 +121,7 @@ _HEAD = (
     "contrastive_chunk_pairs", "sql_api_revenue_by_priority",
     "bm25_search", "hybrid_search_rrf", "incremental_dedup_counts",
     "canonical_by_quality",
-    "dominant_part_suppliers", "sole_late_suppliers",
+    "dominant_part_suppliers",
     "global_value_rank",
 )
 
@@ -132,6 +132,7 @@ _HEAD = (
 _TAIL_AFTER_HEAD = (
     "winsorized_value_stats", "cube_priority_status_revenue",
     "idle_rich_customers", "forward_fill_values", "modal_bucket_by_type",
+    "sole_late_suppliers",
     "chi2_priority_status", "shipping_priority_topk",
     "nation_revenue_share", "small_quantity_revenue",
     "user_profile_similarity_topk",

@@ -126,6 +126,7 @@ QUERIES = [
     "revenue_autocorrelation",     # orders: calendar-sized lag join
     "twa_value_per_user",          # events: one user shuffle + decimal dt
     "token_weighted_quality_quantiles",  # documents: bucketed cum weights
+    "dow_seasonality_index",       # orders: calendar-sized 7-group agg
 ]
 
 

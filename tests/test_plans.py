@@ -301,6 +301,7 @@ _BNLJ_OK: set[str] = {
     "value_decile_histogram",    # 1-row decile-cut array broadcast
     "stratified_hash_sample",    # 1-row minority-class target broadcast
     "quality_retention_curve",   # 10-row exploded decile-cut broadcast
+    "dow_seasonality_index",     # 1-row grand-total broadcast
 }
 
 #: CartesianProduct allowed only against a literal parameter table
