@@ -91,6 +91,10 @@ def test_document_and_event_queries_survive_nulls(spark, nulls_dir):
         "json_props_flatten", "json_sum_by_type", "null_scan_fill",
         "value_histogram", "describe_event_value", "salted_group_members",
         "latest_event_per_user", "event_type_counts",
+        # round-5 payload-facing additions
+        "twa_value_per_user", "value_mad_outliers",
+        "value_decile_histogram", "quality_retention_curve",
+        "token_weighted_quality_quantiles", "rolling_7d_distinct_users",
     ]
     qs = all_queries()
     failures = []
