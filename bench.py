@@ -348,6 +348,14 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        # measurement-contract version. contract 2 (round 5+): ML-fit
+        # queries are self-contained (session model cache CLEARED per
+        # trial, so every trial pays its own fit) and the NOISY set
+        # (ML fits + graph) is best-of-3; rounds 1-4 implicitly ran
+        # contract 1 (fits could amortize a prior query's cached model,
+        # best-of-2 everywhere). Cross-round ML/graph deltas are only
+        # comparable within the same contract — see BASELINE.md.
+        "contract": 2,
         "ml_fit_total": ml_total,
         # ambient-load telemetry: this container sees EXTERNAL load spikes
         # (load1 7-10 with zero user processes observed); identical runs
@@ -356,6 +364,11 @@ def main() -> None:
         "load1_end": load1,
         "sf": sf,
     }
+    if only:
+        # a SPARK_GRAFT_BENCH_ONLY run computes totals over the TRIMMED
+        # set — stamp it so a leaked env var can't masquerade as a
+        # comparable round artifact
+        common["filtered"] = sorted(set(only.split(",")))
     # durable full map: the ~100-query stdout line overflowed the driver's
     # tail capture in r02 AND r03 (BENCH_r0{2,3}.json parsed: null) — the
     # file carries every number; stdout gets a COMPACT line (headline total

@@ -566,10 +566,10 @@ def dbscan_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: table's self-join quadratic (543 s vs 21 s exact at 10x). Measured
 #: frontier at 10x/20k: 1.0/6t 543 s @ 1.0 -> 0.15/6t ~5 min @ 1.0 ->
 #: 0.05/6t 126 s @ 0.992(dense only) -> 0.01/6t 30 s @ 0.876. SCALE.md
-#: round-5 records the sweep and the regime analysis (chunked-GEMM exact
-#: wins while n^2 is feasible; this tier exists for the n where it isn't,
-#: where its cost is candidate-count-bound — i.e. output-bound on any
-#: corpus this dense).
+#: §"Round 6: LSH-DBSCAN crossover" records the full sweep table and the
+#: regime analysis (chunked-GEMM exact wins while n^2 is feasible; this
+#: tier exists for the n where it isn't, where its cost is
+#: candidate-count-bound — i.e. output-bound on any corpus this dense).
 LSH_BUCKET_LENGTH = 0.15
 LSH_N_TABLES = 6
 

@@ -195,7 +195,11 @@ def rest_tail_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     try:
-        q.awaitTermination(120)
+        # availableNow drains every page then terminates; a False return
+        # means the 120 s budget elapsed first — fail loudly rather than
+        # aggregate a partial memory sink into a plausible-but-wrong count.
+        if not q.awaitTermination(120):
+            raise RuntimeError("rest_pages tail did not drain in 120s")
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)

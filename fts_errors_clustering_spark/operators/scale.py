@@ -668,7 +668,10 @@ def bucket_prefix_running_max(bucketed: DataFrame, col: str) -> "F.Column":
     first bucket: element_at on a missing key). Together with a
     WITHIN-bucket running-max window this composes the exact global
     prefix max without a single-partition global sort — the same
-    two-phase trick as global_value_rank, for any associative prefix op."""
+    two-phase trick as global_value_rank, for any associative prefix op.
+    The returned expression is cast to ``col``'s own dataType (a
+    double-valued axis stays double — no silent long truncation)."""
+    dtype = bucketed.schema[col].dataType.simpleString()
     rows = bucketed.groupBy("bucket").agg(F.max(col).alias("v")).collect()
     maxima = {r["bucket"]: r["v"] for r in rows}
     offsets, acc = {}, None
@@ -677,10 +680,10 @@ def bucket_prefix_running_max(bucketed: DataFrame, col: str) -> "F.Column":
             offsets[b] = acc
         acc = maxima[b] if acc is None else max(acc, maxima[b])
     if not offsets:
-        return F.lit(None).cast("long")
+        return F.lit(None).cast(dtype)
     return F.element_at(
         F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("bucket")).cast("long")
+        F.col("bucket")).cast(dtype)
 
 
 @register(

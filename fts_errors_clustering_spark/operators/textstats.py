@@ -208,7 +208,10 @@ _HASH_M = 4_294_967_296
     sel AS (
       SELECT d.lang
       FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN t
-      WHERE CAST((d.doc_id * {_HASH_A}) % {_HASH_M} AS DOUBLE)
+      WHERE CAST((((((d.doc_id % {_HASH_M}) // 65536) * {_HASH_A}) % 65536)
+                  * 65536
+                  + ((d.doc_id % {_HASH_M}) % 65536) * {_HASH_A})
+                 % {_HASH_M} AS DOUBLE)
             / {_HASH_M} < LEAST(1.0, CAST(t.target AS DOUBLE) / c.n_total)
     )
     SELECT c.lang, c.n_total, t.target,
@@ -230,6 +233,14 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-materialization (a re-run must not re-roll the corpus). Exact
     value-hash oracle: the hash is integer arithmetic both engines share.
 
+    The multiply is overflow-safe: ``doc_id`` is first reduced mod 2^32,
+    then split into 16-bit halves so every intermediate product stays
+    below 2^48 — without the split, ``doc_id >= ~3.47e9`` would wrap
+    int64 negative in Spark (non-ANSI mode silently, making u < frac
+    spuriously true) while DuckDB raises an overflow error. The result
+    is bit-identical to ``(doc_id * A) mod 2^32`` for any non-negative
+    int64 ``doc_id`` (negative ids are out of domain).
+
     Scale: one |lang|-row count aggregate broadcast into a single
     filtering scan; no shuffle of the corpus, no RNG state."""
     docs = table(spark, sf_dir, "documents")
@@ -237,7 +248,10 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = counts.agg(F.min("n_total").alias("target"))
     frac = F.least(F.lit(1.0),
                    F.col("target").cast("double") / F.col("n_total"))
-    u = ((F.col("doc_id") * _HASH_A) % _HASH_M).cast("double") / F.lit(_HASH_M)
+    dm = F.col("doc_id") % _HASH_M
+    h = (((dm / 65536).cast("long") * _HASH_A) % 65536) * 65536 \
+        + (dm % 65536) * _HASH_A
+    u = (h % _HASH_M).cast("double") / F.lit(_HASH_M)
     sel = (docs.join(F.broadcast(counts), "lang")
            .crossJoin(F.broadcast(target))
            .where(u < frac)
@@ -973,4 +987,7 @@ def token_weighted_quality_quantiles(spark: SparkSession,
                .agg(F.min("quality").alias("weighted_quality"))
                .select(F.lit(p).alias("p"), "weighted_quality"))
         ps = one if ps is None else ps.unionByName(one)
-    return ps
+    # Degenerate-input parity: on an empty/all-filtered corpus the oracle's
+    # join yields 0 rows, but agg(min) over an empty frame yields one NULL
+    # row per p — drop those so both engines emit 0 rows.
+    return ps.where(F.col("weighted_quality").isNotNull())
