@@ -163,6 +163,8 @@ HEADLINE = [
     "twa_value_per_user",
     "token_weighted_quality_quantiles",
     "dow_seasonality_index",
+    # round 6
+    "supplier_revenue_pareto",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and
@@ -184,6 +186,7 @@ ML_FIT = [
     "word2vec_doc_vectors",
     "pipeline_tfidf_kmeans",
     "pipeline_word2vec_dbscan",
+    "lsa_features_rsvd",
 ]
 
 #: queries measured best-of-3 unconditionally: the ML fits above plus the

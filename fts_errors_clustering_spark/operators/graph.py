@@ -227,7 +227,13 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle check is exact. The oracle replays the identical
     orientation in SQL.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # dedupe (order, part) BEFORE the self-join: an order can hold the same
+    # part on several lines (different suppliers), and every duplicate
+    # multiplies the join output that the post-join distinct then has to
+    # collapse — the pre-aggregate is map-side combinable and strictly
+    # shrinks both join inputs
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
     l2 = li.select(F.col("l_orderkey").alias("o2"),
                    F.col("l_partkey").alias("b"))
     und = (li.join(l2, (li.l_orderkey == l2.o2) &
@@ -350,7 +356,10 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     default-1g-driver session at task-serialization time. k is a 1-row
     driver materialization (the ``knee_epsilon_value`` discipline), so no
     per-round scalar subplan either."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # pre-distinct (order, part) as the oracle does: shrinks both self-join
+    # inputs and the quadratic fanout the post-join distinct collapses
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
     l2 = li.select(F.col("l_orderkey").alias("o2"),
                    F.col("l_partkey").alias("b"))
     # cache: the distinct-ed self-join is the expensive input (per-order

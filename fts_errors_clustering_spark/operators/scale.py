@@ -69,16 +69,30 @@ def salted_group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort rows with pandas (unhashable list), and a scalar digest/string is
     what a 100 TB consumer wants in a verification row anyway."""
     ev = table(spark, sf_dir, "events")
-    lane = (ev.groupBy("event_type",
-                       F.pmod(F.col("user_id"), F.lit(N_SALT)).alias("salt"))
-            .agg(F.collect_set("user_id").alias("lane_users")))
-    return (lane.groupBy("event_type")
-            .agg(F.array_sort(F.flatten(F.collect_list("lane_users")))
+    out = salted_members(ev, "event_type", "user_id")
+    return out.select(F.col("event_type"),
+                      F.col("n_members").alias("n_users"),
+                      F.col("members").alias("users"))
+
+
+def salted_members(df: DataFrame, key: str, val: str,
+                   n_salt: int = N_SALT) -> DataFrame:
+    """The reusable two-level salted distinct-members aggregation:
+    ``(key, n_members, members)`` with the exact global distinct set of
+    ``val`` per ``key``, hot keys split into ``n_salt`` disjoint value
+    lanes (``val % n_salt``) so no reducer task holds more than one lane
+    of one key. Used by ``salted_group_members`` (events x event_type)
+    and by the documents-side skew chaos row in scripts/scale_smoke.py
+    (a planted 95%-hot lang key at 10x)."""
+    lane = (df.groupBy(key, F.pmod(F.col(val), F.lit(n_salt)).alias("salt"))
+            .agg(F.collect_set(val).alias("lane_vals")))
+    return (lane.groupBy(key)
+            .agg(F.array_sort(F.flatten(F.collect_list("lane_vals")))
                  .alias("arr"))
-            .select("event_type",
-                    F.size("arr").cast("long").alias("n_users"),
+            .select(key,
+                    F.size("arr").cast("long").alias("n_members"),
                     F.array_join(F.col("arr").cast("array<string>"), ",")
-                     .alias("users")))
+                     .alias("members")))
 
 
 @register(
@@ -519,13 +533,15 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: THREE exact global ranks, each via the two-phase bucket
     composition (:func:`global_rank_column`) — never a SinglePartition
     window over the customer table; the n scalar is a 1-row broadcast.
-    The oracle spells the same ranks as plain ROW_NUMBERs."""
+    The oracle spells the same ranks as plain ROW_NUMBERs. The customer
+    aggregate cache is scoped to this call (materialize_release on the
+    bounded <=4^3-cell result) — no session-lifetime pin."""
+    from .graph import materialize_release
     o = table(spark, sf_dir, "orders")
     # cache the customer aggregate BEFORE the rank passes: each
     # global_rank_column runs two actions (quantile split points + bucket
     # offsets), so an uncached `per` re-runs the orders scan+groupBy six
     # times across the three ranks — measured 4.6 -> 3.2 s warm at sf0.1
-    # (the plan-equivalent cache entry is shared across repeat calls)
     per = (o.groupBy("o_custkey")
            .agg(F.datediff(F.max("o_orderdate"),
                            F.lit(_RFM_EPOCH).cast("date")).alias("r_days"),
@@ -540,12 +556,13 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncating cast of 0.9999999 vs 1.0 is exactly the cross-engine
     # boundary bug the integer form rules out
     q = lambda rk: F.expr(f"(4 * ({rk} - 1)) div n").cast("long")
-    return (ranked.crossJoin(F.broadcast(n))
-            .groupBy(q("r_rk").alias("recency_q"),
-                     q("f_rk").alias("frequency_q"),
-                     q("m_rk").alias("monetary_q"))
-            .agg(F.count("*").cast("long").alias("n_customers"),
-                 dec_sum("spend", 2).alias("segment_spend")))
+    out = (ranked.crossJoin(F.broadcast(n))
+           .groupBy(q("r_rk").alias("recency_q"),
+                    q("f_rk").alias("frequency_q"),
+                    q("m_rk").alias("monetary_q"))
+           .agg(F.count("*").cast("long").alias("n_customers"),
+                dec_sum("spend", 2).alias("segment_spend")))
+    return materialize_release(out, [per])
 
 
 # --- round 4: training-shard balance audit -----------------------------------
@@ -732,3 +749,89 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      | (F.col("p_size") > F.col("below"))))
            .select("p_partkey", "p_retailprice", "p_size"))
     return sky
+
+
+# --- round 6: Pareto 80/20 revenue concentration ------------------------------
+
+@register(
+    "supplier_revenue_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                  AS DECIMAL(27,0)) AS rev_e4
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(rev_e4) AS DECIMAL(27,0)) AS t,
+                   COUNT(*) AS n FROM rev),
+    ranked AS (
+      SELECT rev_e4,
+             CAST(SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_suppkey)
+                  AS DECIMAL(27,0)) AS cum
+      FROM rev
+    ),
+    sel AS (
+      SELECT rev_e4 FROM ranked CROSS JOIN tot
+      WHERE 5 * (cum - rev_e4) < 4 * t
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_top,
+           ROUND(CAST(CAST(SUM(rev_e4) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST((SELECT t FROM tot) AS VARCHAR) AS DOUBLE),
+                 6) AS top_share
+    FROM sel
+    """,
+    tags=("scale", "concentration", "rank"),
+)
+def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 concentration: the smallest set of suppliers whose
+    discounted lineitem revenue covers >=80% of the total, plus the share
+    that set actually holds — the head-count complement of the Gini
+    coefficient (``revenue_gini_by_nation`` answers "how concentrated";
+    this answers "how many whales do I depend on", the
+    supplier-consolidation / vendor-risk question).
+
+    Exactness: revenue is summed in integer 1e-4-dollar units
+    (cents(price) x basis-points(1 - discount), both factors exact by
+    construction of the 2-decimal columns), so ranks, cumulative sums,
+    and the 80% crossing (stated as the integer comparison
+    ``5*(cum - rev) < 4*total``, never a float threshold) are
+    deterministic in both engines; only the final share divides, and it
+    divides two string-cast decimal sums — bit-identical doubles.
+
+    Scale: per-supplier aggregate is map-side combinable; the DESC rank
+    and the cumulative revenue each use the two-phase bucket composition
+    (``quantile_buckets`` + ``bucket_prefix_offsets``) — no
+    SinglePartition window anywhere; the crossing test joins a 1-row
+    broadcast total. Everything after the first aggregate is
+    supplier-cardinality, ~1e-4 of lineitem."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    bp = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum((cents * bp).cast("decimal(27,0)"))
+                .cast("long").alias("rev_e4")))
+    # DESC order as an ASC rank on the negated value (two-phase, exact)
+    ranked = global_rank_column(rev.withColumn("neg", -F.col("rev_e4")),
+                                "neg", "l_suppkey", "rk").drop("neg")
+    # cumulative revenue in rank order, again two-phase over rk
+    b = quantile_buckets(ranked, "rk")
+    off = bucket_prefix_offsets(b, F.sum("rev_e4"))
+    wb = (Window.partitionBy("bucket").orderBy("rk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = b.withColumn(
+        "cum", (off + F.sum("rev_e4").over(wb)).cast("decimal(27,0)"))
+    tot = rev.agg(F.sum(F.col("rev_e4").cast("decimal(27,0)")).alias("t"),
+                  F.count("*").alias("n"))
+    sel = (cum.crossJoin(F.broadcast(tot))
+           .where(5 * (F.col("cum") - F.col("rev_e4")) < 4 * F.col("t")))
+    share = (F.sum(F.col("rev_e4").cast("decimal(27,0)"))
+             .cast("string").cast("double")
+             / F.first(F.col("t").cast("string").cast("double")))
+    # coalesce(first(n), 0): on an EMPTY lineitem the oracle's scalar
+    # subquery yields COUNT(*)=0 while first() over zero rows yields NULL
+    return (sel.agg(F.coalesce(F.first("n"), F.lit(0)).cast("long")
+                    .alias("n_suppliers"),
+                    F.count("*").cast("long").alias("n_top"),
+                    F.round(share, 6).alias("top_share")))

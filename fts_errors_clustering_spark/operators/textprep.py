@@ -246,17 +246,37 @@ def cluster_stats_by_source(spark: SparkSession, sf_dir: str,
 
 
 @register("cluster_stats_by_source_exact", oracle=None,
-          tags=("text", "window", "udf"))
+          tags=("text", "window", "udf"),
+          local_oracle=f"""
+    WITH firsted AS (
+      SELECT source, doc_id, text,
+             first_value(text) OVER (PARTITION BY source ORDER BY doc_id) AS first_text
+      FROM documents
+    ), sims AS (
+      SELECT source, first_text,
+             CAST(seqratio(text, first_text) AS DOUBLE) AS sim
+      FROM firsted
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           MIN(first_text) AS first_text,
+           {_sql_dec_avg_d('sim')} AS mean_similarity,
+           {_sql_dec_std_d('sim')} AS std_similarity
+    FROM sims GROUP BY source
+    """)
 def cluster_stats_by_source_exact(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """``cluster_stats_by_source`` with the bit-exact fuzzywuzzy-0.17
     ``fuzz.ratio`` scorer (SequenceMatcher pandas UDF,
     ``functions.text.fuzz_ratio_exact``) — the reference-parity slow path
     registered as its own plan so SequenceMatcher parity is exercised in a
-    REGISTERED query, not only in tests/test_text.py. Rows-only driver
-    check (difflib's junk heuristics are not SQL-expressible); invariants:
-    same group sizes/first_text as the oracle-checked default, scores in
-    [0, 100] (tests/test_text.py)."""
+    REGISTERED query, not only in tests/test_text.py. Rows-only in the
+    DRIVER (its oracle harness runs plain SQL strings), but fully
+    oracle-checked in the LOCAL parity sweep: conftest registers the SAME
+    stdlib ``difflib.SequenceMatcher`` ratio as the DuckDB Python UDF
+    ``seqratio`` and this query carries a ``local_oracle`` stated against
+    it — both engines then run the identical algorithm on identical
+    pairs, so the value-hash comparison is exact, junk heuristics and
+    all."""
     return cluster_stats_by_source(spark, sf_dir, exact_ratio=True)
 
 

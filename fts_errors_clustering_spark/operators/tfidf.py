@@ -190,7 +190,16 @@ def fit_tfidf(docs: DataFrame, cache_key=None, **kw):
     frame collapses those to one tokenization pass — at 100 TB this cache is
     a ``persist(DISK_ONLY)`` over the (doc_id, tokens) projection, still far
     cheaper than re-tokenizing the corpus per stage. The returned
-    PipelineModel is identical to what Pipeline.fit would produce."""
+    PipelineModel is identical to what Pipeline.fit would produce.
+
+    Cache hygiene: BOTH scratch caches (``kept`` and ``tf``) are released
+    before returning — they exist for the eager cv/idf FITS only. The
+    returned ``feats`` recomputes its one-pass lineage when the caller
+    materializes; iterative consumers (MLlib KMeans/Word2Vec) persist
+    their own training input internally (handlePersistence), so retaining
+    ``tf`` here would only accumulate corpus-sized blocks per fit in a
+    long-lived session (the registry-wide persistent-RDD gate in
+    tests/test_oracle_parity.py enforces this)."""
     from pyspark.ml import PipelineModel
 
     from .model_cache import memo
@@ -204,7 +213,8 @@ def fit_tfidf(docs: DataFrame, cache_key=None, **kw):
         idfm = idf.fit(tf)
         model = PipelineModel(stages=[tok, stop, cvm, idfm, l2])
         feats = l2.transform(idfm.transform(tf))
-        kept.unpersist()  # tf (the smaller, vectorized frame) carries on
+        kept.unpersist()
+        tf.unpersist()
         return model, feats
 
     key = None if cache_key is None else (
@@ -386,5 +396,148 @@ def lsa_svd_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.sqrt(F.aggregate("lsa_svd", F.lit(0.0), lambda a, x: a + x * x))
     return reduced.select(
         "doc_id", F.size("lsa_svd").cast("long").alias("dim"),
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.lit(explained), 6).alias("explained_variance"))
+
+
+# --- M11 web-scale tier: randomized truncated SVD -----------------------------
+
+#: oversampling for the randomized range finder (Halko/Martinsson/Tropp
+#: "Finding structure with randomness", SIAM Rev. 2011: p in [5, 10] gives
+#: subspace capture within O(1/sqrt(p)) of optimal for decaying spectra).
+RSVD_OVERSAMPLE = 8
+RSVD_SEED = 42
+#: subspace-iteration steps (q): 0 suffices for fast-decaying spectra; 1
+#: recovers flat topic blocks (see fit_lsa_rsvd docstring). Each step is
+#: one extra fused pass over X.
+RSVD_POWER_ITERS = 1
+
+
+def fit_lsa_rsvd(features_df: DataFrame, k: int, id_col: str = "doc_id",
+                 input_col: str = "features", seed: int = RSVD_SEED):
+    """M11's beyond-gram tier: RANDOMIZED truncated SVD (the successor
+    SCALE.md's M11 section names for web-scale vocabularies, where the
+    gram tier's d x d partials blow the executor budget past
+    GRAM_SVD_MAX_DIM).
+
+    Each fused pass over X accumulates, per partition, for a projection
+    block Omega (d x l; the first pass draws it as seeded Gaussian,
+    l = k + oversample), with Y = X @ Omega:
+      - G_Y = Y^T Y           (l x l)   range-finder gram
+      - T   = X^T Y = X^T X Omega (d x l)  projected covariance
+      - ||X||_F^2             (scalar)  for the energy ratio
+    POWER ITERATION comes free in this formulation: T = G Omega is
+    already (X^T X) applied to the block, so feeding T back in as the
+    next pass's Omega is one subspace-iteration step — RSVD_POWER_ITERS=1
+    sharpens flat spectra (equal-strength topic blocks) where the plain
+    q=0 range finder leaks noise energy (measured on the planted fixture:
+    0.74 captured at q=0 vs 0.87 exact; q=1 closes it, see
+    tests/test_tfidf.py). Columns are re-orthonormalized between passes
+    (QR on the d x l block, driver-side) so repeated G applications don't
+    collapse onto the dominant direction.
+
+    Driver-side linear algebra is l- and (d x l)-sized only: symmetric
+    orthogonalization W = G_Y^(-1/2) (eigh — no Cholesky failure on a
+    rank-deficient draw), the small eigenproblem W T^T T W =
+    U_b S^2 U_b^T, and V_k = T W U_b[:, :k] / s_k. A final distributed
+    pass projects X @ V_k (broadcast d x k, Arrow batches).
+
+    Memory: executors and driver hold O(d*l) (vs the gram tier's O(d^2))
+    — at vocab 1M, k=25, that is ~260 MB vs 8 TB; beyond ~10M vocab the
+    treeReduce of T should become a term-keyed DataFrame aggregate, the
+    only remaining driver-bound piece. Cost: (2 + power_iters) passes
+    over X. tests/test_tfidf.py pins the captured energy against the
+    exact tier and determinism under the fixed seed.
+
+    Returns (reduced_df(id_col, lsa_rsvd array<double>), explained)."""
+    import numpy as np
+    import pandas as pd
+
+    sc = features_df.sparkSession.sparkContext
+    d = features_df.select(input_col).first()[0].size
+    l = min(k + RSVD_OVERSAMPLE, d)
+    rows = features_df.select(id_col, input_col).rdd
+
+    def one_pass(bOm):
+        """Accumulate (G_Y, T, ||X||_F^2) for Omega = bOm.value."""
+        def part_stats(it):
+            Om = bOm.value
+            GY = np.zeros((l, l))
+            T = np.zeros((d, l))
+            frob2 = 0.0
+            batch: list = []
+
+            def flush(batch, GY, T, frob2):
+                X = np.asarray(batch)
+                Y = X @ Om
+                GY += Y.T @ Y
+                T += X.T @ Y
+                return GY, T, frob2 + float((X * X).sum())
+
+            for r in it:
+                batch.append(r[1].toArray())
+                if len(batch) == 1024:
+                    GY, T, frob2 = flush(batch, GY, T, frob2)
+                    batch = []
+            if batch:
+                GY, T, frob2 = flush(batch, GY, T, frob2)
+            yield GY, T, frob2
+
+        return rows.mapPartitions(part_stats).treeReduce(
+            lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]))
+
+    Om = np.random.default_rng(seed).standard_normal((d, l))
+    for _ in range(RSVD_POWER_ITERS + 1):
+        bOm = sc.broadcast(np.ascontiguousarray(Om))
+        GY, T, frob2 = one_pass(bOm)
+        bOm.destroy()
+        # next block = orthonormalized G @ Om (no-op after the last pass;
+        # the small SVD below consumes GY/T of the FINAL block)
+        Om, _ = np.linalg.qr(T)
+
+    # W = G_Y^(-1/2) via eigh, clipping the null directions of a
+    # rank-deficient random draw instead of failing a Cholesky
+    ew, EV = np.linalg.eigh(GY)
+    keep = ew > max(ew.max(), 0.0) * 1e-12
+    W = EV[:, keep] @ np.diag(ew[keep] ** -0.5) @ EV[:, keep].T
+    M = W @ (T.T @ T) @ W
+    mw, U_b = np.linalg.eigh(M)
+    order = np.argsort(mw)[::-1][:k]
+    s2 = np.clip(mw[order], 0.0, None)         # singular values^2 of X|range
+    s = np.sqrt(np.clip(s2, 1e-300, None))
+    V = T @ W @ U_b[:, order] / s              # d x k, right singular vecs
+    explained = float(s2.sum()) / max(float(frob2), 1e-300)
+
+    bV = sc.broadcast(np.ascontiguousarray(V))
+    from pyspark.ml.functions import vector_to_array
+    arr_df = features_df.select(id_col, vector_to_array(input_col).alias("x"))
+
+    def project(batches):
+        Vk = bV.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["x"].to_list())
+            P = X @ Vk
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "lsa_rsvd": [r.tolist() for r in P]})
+
+    reduced = arr_df.mapInPandas(project,
+                                 f"{id_col} long, lsa_rsvd array<double>")
+    return reduced, explained
+
+
+@register("lsa_features_rsvd", oracle=None, tags=("text", "tfidf", "ml"))
+def lsa_features_rsvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 randomized-SVD surface (rows-only): per doc the k-dim projection
+    dim + L2 norm, plus the captured-energy ratio as a constant column —
+    same shape as ``lsa_svd_features`` so the two tiers are directly
+    comparable row-for-row."""
+    docs = table(spark, sf_dir, "documents")
+    _, feats = fit_tfidf(docs, cache_key=sf_dir)
+    reduced, explained = fit_lsa_rsvd(feats, k=10)
+    norm = F.sqrt(F.aggregate("lsa_rsvd", F.lit(0.0), lambda a, x: a + x * x))
+    return reduced.select(
+        "doc_id", F.size("lsa_rsvd").cast("long").alias("dim"),
         F.round(norm, 6).alias("l2_norm"),
         F.round(F.lit(explained), 6).alias("explained_variance"))

@@ -76,6 +76,14 @@ def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.unix_micros("ts") -
                        F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"))
             .where(F.col("gap_us").isNotNull()))
+    return interarrival_stats(gaps)
+
+
+def interarrival_stats(gaps: DataFrame) -> DataFrame:
+    """Aggregate a ``(event_type, gap_us)`` gap table to the per-type
+    cadence profile — shared tail of the batch operator above and its
+    streaming twin (``streaming_interarrival_tail``), so the equality gate
+    compares the stateful gap EXTRACTION, not two copies of the rollup."""
     return (gaps.groupBy("event_type")
             .agg(F.count("gap_us").cast("long").alias("n_gaps"),
                  F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6)
@@ -132,6 +140,17 @@ def hourly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (ev.groupBy("event_type",
                          F.date_trunc("hour", "ts").alias("h"))
               .agg(F.count("*").cast("long").alias("n")))
+    return cusum_tail(hourly)
+
+
+def cusum_tail(hourly: DataFrame) -> DataFrame:
+    """The CUSUM walk + peak pick over an ``(event_type, h, n)`` hourly
+    aggregate — shared tail of the batch operator above and its streaming
+    twin (``streaming_cusum_tail``), which maintains the hourly aggregate
+    with a watermarked streaming window and hands the MATERIALIZED
+    aggregate here (chained stateful aggregation is the part Structured
+    Streaming restricts; running the changepoint scan batch-side over the
+    stream-maintained aggregate is the production deployment shape)."""
     mu = (hourly.groupBy("event_type")
           .agg(F.avg("n").alias("mu"), F.count("*").alias("n_hours")))
     w = (Window.partitionBy("event_type").orderBy("h")
@@ -252,6 +271,31 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is asserted in tests/test_streaming.py."""
     from ..streaming.jobs import run_tumbling_stream
     return run_tumbling_stream(spark, sf_dir)
+
+
+@register("streaming_interarrival_tail", oracle=None,
+          tags=("windows", "streaming", "stateful", "stats"))
+def streaming_interarrival_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``user_interarrival_stats``' streaming twin: per-user gap extraction
+    as a custom stateful operator (``applyInPandasWithState``, key =
+    user_id, state = last timestamp) over the month replayed as ordered
+    daily micro-batches; the rollup is the shared ``interarrival_stats``
+    tail. Rows-only in the driver; batch/stream EQUALITY asserted in
+    tests/test_streaming.py."""
+    from ..streaming.jobs import run_interarrival_stream
+    return run_interarrival_stream(spark, sf_dir)
+
+
+@register("streaming_cusum_tail", oracle=None,
+          tags=("windows", "streaming", "stats", "anomaly"))
+def streaming_cusum_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hourly_cusum_changepoint``'s streaming twin: the hourly aggregate
+    maintained by a watermarked streaming window over ordered daily
+    micro-batches, the CUSUM walk + peak pick run batch-side on the
+    stream-maintained aggregate (see ``cusum_tail``). Rows-only in the
+    driver; batch/stream EQUALITY asserted in tests/test_streaming.py."""
+    from ..streaming.jobs import run_hourly_cusum_stream
+    return run_hourly_cusum_stream(spark, sf_dir)
 
 
 @register("streaming_stateful_dedup", oracle=None,

@@ -32,6 +32,11 @@ class QueryDef:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None -> driver does rows-only check
     tags: tuple[str, ...]
+    #: DuckDB SQL usable only by the LOCAL parity harness (it may reference
+    #: Python UDFs the harness registers on its connection, e.g. seqratio).
+    #: NOT exported through oracle_sql() — the external driver runs plain
+    #: SQL strings and records such queries rows-only.
+    local_oracle: str | None = None
 
 
 _REGISTRY: dict[str, QueryDef] = {}
@@ -70,12 +75,14 @@ _MODULES = (
 )
 
 
-def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
-    """Decorator: register a query under ``name`` with an optional oracle."""
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
+             local_oracle: str | None = None):
+    """Decorator: register a query under ``name`` with an optional oracle
+    (and optionally a harness-local oracle needing registered UDFs)."""
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QueryDef(name, fn, oracle, tuple(tags))
+        _REGISTRY[name] = QueryDef(name, fn, oracle, tuple(tags), local_oracle)
         return fn
     return deco
 
@@ -87,42 +94,39 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: follows in registration order. tests/test_oracle_parity.py asserts every
 #: head name exists and sits inside the budget window.
 _HEAD = (
-    # ROUND-5 ROTATION: the 14 round-4 additions whose only missing
-    # evidence is a driver CORRECTNESS row (all local-parity green at
-    # sf0.001; 12 oracle-backed + 2 rows-only). Verifying these closes the
-    # ledger: every registered query then has a driver row.
-    "split_neardup_leakage", "neardup_threshold_sweep",
-    "pii_audit_counts", "tokenizer_fertility_by_lang",
-    "shard_balance_audit", "source_overlap_matrix", "embedding_norm_stats",
-    "events_column_profile", "scd2_user_intervals",
-    "split_stratification_chi2", "open_orders_backlog",
-    "part_affinity_lift",
-    "cluster_stats_by_source_exact",  # rows-only (SequenceMatcher UDF)
-    "ann_recall_audit",  # rows-only (KMeans/codebook-backed)
-    # ROUND-5 ADDITIONS: new queries registered this round go here, ahead
-    # of the re-confirmation fills, so they get first-class driver rows.
-    "snapshot_publish_roundtrip", "rest_tail_category_counts",
-    "part_entity_matches", "value_mad_outliers",
-    "stratified_hash_sample", "user_interarrival_stats",
-    "hourly_cusum_changepoint", "incremental_agg_maintenance",
-    "value_decile_histogram",
-    "fd_violation_audit", "revenue_gini_by_nation",
-    "nation_revenue_trend", "pareto_frontier_parts",
-    "rolling_7d_distinct_users", "quality_retention_curve",
-    "revenue_autocorrelation", "twa_value_per_user",
-    "token_weighted_quality_quantiles", "dow_seasonality_index",
-    # RE-CONFIRMATION FILLS: long-proven green names (r01-r03 rows) padding
-    # the driver's ~50-row budget — oldest evidence first, so stale rows
-    # get refreshed.
-    "flagship_top_error_users",
-    "salted_group_members", "packed_sequences",
-    "bpe_merge_table", "bpe_vocab_tokens", "bpe_tokens_per_lang",
-    "heavy_hitter_tokens", "part_copurchase_pagerank", "dataset_fingerprint",
-    "contrastive_chunk_pairs", "sql_api_revenue_by_priority",
-    "bm25_search", "hybrid_search_rrf", "incremental_dedup_counts",
-    "canonical_by_quality",
-    "dominant_part_suppliers",
-    "global_value_rank",
+    # ROUND-6 ROTATION. First: the two perennial rows-only heads, back in
+    # the window with their strengthened local checks (SequenceMatcher
+    # ratio as a DuckDB Python-UDF oracle in the parity harness; recall
+    # floor pinned as a hash-stable column).
+    "cluster_stats_by_source_exact",  # rows-only in driver (Python UDF)
+    "ann_recall_audit",
+    # ROUND-6 ADDITIONS: new queries registered this round, first-class
+    # driver rows on first exposure.
+    "lsa_features_rsvd",
+    "streaming_cusum_tail", "streaming_interarrival_tail",
+    "supplier_revenue_pareto",
+    # REFRESH BATCH: the r01-only driver rows (latest evidence 5 rounds
+    # old) whose implementing files moved most since — relational/
+    # textprep/tfidf/clustering families. Local sf0.001 parity stays their
+    # per-commit gate; this refreshes the DRIVER evidence.
+    "pricing_summary", "describe_event_value", "describe_event_type",
+    "summary_all_numeric", "value_percentiles_by_type",
+    "value_decile_summary", "crosstab_priority_status",
+    "rollup_event_counts", "event_type_counts", "user_type_group_size",
+    "cast_label_counts", "null_scan_fill", "json_props_flatten",
+    "topn_semijoin_events", "top_events_by_value", "count_filtered_events",
+    "approx_distinct_and_quantiles", "distinct_documents",
+    "top_customers_per_region", "revenue_by_region",
+    "brand_revenue_by_nation", "late_shipment_orders",
+    "customers_without_orders", "events_asof_latest_order",
+    "interval_join_prior_events", "user_event_gaps",
+    "mask_documents", "document_tokens", "doc_token_stats",
+    "length_stats_by_source", "group_members_by_lang",
+    "cluster_stats_by_source", "vocabulary_size", "vocabulary_set_ops",
+    "term_frequency", "term_idf", "tfidf_top_terms",
+    "tfidf_pipeline_features", "lsa_features", "kmeans_cluster_sizes",
+    "kmeans_quality", "word2vec_doc_vectors",
+    "knn_mean_distance", "knn_knee_epsilon",
 )
 
 #: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
@@ -149,7 +153,32 @@ _TAIL_AFTER_HEAD = (
     "hourly_session_concurrency", "weekly_growth_by_type",
     "activity_heatmap", "benford_deviation",
     "minhash_signatures", "simhash_signatures",
-    "knn_mean_distance", "knn_knee_epsilon",
+    # round-5 head (all green in CORRECTNESS_r05.json)
+    "split_neardup_leakage", "neardup_threshold_sweep",
+    "pii_audit_counts", "tokenizer_fertility_by_lang",
+    "shard_balance_audit", "source_overlap_matrix", "embedding_norm_stats",
+    "events_column_profile", "scd2_user_intervals",
+    "split_stratification_chi2", "open_orders_backlog",
+    "part_affinity_lift",
+    "snapshot_publish_roundtrip", "rest_tail_category_counts",
+    "part_entity_matches", "value_mad_outliers",
+    "stratified_hash_sample", "user_interarrival_stats",
+    "hourly_cusum_changepoint", "incremental_agg_maintenance",
+    "value_decile_histogram",
+    "fd_violation_audit", "revenue_gini_by_nation",
+    "nation_revenue_trend", "pareto_frontier_parts",
+    "rolling_7d_distinct_users", "quality_retention_curve",
+    "revenue_autocorrelation", "twa_value_per_user",
+    "token_weighted_quality_quantiles", "dow_seasonality_index",
+    "flagship_top_error_users",
+    "salted_group_members", "packed_sequences",
+    "bpe_merge_table", "bpe_vocab_tokens", "bpe_tokens_per_lang",
+    "heavy_hitter_tokens", "part_copurchase_pagerank", "dataset_fingerprint",
+    "contrastive_chunk_pairs", "sql_api_revenue_by_priority",
+    "bm25_search", "hybrid_search_rrf", "incremental_dedup_counts",
+    "canonical_by_quality",
+    "dominant_part_suppliers",
+    "global_value_rank",
     # round-4 head (all green in CORRECTNESS_r04.json)
     "split_leakage_counts", "leakage_safe_splits",
     "incremental_neardup_counts",

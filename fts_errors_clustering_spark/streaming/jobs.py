@@ -512,3 +512,122 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(state_dir, ignore_errors=True)
     shutil.rmtree(state_dir + "_ckpt", ignore_errors=True)
     return out
+
+
+# --- round 6: temporal-op twins (CUSUM + inter-arrival) ----------------------
+
+def _stage_events_daily(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as SIX chronologically ordered parquet slices (5-6
+    calendar days each, strictly increasing mtimes) so maxFilesPerTrigger=1
+    replays the month as ordered micro-batches — an append-only event-log
+    tail. Chronological slicing is what makes per-user gap state exact:
+    a user's next event is never in an EARLIER batch, and same-ts ties
+    (same day by definition) always land in the same slice."""
+    tag = "events_daily_" + sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(_STAGE_ROOT, tag)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        ev = table(spark, sf_dir, "events")
+        seen: set[str] = set()
+        base = 1_600_000_000
+        for i in range(6):
+            sl = ev.where(F.floor((F.dayofmonth("ts") - 1) / 6) == i)
+            sl.coalesce(1).write.mode("append").parquet(out)
+            for f in sorted(os.listdir(out)):
+                if f.endswith(".parquet") and f not in seen:
+                    seen.add(f)
+                    os.utime(os.path.join(out, f), (base + i, base + i))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return out
+
+
+GAP_OUT_SCHEMA = "event_type string, gap_us long"
+GAP_STATE_SCHEMA = "last_us long"
+
+
+def _gap_walk(key, pdfs, state):
+    """applyInPandasWithState hook for one user: emit (event_type, gap_us)
+    for every consecutive-event gap, carrying the last-seen timestamp
+    across micro-batches. Vectorized: sort the batch by (us, event_id),
+    shift, prepend the state's last_us."""
+    import numpy as np
+    import pandas as pd
+    parts = [p for p in pdfs if len(p)]
+    if not parts:
+        return
+    pdf = (pd.concat(parts).sort_values(["us", "event_id"])
+           if len(parts) > 1 else parts[0].sort_values(["us", "event_id"]))
+    us = pdf["us"].to_numpy(dtype="int64")
+    last_us = state.get[0] if state.exists else None
+    prev = np.concatenate(([last_us if last_us is not None else 0], us[:-1]))
+    # with no carried state the first event of the batch has no gap
+    start = 0 if last_us is not None else 1
+    state.update((int(us[-1]),))
+    gaps = (us - prev)[start:]
+    if len(gaps):
+        yield pd.DataFrame({"event_type": pdf["event_type"].to_numpy()[start:],
+                            "gap_us": gaps.astype("int64")})
+
+
+def run_interarrival_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming inter-arrival extraction as a custom stateful operator:
+    key = user_id, state = last event timestamp (micros), output = one row
+    per consecutive gap, attributed to the LATER event's type — the
+    streaming twin of the LAG window inside
+    ``operators.windows.user_interarrival_stats``. The rollup reuses the
+    batch tail (``interarrival_stats``), so the pytest equality gate
+    isolates exactly the stateful gap extraction."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.windows import interarrival_stats
+    staged = _stage_events_daily(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(staged))
+    keyed = stream.select("user_id", "event_id", "event_type",
+                          F.unix_micros("ts").alias("us"))
+    gaps = (keyed.groupBy("user_id")
+            .applyInPandasWithState(
+                _gap_walk, GAP_OUT_SCHEMA, GAP_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))
+    name = "gaps_" + uuid.uuid4().hex[:12]
+    q = (gaps.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name)
+    mat = spark.createDataFrame(_guarded_collect(rows), schema=rows.schema)
+    return interarrival_stats(mat)
+
+
+def run_hourly_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM changepoint: a watermarked tumbling-1h count per
+    event type maintains the hourly aggregate as the stream drains the
+    ordered daily slices; the CUSUM walk + peak pick then runs BATCH-SIDE
+    over the stream-maintained aggregate (``operators.windows.cusum_tail``)
+    — chained stateful aggregations are restricted in Structured
+    Streaming, and the aggregate-in-stream / scan-in-batch split is how
+    the op deploys in production anyway."""
+    from ..operators.windows import cusum_tail
+    staged = _stage_events_daily(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(staged))
+    hourly = (stream
+              .withWatermark("ts", "2 hours")
+              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count("*").cast("long").alias("n"))
+              .select(F.col("w.start").alias("h"), "event_type", "n"))
+    name = "cusum_" + uuid.uuid4().hex[:12]
+    q = (hourly.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name)
+    mat = spark.createDataFrame(_guarded_collect(rows), schema=rows.schema)
+    return cusum_tail(mat)

@@ -127,6 +127,9 @@ QUERIES = [
     "twa_value_per_user",          # events: one user shuffle + decimal dt
     "token_weighted_quality_quantiles",  # documents: bucketed cum weights
     "dow_seasonality_index",       # orders: calendar-sized 7-group agg
+    # round-6 additions
+    "supplier_revenue_pareto",     # lineitem: two-phase rank + cum share
+    "lsa_features_rsvd",           # documents: 3-pass randomized SVD
 ]
 
 
@@ -273,6 +276,37 @@ def main() -> None:
     }
     print(json.dumps(
         {"dbscan_lsh_crossover": results["dbscan_lsh_crossover"]}), flush=True)
+
+    # documents-side skew chaos: plant a 95%-hot lang key on the 10x corpus
+    # (50k docs, one lane-busting hot group) and check the salted two-level
+    # members aggregation (a) equals the plain single-level definition
+    # exactly and (b) doesn't fall off a cliff vs the un-skewed shape. The
+    # salted plan's claim is that hot keys become n_salt parallel lanes —
+    # this is the input where that claim earns its keep.
+    from fts_errors_clustering_spark.operators.scale import salted_members
+    docs10 = table(spark, OUT, "documents")
+    skewed = docs10.withColumn(
+        "lang", F.when(F.col("doc_id") % 20 != 0, F.lit("xx"))
+                 .otherwise(F.col("lang")))
+    t0 = time.perf_counter()
+    salted = {r["lang"]: (r.n_members, r.members)
+              for r in salted_members(skewed, "lang", "doc_id").collect()}
+    t_salted = time.perf_counter() - t0
+    plain = (skewed.groupBy("lang")
+             .agg(F.array_sort(F.collect_set("doc_id")).alias("arr"))
+             .select("lang", F.size("arr").cast("long").alias("n"),
+                     F.array_join(F.col("arr").cast("array<string>"), ",")
+                      .alias("m")))
+    want = {r["lang"]: (r.n, r.m) for r in plain.collect()}
+    assert salted == want, "salted members diverged from plain on skew"
+    hot = salted["xx"][0]
+    assert hot >= 0.9 * docs10.count(), f"hot key holds only {hot} docs"
+    results["salted_skew_chaos"] = {
+        "hot_key_members": int(hot), "n_keys": len(salted),
+        "salted_sec": round(t_salted, 2), "exact_match": True,
+    }
+    print(json.dumps({"salted_skew_chaos": results["salted_skew_chaos"]}),
+          flush=True)
     print(json.dumps({"metric": "scale_smoke_10x", "queries": results}))
 
 

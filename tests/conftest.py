@@ -29,9 +29,18 @@ def spark():
     yield s
 
 
+def _seqratio(a: str, b: str) -> int:
+    """fuzzywuzzy-0.17 fuzz.ratio == int(round(100 * SequenceMatcher.ratio))
+    — registered as a DuckDB Python UDF so local_oracle queries can state
+    the EXACT same algorithm the Spark pandas UDF runs."""
+    from difflib import SequenceMatcher
+    return int(round(100 * SequenceMatcher(None, a or "", b or "").ratio()))
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
+    con.create_function("seqratio", _seqratio)
     for sf in {SF_SMALL, SF_MED}:
         schema = "sf" + sf.rsplit("sf", 1)[1].replace(".", "_")
         con.execute(f"CREATE SCHEMA IF NOT EXISTS {schema}")

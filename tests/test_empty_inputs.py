@@ -24,6 +24,7 @@ FIT_BASED = {
     "ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk",
     "dbscan_labels_lsh", "kmeans_cluster_sizes",
     "kmeans_quality", "lsa_features", "lsa_svd_features",
+    "lsa_features_rsvd",
     "lsh_neighbor_counts",
     "pipeline_tfidf_kmeans", "pipeline_word2vec_dbscan",
     "semantic_dedup_ivf", "tfidf_pipeline_features", "word2vec_doc_vectors",

@@ -237,3 +237,37 @@ def test_upsert_stream_equals_batch_compaction(spark):
             for r in all_queries()["latest_event_per_user"]
             .fn(spark, SF_SMALL).collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_interarrival_equals_batch(spark):
+    """The stateful gap extraction (per-user last-ts state across ordered
+    daily micro-batches) must reproduce the batch LAG window exactly —
+    same per-type gap counts and identical quantiles."""
+    from fts_errors_clustering_spark.operators.windows import \
+        user_interarrival_stats
+    from fts_errors_clustering_spark.streaming.jobs import \
+        run_interarrival_stream
+    batch = {r.event_type: r for r in
+             user_interarrival_stats(spark, SF_SMALL).collect()}
+    stream = {r.event_type: r for r in
+              run_interarrival_stream(spark, SF_SMALL).collect()}
+    assert batch.keys() == stream.keys()
+    for k in batch:
+        assert batch[k] == stream[k], f"{k}: {batch[k]} != {stream[k]}"
+
+
+def test_streaming_cusum_equals_batch(spark):
+    """The stream-maintained hourly aggregate fed through the shared CUSUM
+    tail must land on the same changepoint hour and peak value as the
+    batch plan."""
+    from fts_errors_clustering_spark.operators.windows import \
+        hourly_cusum_changepoint
+    from fts_errors_clustering_spark.streaming.jobs import \
+        run_hourly_cusum_stream
+    batch = {r.event_type: r for r in
+             hourly_cusum_changepoint(spark, SF_SMALL).collect()}
+    stream = {r.event_type: r for r in
+              run_hourly_cusum_stream(spark, SF_SMALL).collect()}
+    assert batch == stream or (
+        batch.keys() == stream.keys()
+        and all(batch[k] == stream[k] for k in batch))

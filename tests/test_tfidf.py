@@ -156,3 +156,48 @@ def test_model_cache_reuses_and_isolates(spark):
     d = memo(("k", 1), build)
     e = memo(("k", 1), build)
     assert d is not e and calls["n"] == 6
+
+
+def test_rsvd_matches_exact_tier(spark):
+    """Randomized-SVD tier: on the planted-structure fixture the captured
+    energy must land within a hair of the exact tier's (q=0 oversampled
+    range finder on a fast-decaying spectrum), per-doc projection NORMS
+    must agree with the exact tier (same subspace => same row energies,
+    even though the basis itself is sign/rotation-indeterminate), and the
+    fixed seed must make the whole fit deterministic."""
+    import math
+
+    import numpy as np
+    from pyspark.ml.linalg import Vectors
+
+    from fts_errors_clustering_spark.operators.tfidf import (fit_lsa_rsvd,
+                                                             fit_lsa_svd)
+
+    rng = np.random.default_rng(7)
+    n, d, r = 300, 150, 25
+    base = rng.standard_normal((n, r)) @ rng.standard_normal((r, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.standard_normal((n, d))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    x = base + 0.45 * noise
+    df = spark.createDataFrame(
+        [(i, Vectors.dense(x[i])) for i in range(n)], ["doc_id", "features"])
+
+    exact_red, exact_ev = fit_lsa_svd(df, k=r)
+    rsvd_red, rsvd_ev = fit_lsa_rsvd(df, k=r)
+    assert abs(rsvd_ev - exact_ev) <= 0.02, (rsvd_ev, exact_ev)
+
+    en = {r_.doc_id: math.sqrt(sum(v * v for v in r_.lsa_svd))
+          for r_ in exact_red.collect()}
+    rn = {r_.doc_id: math.sqrt(sum(v * v for v in r_.lsa_rsvd))
+          for r_ in rsvd_red.collect()}
+    assert en.keys() == rn.keys()
+    rel = [abs(en[i] - rn[i]) / max(en[i], 1e-12) for i in en]
+    assert max(rel) <= 0.05, max(rel)
+
+    # determinism under the fixed seed
+    again, ev2 = fit_lsa_rsvd(df, k=r)
+    assert ev2 == rsvd_ev
+    rn2 = {r_.doc_id: r_.lsa_rsvd for r_ in again.collect()}
+    rn1 = {r_.doc_id: r_.lsa_rsvd for r_ in rsvd_red.collect()}
+    assert rn1 == rn2
