@@ -319,6 +319,14 @@ def main() -> None:
                 df = defs[name].fn(spark, sf_dir)
                 nn = df.count()  # materialize the whole plan
                 dt = time.perf_counter() - t0
+                # consumer-acknowledged cache release (OUTSIDE the timed
+                # window): queries whose returned plan references a shared
+                # intermediate register it via registry.retain_for_consumer;
+                # this run is the consumer, and releasing per trial keeps
+                # the 140-query session from accumulating those blocks
+                from fts_errors_clustering_spark.plans.registry import \
+                    release_consumer_caches
+                release_consumer_caches()
                 try:
                     l1 = round(os.getloadavg()[0], 2)
                 except OSError:

@@ -129,6 +129,10 @@ def main(argv: list[str] | None = None, spark=None,
             try:
                 df = d.fn(spark, args.sf_dir)
                 scols, srows = df.columns, df.collect()
+                # this sweep is the consumer: acknowledge per query so a
+                # full-registry run doesn't accumulate scoped caches
+                from .plans.registry import release_consumer_caches
+                release_consumer_caches()
                 dcols, drows = _oracle_rows(d.oracle, args.sf_dir)
                 ok = _canon(scols, srows) == _canon(dcols, drows)
             except Exception as ex:  # noqa: BLE001 — keep sweeping, report

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import sql_whitespace_tokens, whitespace_tokens
-from ..plans.registry import register
+from ..plans.registry import register, unpersist_any
 from ..sources.readers import table
 
 N_MERGES = 6
@@ -67,16 +67,31 @@ def _trained(spark: SparkSession, sf_dir: str):
                 lambda: train_bpe(_word_freqs(spark, sf_dir)))
 
 
+def _char_seq() -> "F.Column":
+    """The round-0 symbol sequence: ' c  h  a  r ' with sentinel pads."""
+    return F.concat(
+        F.lit(" "),
+        F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), "  "),
+        F.lit(" "))
+
+
 def train_bpe(words: DataFrame, n_merges: int = N_MERGES):
     """Learn ``n_merges`` BPE merges over a (word, freq) table. Returns
     (final_words_df with ``seq`` column, merge list of
-    (rank, left, right, pair_count))."""
-    w = words.select(
-        "word",
-        F.concat(F.lit(" "),
-                 F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), "  "),
-                 F.lit(" ")).alias("seq"),
-        "freq").localCheckpoint()
+    (rank, left, right, pair_count)).
+
+    Cache lifecycle: each training round checkpoints its rewritten state
+    and RELEASES the previous round's checkpoint once the new one is
+    materialized (the k-core pattern — at most one round pinned). The
+    RETURNED state is not a checkpoint at all: the learned merges replay
+    as a lineage-complete chain of string replaces over the raw char
+    split (byte-identical to the loop's final state by construction), so
+    consumers hold a replayable plan and nothing stays pinned in the
+    session — the property the registry-wide persistent-RDD gate checks,
+    and what lets the model-cache memo hand the state to later queries
+    without keeping storage alive."""
+    w = words.select("word", _char_seq().alias("seq"),
+                     "freq").localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for i in range(n_merges):
         syms = F.filter(F.split("seq", " "), lambda t: F.length(t) > 0)
@@ -90,10 +105,17 @@ def train_bpe(words: DataFrame, n_merges: int = N_MERGES):
             break
         l, r, cnt = top[0].l, top[0].r, top[0].cnt
         merges.append((i + 1, l, r, int(cnt)))
+        prev = w
         w = (w.withColumn("seq", F.replace(
                  "seq", F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")))
-             .localCheckpoint())
-    return w, merges
+             .localCheckpoint())  # eager: safe to drop the previous round
+        unpersist_any(prev)
+    unpersist_any(w)
+    seq = _char_seq()
+    for _, l, r, _ in merges:
+        seq = F.replace(seq, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    final = words.select("word", seq.alias("seq"), "freq")
+    return final, merges
 
 
 def _bpe_oracle_ctes(n_merges: int) -> str:

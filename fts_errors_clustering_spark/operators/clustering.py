@@ -337,14 +337,20 @@ def kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's ground-truth ``label`` plus MLlib silhouette — the rebuild of
     the reference's evaluation cell (``TF-IDF…:8163-8171``)."""
     from pyspark.ml.evaluation import ClusteringEvaluator
+
+    from .graph import materialize_release
     feats = _embedding_features(spark, sf_dir)
     model = fit_kmeans_best(feats, k=10, n_init=3)
+    # cache scoped to this call: the labeled frame feeds the (eager)
+    # silhouette evaluation and the metrics plan; released once the
+    # bounded 1-row metrics result materializes
     out = model.transform(feats).cache()
     sil = ClusteringEvaluator(featuresCol="features",
                               predictionCol="prediction",
                               metricName="silhouette").evaluate(out)
-    metrics = external_cluster_metrics(out, "label", "prediction")
-    return metrics.withColumn("silhouette", F.round(F.lit(sil), 6))
+    metrics = (external_cluster_metrics(out, "label", "prediction")
+               .withColumn("silhouette", F.round(F.lit(sil), 6)))
+    return materialize_release(metrics, [out])
 
 
 # ---------------------------------------------------------------------------

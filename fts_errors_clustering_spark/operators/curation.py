@@ -194,14 +194,15 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     and once more for the membership semi-join — both map-side combinable;
     the span table is the corpus n-gram inventory, the canonical substring-
     dedup shuffle. No document bodies move after the tokenize."""
-    sh = (_toks(_aug(spark, sf_dir))
-          .where(F.size("ts") >= NGRAM_W)
-          .select("doc_id", F.explode(F.transform(
-              F.sequence(F.lit(0), F.size("ts") - NGRAM_W),
-              lambda i: F.concat_ws(" ", *[F.col("ts").getItem(i + j)
-                                           for j in range(NGRAM_W)])))
-              .alias("g"))
-          .cache())
+    from ..plans.registry import retain_for_consumer
+    sh = retain_for_consumer(
+        _toks(_aug(spark, sf_dir))
+        .where(F.size("ts") >= NGRAM_W)
+        .select("doc_id", F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("ts") - NGRAM_W),
+            lambda i: F.concat_ws(" ", *[F.col("ts").getItem(i + j)
+                                         for j in range(NGRAM_W)])))
+            .alias("g")))  # consumer-scoped: dup/cov/sizes all read it
     dup = (sh.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
            .where(F.col("df") >= 2).select("g"))
     cov = (sh.join(dup, "g", "left_semi")
@@ -375,10 +376,14 @@ def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .where(F.col("hit") / F.col("tot").cast("double")
                            >= CONTAM_THRESHOLD)
                     .select("doc_id"))
-    return (c2.join(contaminated, "doc_id", "left_anti")
-            .groupBy("lang")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum(F.size("ts")).cast("long").alias("n_tokens")))
+    out = (c2.join(contaminated, "doc_id", "left_anti")
+           .groupBy("lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.size("ts")).cast("long").alias("n_tokens")))
+    # bounded (per-lang) output: materialize while the c2 cache is hot,
+    # then release it
+    from ..operators.graph import materialize_release
+    return materialize_release(out, [c2])
 
 
 # --- chunking / packing / splits / mixing ------------------------------------
@@ -489,8 +494,9 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver actions before the final job, and re-tokenizing the corpus
     # three times is the dominant repeated cost (2-int rows cached)
     toks = (docs.where(F.length(F.trim("text")) > 0)
-            .select("doc_id", F.size(whitespace_tokens("text")).alias("n"))
-            .cache())
+            .select("doc_id", F.size(whitespace_tokens("text")).alias("n")))
+    from ..plans.registry import retain_for_consumer
+    toks = retain_for_consumer(toks)
     bucketed = quantile_buckets(toks, "doc_id")
     off0 = bucket_prefix_offsets(bucketed, F.sum("n"))
     w = (Window.partitionBy("bucket").orderBy("doc_id")
@@ -1087,7 +1093,10 @@ def split_stratification_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("o", e.alias("e")))
     chi2 = ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
             / F.col("e"))
-    return terms.agg(
+    out = terms.agg(
         F.count("*").cast("long").alias("n_cells"),
         F.round(F.sum(chi2.cast("decimal(27,18)"))
                 .cast("string").cast("double"), 6).alias("chi2"))
+    # bounded (1-row) output: materialize while the cell cache is hot
+    from ..operators.graph import materialize_release
+    return materialize_release(out, [obs])

@@ -352,6 +352,13 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
         # relaxation over chunked GEMM re-scans, no edge list at all
         return _dbscan_driver_dense(spark, emb, id_col, vec_col, eps,
                                     min_pts)
+    # Cache lifecycle (registry-wide persistent-RDD gate): the pairs/core/
+    # edges caches exist for this function's EAGER phases — tier-deciding
+    # counts, the toPandas driver solves, the propagation loop. Each tier
+    # releases them before returning: local-result tiers after the driver
+    # solve, the distributed tier before handing back its lazy plan (whose
+    # single materialization then recomputes the candidate lineage once —
+    # the price of not pinning an edge-sized block for the session).
     if pairs is None:
         pairs = eps_pairs_broadcast(emb, id_col, vec_col, eps)
     pairs = pairs.cache()
@@ -362,6 +369,7 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
         # noise in one vectorized numpy pass and ship back only the final
         # (id, cluster) rows, skipping ~8 tiny stages of scheduling floor.
         ppdf = pairs.toPandas()
+        pairs.unpersist()
         idpdf = ids.toPandas()
         all_ids = np.sort(idpdf["id"].to_numpy(dtype=np.int64))
         lab = _dbscan_numpy(all_ids,
@@ -402,6 +410,7 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
         # same labeling (min member id), so the oracle and tests don't care
         # which tier ran.
         epdf = edges.toPandas()
+        edges.unpersist()
         if len(epdf):
             nids, nlab = _components_numpy(
                 epdf["a"].to_numpy(dtype=np.int64),
@@ -413,7 +422,8 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
                              .alias("cluster")))
         else:
             comp = core.select("id", F.col("id").alias("cluster"))
-        return _finish_dbscan(ids, pairs, core, comp, id_col)
+        return _finish_dbscan(ids, pairs, core, comp, id_col,
+                              caches=[pairs, core])
 
     # init labels at min(id, min core-neighbor id) — algebraically identical
     # to one min-propagation round over labels0(v)=v, so the loop starts a
@@ -430,6 +440,7 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges.b == labels.id)
                    .groupBy("a").agg(F.min("lbl").alias("nlbl")))
+        stale = labels
         labels = (labels.join(nbr_min, labels.id == nbr_min.a, "left")
                   .select(labels.id,
                           F.least(F.col("lbl"),
@@ -449,6 +460,9 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
         # the certificate action below is what materializes the (lazy)
         # checkpoint — one job per round, not two
         cur = labels.agg(F.sum("lbl")).first()[0]
+        # this round is materialized; drop the previous (checkpoint-aware)
+        from ..plans.registry import unpersist_any
+        unpersist_any(stale)
         if cur == prev_sum:
             converged = True
             break
@@ -460,13 +474,22 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
             f"dbscan_labels: propagation did not converge in {max_iter} "
             "rounds (pointer-halving gives O(log diameter) — raise max_iter)")
 
-    comp = labels.select("id", F.col("lbl").alias("cluster"))
-    return _finish_dbscan(ids, pairs, core, comp, id_col)
+    from ..plans.registry import retain_for_consumer
+    comp = retain_for_consumer(labels).select(
+        "id", F.col("lbl").alias("cluster"))
+    edges.unpersist()  # the loop is done; nothing downstream reads edges
+    return _finish_dbscan(ids, pairs, core, comp, id_col,
+                          caches=[pairs, core])
 
 
 def _finish_dbscan(ids: DataFrame, pairs: DataFrame, core: DataFrame,
-                   comp: DataFrame, id_col: str) -> DataFrame:
-    """Steps 4-5 (borders, noise) shared by both component tiers."""
+                   comp: DataFrame, id_col: str,
+                   caches: list[DataFrame] | None = None) -> DataFrame:
+    """Steps 4-5 (borders, noise) shared by both component tiers. Releases
+    ``caches`` before returning: they served this module's eager tiering
+    phases, and retaining them would pin edge-sized blocks for the session
+    to save at most one candidate-lineage recompute at the caller's single
+    materialization."""
     border = (pairs.join(core.select(F.col("id").alias("b")), "b", "left_semi")
               .join(core.select(F.col("id").alias("a")), "a", "left_anti")
               .join(comp.select(F.col("id").alias("b"), "cluster"), "b")
@@ -475,6 +498,8 @@ def _finish_dbscan(ids: DataFrame, pairs: DataFrame, core: DataFrame,
     assigned = comp.unionByName(border)
     noise = (ids.join(assigned.select("id"), "id", "left_anti")
              .select("id", F.lit(-1).cast("long").alias("cluster")))
+    for c in caches or ():
+        c.unpersist()
     return (assigned.unionByName(noise)
             .select(F.col("id").alias(id_col), F.col("cluster")))
 

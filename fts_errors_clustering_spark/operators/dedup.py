@@ -251,7 +251,8 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     step), then estimate Jaccard by signature agreement and keep pairs
     >= 0.5. Shingle->minhash->band->bucket-join, the canonical LLM-corpus
     dedup shape."""
-    sigs = minhash_signatures(spark, sf_dir).cache()
+    from ..plans.registry import retain_for_consumer
+    sigs = retain_for_consumer(minhash_signatures(spark, sf_dir))
     bands = (sigs.withColumn("band", (F.col("seed") / BAND_SIZE).cast("long"))
              .groupBy("doc_id", "band")
              .agg(F.md5(F.concat_ws(",", F.transform(
@@ -641,8 +642,10 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     COMPLETE), then the exact popcount filter. The oracle brute-forces
     all pairs — identical result, which is precisely the banding-is-
     lossless claim under test."""
+    from ..plans.registry import retain_for_consumer
     aug = _augmented(spark, sf_dir)
-    sigs = _shingle_simhash(aug).cache()
+    # consumer-scoped: read by the band explode and both popcount sides
+    sigs = retain_for_consumer(_shingle_simhash(aug))
     halves = [("lo", 0), ("lo", 16), ("hi", 0), ("hi", 16)]
     bands = sigs.select("doc_id", F.explode(F.array(*[
         F.struct(F.lit(i).alias("band"),
@@ -687,6 +690,7 @@ def min_label_components(ids: DataFrame, edges: DataFrame,
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges.b == labels.id)
                    .groupBy("a").agg(F.min("lbl").alias("nlbl")))
+        stale = labels
         labels = (labels.join(nbr_min, labels.id == nbr_min.a, "left")
                   .select(labels.id,
                           F.least(F.col("lbl"),
@@ -702,6 +706,10 @@ def min_label_components(ids: DataFrame, edges: DataFrame,
                   .localCheckpoint(eager=False))
         # the certificate action materializes the lazy checkpoint — one job
         cur = labels.agg(F.sum("lbl")).first()[0]
+        # this round is materialized; drop the previous (checkpoint-aware:
+        # plain DataFrame.unpersist is a no-op on a localCheckpoint)
+        from ..plans.registry import unpersist_any
+        unpersist_any(stale)
         if cur == prev_sum:
             converged = True
             break
@@ -709,7 +717,12 @@ def min_label_components(ids: DataFrame, edges: DataFrame,
     if not converged:
         raise RuntimeError(
             f"min_label_components: no convergence in {max_iter} rounds")
-    return labels.select("id", F.col("lbl").alias("component"))
+    # the final round's checkpoint backs the returned plan — register it
+    # for consumer-acknowledged release (the loop released every earlier
+    # round as soon as its successor materialized)
+    from ..plans.registry import retain_for_consumer
+    return retain_for_consumer(labels).select(
+        "id", F.col("lbl").alias("component"))
 
 
 @register(
@@ -751,8 +764,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny minority); everyone else is a singleton appended with
     component = self, so no corpus-sized join enters the loop.
     """
+    from ..plans.registry import retain_for_consumer
     aug = _augmented(spark, sf_dir)
-    pairs = minhash_near_dups(spark, sf_dir).select("a", "b").cache()
+    # consumer-scoped: read by edges (twice), paired_ids, and the CC loop
+    pairs = retain_for_consumer(
+        minhash_near_dups(spark, sf_dir).select("a", "b"))
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     paired_ids = (pairs.select(F.col("a").alias("id"))
@@ -813,8 +829,10 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.where(F.col("doc_id") < 10)
     corpus = docs.where(F.col("doc_id") >= 10)
+    from ..plans.registry import retain_for_consumer
     bsh = _shingles(bench).select("sh").distinct()
-    csh = _shingles(corpus).cache()
+    # consumer-scoped: the returned plan reads csh for both hits and sizes
+    csh = retain_for_consumer(_shingles(corpus))
     hits = (csh.join(F.broadcast(bsh), "sh")
             .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
     sizes = csh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))

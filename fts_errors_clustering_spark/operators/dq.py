@@ -99,7 +99,7 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a publish gate must run on an empty partition, verdicts intact)
     nv = F.col("n_null_value").cast("double") / F.greatest(F.col("n"), F.lit(1))
     nb = F.col("n_blank").cast("double") / F.greatest(F.col("n"), F.lit(1))
-    return (
+    out = (
         row(e, "events_id_unique",
             F.col("n_ids").cast("double") / F.greatest(F.col("n"), F.lit(1)),
             1.0, F.col("n_ids") == F.col("n"))
@@ -111,6 +111,10 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("n_orphans").cast("double"), 0.0,
                          F.col("n_orphans") == 0))
         .unionByName(row(d, "documents_blank_ratio", nb, 0.1, nb <= 0.1)))
+    # bounded (5-row) report: materialize while the shared events
+    # aggregate cache is hot, then release
+    from .graph import materialize_release
+    return materialize_release(out, [e])
 
 
 # --- round 4: generic single-pass column profiler ----------------------------

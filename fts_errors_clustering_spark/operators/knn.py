@@ -102,17 +102,22 @@ def knn_mean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.round("mean_dist", 6).alias("mean_knn_dist")))
 
 
-def _indexed_curve(knn: DataFrame) -> DataFrame:
+def _indexed_curve(knn: DataFrame,
+                   caches: list[DataFrame] | None = None) -> DataFrame:
     """The sorted kNN-mean curve with a global 0-based position ``idx`` and
     the curve scalars (n, ymin, ymax) attached — built WITHOUT a
     single-partition window: quantile-bucketed rank (scale.py two-phase
     pattern) for idx, a broadcast 1-row aggregate for the scalars. Keeps
-    the ``bucket`` column so downstream prefix scans can reuse it."""
+    the ``bucket`` column so downstream prefix scans can reuse it. The
+    internal kNN cache is appended to ``caches`` so the caller can release
+    it once its bounded output materializes (graph.materialize_release)."""
     from .scale import bucket_prefix_offsets, quantile_buckets
     # cache BEFORE the quantile pass: approxQuantile is an action, and the
     # upstream kNN kernel must not run once for the split points and again
     # for the offsets/window
     knn = knn.select("vec_id", "mean_dist").cache()
+    if caches is not None:
+        caches.append(knn)
     bucketed = quantile_buckets(knn, "mean_dist")
     off = bucket_prefix_offsets(bucketed, F.count("*"))
     wb = Window.partitionBy("bucket").orderBy("mean_dist", "vec_id")
@@ -141,15 +146,20 @@ def knee_epsilon_value(knn: DataFrame, id_col: str = "vec_id") -> float:
     deterministic, reference-faithful value — callers that observe a
     degenerate clustering should pass eps explicitly, exactly as the
     reference did."""
+    caches: list[DataFrame] = []
     curve = _indexed_curve(
-        knn.select(F.col(id_col).alias("vec_id"), "mean_dist"))
+        knn.select(F.col(id_col).alias("vec_id"), "mean_dist"), caches)
     span = F.col("ymax") - F.col("ymin")
     diffs = curve.select(
         "idx", "mean_dist",
         ((F.col("idx").cast("double") / F.greatest(F.col("n") - 1, F.lit(1)))
          - F.when(span > 0, (F.col("mean_dist") - F.col("ymin")) / span)
             .otherwise(F.lit(0.0))).alias("d"))
-    row = diffs.orderBy(F.desc("d"), F.asc("idx")).limit(1).first()
+    try:
+        row = diffs.orderBy(F.desc("d"), F.asc("idx")).limit(1).first()
+    finally:
+        for c in caches:
+            c.unpersist()
     return float(row.mean_dist)
 
 
@@ -184,17 +194,20 @@ def knn_knee_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
     run rejected its computed eps=7.55 and hand-set 20 (SURVEY.md 2.9.3);
     we keep the op deterministic and test eps-monotonicity instead.
     ``knn_knee_sweep`` below is the full sensitivity sweep."""
+    from .graph import materialize_release
     knn = knn_mean_distances(spark, sf_dir)
-    curve = _indexed_curve(knn)
+    caches: list[DataFrame] = []
+    curve = _indexed_curve(knn, caches)
     diffs = curve.select(
         "idx", "mean_dist",
         ((F.col("idx").cast("double") / (F.col("n") - 1)) -
          ((F.col("mean_dist") - F.col("ymin")) / (F.col("ymax") - F.col("ymin"))))
         .alias("d"))
-    return (diffs.orderBy(F.desc("d"), F.asc("idx")).limit(1)
-            .select(F.col("idx").cast("long").alias("knee_idx"),
-                    F.round("mean_dist", 6).alias("epsilon"),
-                    F.round("d", 6).alias("max_diff")))
+    out = (diffs.orderBy(F.desc("d"), F.asc("idx")).limit(1)
+           .select(F.col("idx").cast("long").alias("knee_idx"),
+                   F.round("mean_dist", 6).alias("epsilon"),
+                   F.round("d", 6).alias("max_diff")))
+    return materialize_release(out, caches)
 
 
 # --- M17 full sensitivity sweep ---------------------------------------------
@@ -281,13 +294,16 @@ def knn_knee_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``chosen_epsilon`` = max over all elbows — the reference's selection
     rule (``word2vec_dbscan_approach.ipynb:191-221``). One row per S.
     """
+    from .graph import materialize_release
     knn = knn_mean_distances(spark, sf_dir)
-    curve = _indexed_curve(knn)
+    caches: list[DataFrame] = []
+    curve = _indexed_curve(knn, caches)
     diffs = curve.select(
         "bucket", "idx", "n", "mean_dist",
         ((F.col("idx").cast("double") / (F.col("n") - 1)) -
          ((F.col("mean_dist") - F.col("ymin")) /
           (F.col("ymax") - F.col("ymin")))).alias("d")).cache()
+    caches.append(diffs)
 
     # lag/lead over the global idx order WITHOUT a single-partition window:
     # idx is dense, so the neighbours are idx+-1 equi-self-joins (hash
@@ -305,6 +321,7 @@ def knn_knee_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("int"))
               .drop("d_prev", "d_next")
               .cache())
+    caches.append(marked)
 
     # running max of the last local-max idx, decomposed as a distributed
     # prefix scan: per-bucket maxima (<= n_buckets rows to the driver)
@@ -358,7 +375,10 @@ def knn_knee_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.coalesce("knee_idx", "fidx").cast("long")
                       .alias("knee_idx"),
                      F.coalesce("eps_l", "feps").alias("eps")))
-    return per_s.select(
+    out = per_s.select(
         "sensitivity", "knee_idx", F.round("eps", 6).alias("epsilon"),
         F.round(F.max("eps").over(Window.partitionBy()), 6)
          .alias("chosen_epsilon"))
+    # bounded output (one row per sensitivity) — materialize while the
+    # curve/diff/marked caches are hot, then release all three
+    return materialize_release(out, caches)

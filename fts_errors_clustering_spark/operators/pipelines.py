@@ -54,7 +54,12 @@ def pipeline_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = model.transform(reduced).cache()
     metrics = external_cluster_metrics(out, "lang", "prediction")
     n_clusters = out.select("prediction").distinct().count()
-    return metrics.withColumn("n_clusters", F.lit(n_clusters).cast("long"))
+    # both caches are scoped to this call: the evaluation row is bounded
+    # (1 row), so materialize it while they are hot and release
+    from .graph import materialize_release
+    return materialize_release(
+        metrics.withColumn("n_clusters", F.lit(n_clusters).cast("long")),
+        [reduced, out])
 
 
 @register("pipeline_word2vec_dbscan", oracle=None, tags=("pipeline", "ml"))
@@ -111,11 +116,20 @@ def pipeline_word2vec_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.min_by("text", "doc_id").alias("first_text")))
     sims = (joined.join(F.broadcast(firsts), "cluster")
             .withColumn("sim", fuzz_ratio("text", "first_text")))
-    return (sims.groupBy("cluster")
-            .agg(F.count("*").alias("n_docs"),
-                 F.round(F.avg("sim"), 4).alias("mean_similarity"),
-                 F.round(F.stddev("sim"), 4).alias("std_similarity"))
-            .orderBy("cluster"))
+    out = (sims.groupBy("cluster")
+           .agg(F.count("*").alias("n_docs"),
+                F.round(F.avg("sim"), 4).alias("mean_similarity"),
+                F.round(F.stddev("sim"), 4).alias("std_similarity"))
+           .orderBy("cluster"))
+    # the emb cache served this fn's EAGER phases (count, candidate kNN,
+    # knee epsilon, the DBSCAN tier's own materialization); the returned
+    # plan references emb exactly once (the `joined` scan), so release the
+    # cache now — the final materialization pays one w2v.transform pass
+    # instead of pinning a corpus-sized block for the session's lifetime.
+    # (The output itself is per-cluster, up to n/min_pts rows — too large
+    # to localize via materialize_release at 100 TB.)
+    emb.unpersist()
+    return out
 
 
 # --- driver-visible ingest/publish round trips -------------------------------

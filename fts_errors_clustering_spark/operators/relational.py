@@ -1011,10 +1011,14 @@ def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
              .crossJoin(F.broadcast(n))
              .select("o", e.alias("e")))
     chi2 = ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
-    return terms.agg(
+    out = terms.agg(
         F.count("*").cast("long").alias("n_cells"),
         F.round(F.sum(chi2.cast("decimal(27,18)"))
                 .cast("string").cast("double"), 6).alias("chi2"))
+    # the cell cache feeds four branches of this one bounded (1-row)
+    # result — materialize it hot, then release
+    from .graph import materialize_release
+    return materialize_release(out, [obs])
 
 
 @register(
@@ -1242,8 +1246,12 @@ def user_profile_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("cosine")))
     top = scored.orderBy(F.desc("cosine"), F.asc("user_id")).limit(10)
     w = Window.orderBy(F.desc("cosine"), F.asc("user_id"))
-    return (top.withColumn("rn", F.row_number().over(w).cast("long"))
-            .select("user_id", "cosine", "rn"))
+    out = (top.withColumn("rn", F.row_number().over(w).cast("long"))
+           .select("user_id", "cosine", "rn"))
+    # the profile cache feeds anchor/norms/dots; the top-10 is bounded —
+    # materialize it hot, then release
+    from .graph import materialize_release
+    return materialize_release(out, [prof])
 
 
 @register(

@@ -461,7 +461,11 @@ def incremental_neardup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = roles.where(F.col("role") == "batch").agg(
         F.count("*").alias("n_batch"))
     nf = flagged.agg(F.count("*").alias("n_neardup_hist"))
-    return (nb.crossJoin(nf)
-            .select("n_batch", "n_neardup_hist",
-                    (F.col("n_batch") - F.col("n_neardup_hist"))
-                    .cast("long").alias("n_kept")))
+    out = (nb.crossJoin(nf)
+           .select("n_batch", "n_neardup_hist",
+                   (F.col("n_batch") - F.col("n_neardup_hist"))
+                   .cast("long").alias("n_kept")))
+    # bounded (1-row) output: materialize while the role/min-signature
+    # caches are hot, then release both
+    from .graph import materialize_release
+    return materialize_release(out, [roles, mins])

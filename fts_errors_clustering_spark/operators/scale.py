@@ -404,6 +404,7 @@ def heavy_hitters(toks: DataFrame, capacity: int, top_n: int) -> DataFrame:
     """The two-pass MG core over a one-column ``token`` frame (separated so
     the certificate-failure fallback is directly testable at tiny
     capacity — tests/test_selection.py)."""
+    from .graph import materialize_release
     summaries = _mg_partition_summaries(toks, capacity).cache()
     bound = summaries.agg(F.sum("dec")).first()[0] or 0
     cands = summaries.select("token").where(F.col("token") != "").distinct()
@@ -421,9 +422,12 @@ def heavy_hitters(toks: DataFrame, capacity: int, top_n: int) -> DataFrame:
         # tail, so the short recount is NOT provably the exact top-n
         # (when the true vocabulary itself is < top_n the fallback returns
         # the same rows — harmless). Exact full aggregation either way.
-        return (toks.groupBy("token").agg(F.count("*").alias("n"))
-                .orderBy(F.desc("n"), F.asc("token")).limit(top_n))
-    return recount
+        return materialize_release(
+            toks.groupBy("token").agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), F.asc("token")).limit(top_n),
+            [summaries, recount])
+    # bounded (top_n) result — localize it and release both scratch caches
+    return materialize_release(recount, [summaries, recount])
 
 
 @register(

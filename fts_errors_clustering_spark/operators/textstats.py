@@ -387,8 +387,11 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
               lambda i: F.struct(F.col("ts").getItem(i).alias("w1"),
                                  F.col("ts").getItem(i + 1).alias("w2"))))
               .alias("b"))
-          .select("doc_id", "b.w1", "b.w2")
-          .cache())
+          .select("doc_id", "b.w1", "b.w2"))
+    # consumer-scoped: the returned per-doc plan reads bg for the model,
+    # the prefix totals, and the scoring pass
+    from ..plans.registry import retain_for_consumer
+    bg = retain_for_consumer(bg)
     model = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     pre = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = (toks.select(F.explode("ts").alias("t"))
@@ -699,10 +702,14 @@ def lang_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.lit(0.5) * qb2 *
                         F.log(qb2 / ((pa2 + qb2) / F.lit(2.0)))).alias("h")))
 
-    return (terms_a.unionByName(terms_b)
-            .groupBy("l1", "l2")
-            .agg(F.round(F.sum(F.col("h").cast("decimal(27,18)"))
-                         .cast("string").cast("double"), 6).alias("jsd")))
+    out = (terms_a.unionByName(terms_b)
+           .groupBy("l1", "l2")
+           .agg(F.round(F.sum(F.col("h").cast("decimal(27,18)"))
+                        .cast("string").cast("double"), 6).alias("jsd")))
+    # bounded (lang-pair) output: materialize while the (lang, token)
+    # count cache is hot, then release
+    from ..operators.graph import materialize_release
+    return materialize_release(out, [cnt])
 
 
 @register(

@@ -130,7 +130,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derives from that far smaller aggregate — round 1 scanned the exploded
     # stream three more times (incl. a two-phase countDistinct per token)
     toks = document_tokens(spark, sf_dir)
-    cnts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt")).cache()
+    # consumer-scoped cache: the returned plan references cnts three ways
+    # (idf, n_docs, the window stack) and AQE cannot exchange-dedupe them
+    # (measured 6 parquet scans uncached); the consumer releases via
+    # registry.release_consumer_caches()
+    from ..plans.registry import retain_for_consumer
+    cnts = retain_for_consumer(
+        toks.groupBy("doc_id", "token").agg(F.count("*").alias("cnt")))
     n = cnts.agg(F.countDistinct("doc_id").alias("n_docs"))
     # cnts is unique per (doc, token), so doc_freq is a plain count
     idf = (cnts.groupBy("token").agg(F.count("*").alias("doc_freq"))

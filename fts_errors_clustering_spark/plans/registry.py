@@ -75,6 +75,60 @@ _MODULES = (
 )
 
 
+#: caches a query fn retains because its RETURNED plan references them
+#: (multi-referenced lineage that Spark's exchange reuse cannot dedupe
+#: under AQE — measured: the uncached tfidf_top_terms plan scans the
+#: corpus 6x in one materialization). The consumer — bench, the check
+#: CLI, the parity gate, any long-lived service — materializes the result
+#: and then calls :func:`release_consumer_caches`; one-shot sessions (the
+#: external driver) may skip it, their retention is bounded by the run.
+_CONSUMER_CACHES: list[DataFrame] = []
+
+
+def retain_for_consumer(df: DataFrame) -> DataFrame:
+    """Cache ``df`` (no-op if already persisted, e.g. a localCheckpoint)
+    and register it for consumer-acknowledged release. After release a
+    plain cache recomputes from lineage; a released localCheckpoint is
+    GONE — re-collecting a result DataFrame obtained before the release
+    is out of contract."""
+    from pyspark.storagelevel import StorageLevel
+    try:
+        is_ckpt = (df._jdf.queryExecution().analyzed()
+                   .getClass().getSimpleName() == "LogicalRDD")
+    except Exception:  # noqa: BLE001
+        is_ckpt = False
+    if not is_ckpt and df.storageLevel == StorageLevel.NONE:
+        df = df.cache()
+    _CONSUMER_CACHES.append(df)
+    return df
+
+
+def unpersist_any(df: DataFrame) -> None:
+    """Release ``df``'s storage whatever pinned it. ``DataFrame.unpersist``
+    only clears CacheManager entries (cache/persist); a localCheckpoint
+    pins its RDD OUTSIDE the CacheManager (measured: df.unpersist() is a
+    no-op on one), so checkpoint-backed plans (LogicalRDD) are released at
+    the RDD handle. A released checkpoint cannot recompute — callers only
+    release rounds that have been superseded or results the consumer has
+    acknowledged."""
+    try:
+        df.unpersist()
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — a dead session must not block release
+        pass
+
+
+def release_consumer_caches() -> int:
+    """Unpersist every consumer-scoped cache; returns how many."""
+    n = len(_CONSUMER_CACHES)
+    for df in _CONSUMER_CACHES:
+        unpersist_any(df)
+    _CONSUMER_CACHES.clear()
+    return n
+
+
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
              local_oracle: str | None = None):
     """Decorator: register a query under ``name`` with an optional oracle

@@ -13,27 +13,6 @@ from .conftest import SF_SMALL, duck_for, oracle_compare
 
 _DEFS = all_queries()
 
-#: queries allowed to leave entries in the persistent-RDD map after their
-#: result is consumed. Target state: EMPTY — every operator that caches an
-#: intermediate must release it once its bounded output materializes
-#: (graph.materialize_release) or once its eager internal consumers have
-#: run. The names below are the round-6 burn-down list: stragglers the
-#: gate found on first registry-wide run, being released family by family
-#: this round. Add a new name ONLY with a docstring-level justification
-#: at the operator.
-_PERSIST_WHITELIST: frozenset[str] = frozenset({
-    "benchmark_contamination", "bigram_logprob_scores", "bpe_merge_table",
-    "bpe_tokens_per_lang", "bpe_vocab_tokens", "chi2_priority_status",
-    "curated_corpus_stats", "data_quality_report", "dbscan_labels_lsh",
-    "dedup_clusters", "duplicate_ngram_coverage", "heavy_hitter_tokens",
-    "incremental_neardup_counts", "kmeans_quality", "knn_knee_epsilon",
-    "knn_knee_sweep", "lang_token_divergence", "leakage_safe_splits",
-    "packed_sequences", "pipeline_tfidf_kmeans", "pipeline_word2vec_dbscan",
-    "simhash_near_dups", "split_stratification_chi2", "tfidf_top_terms",
-    "user_profile_similarity_topk",
-})
-
-
 def _persist_ids(spark):
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     return {int(k) for k in jmap.keySet().toArray()}
@@ -41,6 +20,8 @@ def _persist_ids(spark):
 
 @pytest.mark.parametrize("name", sorted(_DEFS))
 def test_query_matches_oracle(spark, duck, name):
+    from fts_errors_clustering_spark.plans.registry import \
+        release_consumer_caches
     qd = _DEFS[name]
     pinned_before = _persist_ids(spark)
     df = qd.fn(spark, SF_SMALL)
@@ -54,12 +35,16 @@ def test_query_matches_oracle(spark, duck, name):
     else:
         oracle_compare(df, duck_for(duck, SF_SMALL), sql, name=name)
     # registry-wide cache hygiene (generalizes the graph-family gate): a
-    # query must leave the session's persistent-RDD map as it found it, or
-    # a long-lived service session accumulates table-sized blocks until
-    # LRU eviction thrashes.
-    if name not in _PERSIST_WHITELIST:
-        leaked = _persist_ids(spark) - pinned_before
-        assert not leaked, f"{name} leaked persistent RDD ids {leaked}"
+    # query either releases its caches itself (bounded outputs via
+    # materialize_release, loop rounds as each is superseded) or registers
+    # them for consumer-acknowledged release (registry.retain_for_consumer,
+    # for multi-referenced lineage the returned plan still needs). After
+    # this consumer acknowledges, the persistent-RDD map must be exactly
+    # as found — any remainder is an UNREGISTERED retention, the
+    # long-lived-session leak class.
+    release_consumer_caches()
+    leaked = _persist_ids(spark) - pinned_before
+    assert not leaked, f"{name} leaked persistent RDD ids {leaked}"
 
 
 def test_entry_contract(spark):

@@ -192,13 +192,30 @@ def test_knee_curve_no_single_partition_window(spark):
     whose child subtree (parents print before children in the tree string)
     starts with Exchange SinglePartition is the scale-killer and banned."""
     import re
-    for q in ("knn_knee_epsilon", "knn_knee_sweep"):
-        plan = _plan(_DEFS[q].fn(spark, SF_SMALL))
-        bad = re.findall(
-            r"Window[^\n]*\n(?:[^\n]*(?:Sort|Project|Filter)[^\n]*\n){0,3}"
-            r"[^\n]*Exchange SinglePartition", plan)
-        assert not bad, f"{q}: window over SinglePartition\n{plan}"
-        assert "Window" in plan  # the within-bucket scans are still windows
+
+    from pyspark.sql import functions as F
+
+    from fts_errors_clustering_spark.operators.knn import (_indexed_curve,
+                                                           knn_mean_distances)
+
+    # the REGISTERED queries return bounded local relations post-release
+    # (materialize_release), so lint the lazy curve plan they build from
+    knn = knn_mean_distances(spark, SF_SMALL)
+    caches = []
+    curve = _indexed_curve(knn, caches)
+    diffs = curve.select(
+        "idx", "mean_dist",
+        ((F.col("idx").cast("double") / (F.col("n") - 1)) -
+         ((F.col("mean_dist") - F.col("ymin")) /
+          (F.col("ymax") - F.col("ymin")))).alias("d"))
+    plan = _plan(diffs.orderBy(F.desc("d"), F.asc("idx")).limit(1))
+    for c in caches:
+        c.unpersist()
+    bad = re.findall(
+        r"Window[^\n]*\n(?:[^\n]*(?:Sort|Project|Filter)[^\n]*\n){0,3}"
+        r"[^\n]*Exchange SinglePartition", plan)
+    assert not bad, f"knee curve: window over SinglePartition\n{plan}"
+    assert "Window" in plan  # the within-bucket scans are still windows
 
 
 def test_kernel_broadcast_cache_bounded(spark):
@@ -271,6 +288,7 @@ _BNLJ_OK: set[str] = {
     "distribution_drift_psi",    # scalar baseline totals
     "internal_cluster_metrics",  # 1-row global centroid
     "pmi_top_collocations",      # scalar token/bigram totals
+    "supplier_revenue_pareto",   # 1-row (total, n) crossing threshold
     "vocabulary_set_ops",        # 1-row set-op counts
     "term_idf",                  # scalar n_docs
     "tfidf_top_terms",           # scalar n_docs
