@@ -165,6 +165,7 @@ HEADLINE = [
     "dow_seasonality_index",
     # round 6
     "supplier_revenue_pareto",
+    "user_funnel_conversion",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and
@@ -359,14 +360,19 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        # measurement-contract version. contract 2 (round 5+): ML-fit
-        # queries are self-contained (session model cache CLEARED per
-        # trial, so every trial pays its own fit) and the NOISY set
-        # (ML fits + graph) is best-of-3; rounds 1-4 implicitly ran
-        # contract 1 (fits could amortize a prior query's cached model,
-        # best-of-2 everywhere). Cross-round ML/graph deltas are only
-        # comparable within the same contract — see BASELINE.md.
-        "contract": 2,
+        # measurement-contract version (history in BASELINE.md):
+        # 1 (r1-4, implicit): best-of-2; model cache persisted across the
+        #   run; query-fn caches retained across trials (trial 2 half-warm).
+        # 2 (r5): ML fits self-contained (model cache cleared per trial);
+        #   NOISY set best-of-3; per-trial load1 recorded.
+        # 3 (r6+): EVERY trial fully self-contained — the registry-wide
+        #   cache-hygiene release means a trial's caches are dropped when
+        #   it completes (release_consumer_caches below + in-fn
+        #   materialize_release), so no trial inherits a predecessor's
+        #   intermediates. Queries that used to cache across trials
+        #   (knee/sweep, simhash/minhash, leakage splits, triangle) step
+        #   up once at r6; the r6 number is what a fresh session pays.
+        "contract": 3,
         "ml_fit_total": ml_total,
         # ambient-load telemetry: this container sees EXTERNAL load spikes
         # (load1 7-10 with zero user processes observed); identical runs

@@ -810,12 +810,18 @@ def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     SinglePartition window anywhere; the crossing test joins a 1-row
     broadcast total. Everything after the first aggregate is
     supplier-cardinality, ~1e-4 of lineitem."""
+    from .graph import materialize_release
     li = table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     bp = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    # cache the supplier-sized aggregate: the two two-phase compositions
+    # below run four driver actions (2x approxQuantile + 2x offsets)
+    # before the final job, and an uncached `rev` re-aggregates lineitem
+    # once per action; released with the bounded 1-row result below
     rev = (li.groupBy("l_suppkey")
            .agg(F.sum((cents * bp).cast("decimal(27,0)"))
-                .cast("long").alias("rev_e4")))
+                .cast("long").alias("rev_e4"))
+           .cache())
     # DESC order as an ASC rank on the negated value (two-phase, exact)
     ranked = global_rank_column(rev.withColumn("neg", -F.col("rev_e4")),
                                 "neg", "l_suppkey", "rk").drop("neg")
@@ -835,7 +841,8 @@ def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.first(F.col("t").cast("string").cast("double")))
     # coalesce(first(n), 0): on an EMPTY lineitem the oracle's scalar
     # subquery yields COUNT(*)=0 while first() over zero rows yields NULL
-    return (sel.agg(F.coalesce(F.first("n"), F.lit(0)).cast("long")
-                    .alias("n_suppliers"),
-                    F.count("*").cast("long").alias("n_top"),
-                    F.round(share, 6).alias("top_share")))
+    out = (sel.agg(F.coalesce(F.first("n"), F.lit(0)).cast("long")
+                   .alias("n_suppliers"),
+                   F.count("*").cast("long").alias("n_top"),
+                   F.round(share, 6).alias("top_share")))
+    return materialize_release(out, [rev])

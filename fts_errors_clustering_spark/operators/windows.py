@@ -1098,3 +1098,98 @@ def twa_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("string").cast("double")
                   / span.cast("double")).alias("twa_value"))
             .where(F.col("span_us") > 0))
+
+
+# --- round 6: ordered funnel conversion ---------------------------------------
+
+#: funnel step sequence: a user reaches step k+1 only with an event of
+#: that type STRICTLY AFTER their step-k time (min qualifying ts).
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "user_funnel_conversion",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > v.t1 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > c.t2 GROUP BY 1
+    ),
+    n AS (SELECT (SELECT COUNT(*) FROM v) AS n1,
+                 (SELECT COUNT(*) FROM c) AS n2,
+                 (SELECT COUNT(*) FROM p) AS n3)
+    SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+           CAST(n1 AS BIGINT) AS n_users,
+           CAST(NULL AS DOUBLE) AS conv_from_prev FROM n
+    UNION ALL
+    SELECT 2, '{FUNNEL_STEPS[1]}', CAST(n2 AS BIGINT),
+           CASE WHEN n1 = 0 THEN NULL
+                ELSE ROUND(CAST(n2 AS DOUBLE) / n1, 6) END FROM n
+    UNION ALL
+    SELECT 3, '{FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
+           CASE WHEN n2 = 0 THEN NULL
+                ELSE ROUND(CAST(n3 AS DOUBLE) / n2, 6) END FROM n
+    """,
+    tags=("windows", "funnel", "stats"),
+)
+def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: how many users progress {FUNNEL_STEPS[0]} ->
+    {FUNNEL_STEPS[1]} -> {FUNNEL_STEPS[2]}, each step requiring an event
+    of that type STRICTLY AFTER the user's previous-step time (min
+    qualifying timestamp) — the product-analytics conversion table, with
+    step-over-step rates. Ties at the exact boundary timestamp do not
+    advance the funnel (strict >), identically in both engines.
+
+    Scale: three type-filtered scans (the event_type predicate pushes to
+    the parquet dictionary, so each scan reads one type's row groups),
+    each aggregating straight to user cardinality; the step joins are
+    user-keyed between those aggregates — never an event-level self-join,
+    and no per-user event list is ever collected (the sorted-list funnel
+    breaks on power users at 100 TB; the min-time recurrence needs only
+    one timestamp of state per step)."""
+    ev = table(spark, sf_dir, "events")
+
+    def step_min(etype: str, after: DataFrame | None, tcol: str) -> DataFrame:
+        e = ev.where(F.col("event_type") == etype)
+        if after is not None:
+            prev = after.columns[1]
+            e = (e.join(after, "user_id")
+                 .where(F.col("ts") > F.col(prev)))
+        return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    v = step_min(FUNNEL_STEPS[0], None, "t1")
+    c = step_min(FUNNEL_STEPS[1], v, "t2")
+    p = step_min(FUNNEL_STEPS[2], c, "t3")
+    n = (v.agg(F.count("*").alias("n1"))
+         .crossJoin(p.agg(F.count("*").alias("n3")))
+         .crossJoin(c.agg(F.count("*").alias("n2"))))
+    conv = lambda num, den: F.when(
+        F.col(den) == 0, F.lit(None).cast("double")).otherwise(
+        F.round(F.col(num).cast("double") / F.col(den), 6))
+    rows = [
+        n.select(F.lit(1).alias("step"),
+                 F.lit(FUNNEL_STEPS[0]).alias("event_type"),
+                 F.col("n1").cast("long").alias("n_users"),
+                 F.lit(None).cast("double").alias("conv_from_prev")),
+        n.select(F.lit(2).alias("step"),
+                 F.lit(FUNNEL_STEPS[1]).alias("event_type"),
+                 F.col("n2").cast("long").alias("n_users"),
+                 conv("n2", "n1").alias("conv_from_prev")),
+        n.select(F.lit(3).alias("step"),
+                 F.lit(FUNNEL_STEPS[2]).alias("event_type"),
+                 F.col("n3").cast("long").alias("n_users"),
+                 conv("n3", "n2").alias("conv_from_prev")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

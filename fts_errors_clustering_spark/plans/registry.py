@@ -158,7 +158,7 @@ _HEAD = (
     # driver rows on first exposure.
     "lsa_features_rsvd",
     "streaming_cusum_tail", "streaming_interarrival_tail",
-    "supplier_revenue_pareto",
+    "supplier_revenue_pareto", "user_funnel_conversion",
     # REFRESH BATCH: the r01-only driver rows (latest evidence 5 rounds
     # old) whose implementing files moved most since — relational/
     # textprep/tfidf/clustering families. Local sf0.001 parity stays their
@@ -169,7 +169,7 @@ _HEAD = (
     "rollup_event_counts", "event_type_counts", "user_type_group_size",
     "cast_label_counts", "null_scan_fill", "json_props_flatten",
     "topn_semijoin_events", "top_events_by_value", "count_filtered_events",
-    "approx_distinct_and_quantiles", "distinct_documents",
+    "approx_distinct_and_quantiles",
     "top_customers_per_region", "revenue_by_region",
     "brand_revenue_by_nation", "late_shipment_orders",
     "customers_without_orders", "events_asof_latest_order",

@@ -130,6 +130,7 @@ QUERIES = [
     # round-6 additions
     "supplier_revenue_pareto",     # lineitem: two-phase rank + cum share
     "lsa_features_rsvd",           # documents: 3-pass randomized SVD
+    "user_funnel_conversion",      # events: 3 pruned scans, user-keyed steps
 ]
 
 

@@ -90,8 +90,14 @@ def oracle_compare(spark_df, duck_cur, sql: str, name: str = "?"):
 
     sidx = sorted(range(len(scols)), key=lambda i: scols[i].lower())
     didx = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
-    sset = sorted(tuple(_norm(r[i]) for i in sidx) for r in srows)
-    dset = sorted(tuple(_norm(r[i]) for i in didx) for r in drows)
+
+    # total order even with NULL cells (None < float comparisons raise);
+    # both sides sort under the same key, so the zip comparison is valid
+    def _key(t):
+        return tuple((v is None, str(type(v)), str(v)) for v in t)
+
+    sset = sorted((tuple(_norm(r[i]) for i in sidx) for r in srows), key=_key)
+    dset = sorted((tuple(_norm(r[i]) for i in didx) for r in drows), key=_key)
     for k, (a, b) in enumerate(zip(sset, dset)):
         assert a == b, (f"{name}: first row mismatch at sorted-row {k}:\n"
                         f"  spark={a}\n  duck ={b}")
