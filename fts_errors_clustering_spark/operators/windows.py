@@ -1169,27 +1169,18 @@ def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = step_min(FUNNEL_STEPS[0], None, "t1")
     c = step_min(FUNNEL_STEPS[1], v, "t2")
     p = step_min(FUNNEL_STEPS[2], c, "t3")
-    n = (v.agg(F.count("*").alias("n1"))
-         .crossJoin(p.agg(F.count("*").alias("n3")))
-         .crossJoin(c.agg(F.count("*").alias("n2"))))
-    conv = lambda num, den: F.when(
-        F.col(den) == 0, F.lit(None).cast("double")).otherwise(
-        F.round(F.col(num).cast("double") / F.col(den), 6))
-    rows = [
-        n.select(F.lit(1).alias("step"),
-                 F.lit(FUNNEL_STEPS[0]).alias("event_type"),
-                 F.col("n1").cast("long").alias("n_users"),
-                 F.lit(None).cast("double").alias("conv_from_prev")),
-        n.select(F.lit(2).alias("step"),
-                 F.lit(FUNNEL_STEPS[1]).alias("event_type"),
-                 F.col("n2").cast("long").alias("n_users"),
-                 conv("n2", "n1").alias("conv_from_prev")),
-        n.select(F.lit(3).alias("step"),
-                 F.lit(FUNNEL_STEPS[2]).alias("event_type"),
-                 F.col("n3").cast("long").alias("n_users"),
-                 conv("n3", "n2").alias("conv_from_prev")),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # one 1-row materialization (the knee_epsilon_value discipline): a
+    # 3-branch union of selects over the counts frame would replicate the
+    # whole funnel subtree per branch (measured 74 Exchange nodes); the
+    # counts are O(1), so collect once and emit the bounded 3-row table
+    # as a local relation. ROUND runs on bit-identical doubles both sides.
+    n1, n2, n3 = (v.agg(F.count("*"))
+                  .crossJoin(c.agg(F.count("*")))
+                  .crossJoin(p.agg(F.count("*"))).first())
+    conv = lambda num, den: (None if den == 0
+                             else round(float(num) / float(den), 6))
+    return spark.createDataFrame(
+        [(1, FUNNEL_STEPS[0], int(n1), None),
+         (2, FUNNEL_STEPS[1], int(n2), conv(n2, n1)),
+         (3, FUNNEL_STEPS[2], int(n3), conv(n3, n2))],
+        "step int, event_type string, n_users long, conv_from_prev double")

@@ -96,6 +96,10 @@ def test_document_and_event_queries_survive_nulls(spark, nulls_dir):
         "twa_value_per_user", "value_mad_outliers",
         "value_decile_histogram", "quality_retention_curve",
         "token_weighted_quality_quantiles", "rolling_7d_distinct_users",
+        # round-6 payload-facing additions (funnel touches only non-null
+        # contract columns but rides the probe as the cheapest regression
+        # net; rsvd fits on the null-bearing text corpus)
+        "user_funnel_conversion", "lsa_features_rsvd",
     ]
     qs = all_queries()
     failures = []
