@@ -166,6 +166,7 @@ HEADLINE = [
     # round 6
     "supplier_revenue_pareto",
     "user_funnel_conversion",
+    "k_anonymity_audit",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -256,3 +256,72 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (wide.select(rows.alias("kv"))
             .select("kv.column_name", "kv.n_rows", "kv.n_null",
                     "kv.n_distinct", "kv.min_value", "kv.max_value"))
+
+
+# --- round 6: privacy audit (k-anonymity / l-diversity) -----------------------
+
+#: privacy thresholds: a quasi-identifier group smaller than K_ANON is
+#: re-identifiable; a group whose sensitive attribute takes fewer than
+#: L_DIV distinct values leaks it by membership alone.
+K_ANON = 5
+L_DIV = 3
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS n,
+             COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS ldiv
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST({K_ANON} AS BIGINT) AS k,
+           CAST({L_DIV} AS BIGINT) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_k_violating_groups,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(SUM(CASE WHEN ldiv < {L_DIV} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_l_violating_groups,
+           ROUND(1.0 / MIN(n), 6) AS max_reident_risk
+    FROM g
+    """,
+    tags=("dq", "privacy", "audit"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a table feeds a training corpus: k-anonymity
+    (every quasi-identifier combination must describe >= k people) and
+    l-diversity (each QI group's SENSITIVE attribute must take >= l
+    distinct values, or group membership alone leaks it) over customer,
+    with QI = (nation, market segment) and sensitive = account-balance
+    band (floor/1000). One row: group count, worst group size, violation
+    counts, rows at re-identification risk, and the max re-identification
+    probability 1/min(n) — the governance twin of ``pii_audit_counts``
+    (that one finds PII in TEXT; this one measures STRUCTURED
+    linkability).
+
+    Scale: one map-side-combinable aggregate to QI-cardinality rows
+    (count + distinct-band count per group), then a bounded second
+    aggregate over those group rows — the profile-then-audit shape of
+    ``events_column_profile``; nothing row-level leaves the first
+    shuffle."""
+    cust = table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    g = (cust.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count("*").alias("n"),
+              F.countDistinct(band).alias("ldiv")))
+    return g.agg(
+        F.lit(K_ANON).cast("long").alias("k"),
+        F.lit(L_DIV).cast("long").alias("l"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("n").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("n") < K_ANON, 1).otherwise(0)).cast("long")
+         .alias("n_k_violating_groups"),
+        F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0))
+         .cast("long").alias("n_rows_at_risk"),
+        F.sum(F.when(F.col("ldiv") < L_DIV, 1).otherwise(0)).cast("long")
+         .alias("n_l_violating_groups"),
+        F.round(F.lit(1.0) / F.min("n"), 6).alias("max_reident_risk"))

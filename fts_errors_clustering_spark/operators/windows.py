@@ -298,6 +298,19 @@ def streaming_cusum_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hourly_cusum_stream(spark, sf_dir)
 
 
+@register("streaming_funnel_tail", oracle=None,
+          tags=("windows", "streaming", "stateful", "funnel"))
+def streaming_funnel_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``user_funnel_conversion``'s streaming twin: a per-user stage
+    machine (``applyInPandasWithState``, state = stages completed + last
+    step time) over the month replayed as chronological daily
+    micro-batches, emitting one row per stage advance; stage-advance
+    counts assemble the same bounded conversion table. Rows-only in the
+    driver; batch/stream EQUALITY asserted in tests/test_streaming.py."""
+    from ..streaming.jobs import run_funnel_stream
+    return run_funnel_stream(spark, sf_dir)
+
+
 @register("streaming_stateful_dedup", oracle=None,
           tags=("windows", "streaming", "stateful"))
 def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

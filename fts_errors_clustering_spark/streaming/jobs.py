@@ -631,3 +631,81 @@ def run_hourly_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = spark.table(name)
     mat = spark.createDataFrame(_guarded_collect(rows), schema=rows.schema)
     return cusum_tail(mat)
+
+
+FUNNEL_OUT_SCHEMA = "user_id long, stage long"
+FUNNEL_STATE_SCHEMA = "stage long, t_us long"
+
+
+def _funnel_walk(key, pdfs, state):
+    """applyInPandasWithState hook for one user: a stage machine over the
+    chronological event stream. State = (stages completed, time of the
+    last completed step); a row advances the machine iff it is the NEXT
+    step's type and strictly after the last step time — exactly the batch
+    operator's min-qualifying-time recurrence, because the walk runs in
+    (ts, event_id) order and takes the FIRST qualifying event. Emits one
+    (user_id, stage) row per advance; a user advances to each stage at
+    most once across all micro-batches, so counting emitted rows per
+    stage IS the funnel table."""
+    import pandas as pd
+
+    from ..operators.windows import FUNNEL_STEPS
+    parts = [p for p in pdfs if len(p)]
+    if not parts:
+        return
+    pdf = (pd.concat(parts) if len(parts) > 1 else parts[0]).sort_values(
+        ["us", "event_id"])
+    stage, t_us = state.get if state.exists else (0, -1)
+    advanced = []
+    for et, us in zip(pdf["event_type"], pdf["us"]):
+        if stage >= len(FUNNEL_STEPS):
+            break
+        if et == FUNNEL_STEPS[stage] and (stage == 0 or us > t_us):
+            stage += 1
+            t_us = int(us)
+            advanced.append(stage)
+    state.update((int(stage), int(t_us)))
+    if advanced:
+        yield pd.DataFrame({"user_id": [key[0]] * len(advanced),
+                            "stage": advanced})
+
+
+def run_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``operators.windows.user_funnel_conversion``: the
+    ordered view->click->purchase funnel maintained as per-user state over
+    the month replayed as chronological daily micro-batches. The memory
+    sink collects stage-advance events; the bounded 3-row conversion
+    table is assembled exactly as the batch operator assembles it, so the
+    pytest equality gate isolates the stateful stage machine."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.windows import FUNNEL_STEPS
+    staged = _stage_events_daily(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(staged))
+    keyed = stream.select("user_id", "event_id", "event_type",
+                          F.unix_micros("ts").alias("us"))
+    adv = (keyed.groupBy("user_id")
+           .applyInPandasWithState(
+               _funnel_walk, FUNNEL_OUT_SCHEMA, FUNNEL_STATE_SCHEMA,
+               "append", GroupStateTimeout.NoTimeout))
+    name = "funnel_" + uuid.uuid4().hex[:12]
+    q = (adv.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name)
+    mat = spark.createDataFrame(_guarded_collect(rows), schema=rows.schema)
+    counts = {r["stage"]: r["n"] for r in
+              mat.groupBy("stage").agg(F.count("*").alias("n")).collect()}
+    n1, n2, n3 = (counts.get(1, 0), counts.get(2, 0), counts.get(3, 0))
+    conv = lambda num, den: (None if den == 0
+                             else round(float(num) / float(den), 6))
+    return spark.createDataFrame(
+        [(1, FUNNEL_STEPS[0], int(n1), None),
+         (2, FUNNEL_STEPS[1], int(n2), conv(n2, n1)),
+         (3, FUNNEL_STEPS[2], int(n3), conv(n3, n2))],
+        "step int, event_type string, n_users long, conv_from_prev double")

@@ -271,3 +271,18 @@ def test_streaming_cusum_equals_batch(spark):
     assert batch == stream or (
         batch.keys() == stream.keys()
         and all(batch[k] == stream[k] for k in batch))
+
+
+def test_streaming_funnel_equals_batch(spark):
+    """The per-user stage machine (state carried across chronological
+    micro-batches) must reproduce the batch funnel's min-qualifying-time
+    recurrence exactly — same step counts, same conversions."""
+    from fts_errors_clustering_spark.operators.windows import \
+        user_funnel_conversion
+    from fts_errors_clustering_spark.streaming.jobs import run_funnel_stream
+    batch = {r.step: r for r in
+             user_funnel_conversion(spark, SF_SMALL).collect()}
+    stream = {r.step: r for r in run_funnel_stream(spark, SF_SMALL).collect()}
+    assert batch.keys() == stream.keys()
+    for k in batch:
+        assert batch[k] == stream[k], f"step {k}: {batch[k]} != {stream[k]}"
