@@ -1142,14 +1142,14 @@ FUNNEL_STEPS = ("view", "click", "purchase")
                  (SELECT COUNT(*) FROM p) AS n3)
     SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
            CAST(n1 AS BIGINT) AS n_users,
-           CAST(NULL AS DOUBLE) AS conv_from_prev FROM n
+           CASE WHEN n1 = 0 THEN 0.0 ELSE 1.0 END AS conv_from_prev FROM n
     UNION ALL
     SELECT 2, '{FUNNEL_STEPS[1]}', CAST(n2 AS BIGINT),
-           CASE WHEN n1 = 0 THEN NULL
+           CASE WHEN n1 = 0 THEN 0.0
                 ELSE ROUND(CAST(n2 AS DOUBLE) / n1, 6) END FROM n
     UNION ALL
     SELECT 3, '{FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
-           CASE WHEN n2 = 0 THEN NULL
+           CASE WHEN n2 = 0 THEN 0.0
                 ELSE ROUND(CAST(n3 AS DOUBLE) / n2, 6) END FROM n
     """,
     tags=("windows", "funnel", "stats"),
@@ -1190,10 +1190,14 @@ def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1, n2, n3 = (v.agg(F.count("*"))
                   .crossJoin(c.agg(F.count("*")))
                   .crossJoin(p.agg(F.count("*"))).first())
-    conv = lambda num, den: (None if den == 0
+    # all-defined conversions (no NULL cells: a NULL crashes naive row
+    # sorters in downstream canonicalizers): step 1 converts from its own
+    # population (1.0, or 0.0 on an empty funnel); an empty previous step
+    # reports 0.0
+    conv = lambda num, den: (0.0 if den == 0
                              else round(float(num) / float(den), 6))
     return spark.createDataFrame(
-        [(1, FUNNEL_STEPS[0], int(n1), None),
+        [(1, FUNNEL_STEPS[0], int(n1), 1.0 if n1 else 0.0),
          (2, FUNNEL_STEPS[1], int(n2), conv(n2, n1)),
          (3, FUNNEL_STEPS[2], int(n3), conv(n3, n2))],
         "step int, event_type string, n_users long, conv_from_prev double")

@@ -702,10 +702,11 @@ def run_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = {r["stage"]: r["n"] for r in
               mat.groupBy("stage").agg(F.count("*").alias("n")).collect()}
     n1, n2, n3 = (counts.get(1, 0), counts.get(2, 0), counts.get(3, 0))
-    conv = lambda num, den: (None if den == 0
+    # same all-defined conversion convention as the batch operator
+    conv = lambda num, den: (0.0 if den == 0
                              else round(float(num) / float(den), 6))
     return spark.createDataFrame(
-        [(1, FUNNEL_STEPS[0], int(n1), None),
+        [(1, FUNNEL_STEPS[0], int(n1), 1.0 if n1 else 0.0),
          (2, FUNNEL_STEPS[1], int(n2), conv(n2, n1)),
          (3, FUNNEL_STEPS[2], int(n3), conv(n3, n2))],
         "step int, event_type string, n_users long, conv_from_prev double")

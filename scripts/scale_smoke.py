@@ -131,6 +131,7 @@ QUERIES = [
     "supplier_revenue_pareto",     # lineitem: two-phase rank + cum share
     "lsa_features_rsvd",           # documents: 3-pass randomized SVD
     "user_funnel_conversion",      # events: 3 pruned scans, user-keyed steps
+    "k_anonymity_audit",           # customer: one QI aggregate + audit fold
 ]
 
 
