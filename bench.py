@@ -167,6 +167,7 @@ HEADLINE = [
     "supplier_revenue_pareto",
     "user_funnel_conversion",
     "k_anonymity_audit",
+    "histogram_quantile_rollup",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -846,3 +846,99 @@ def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").cast("long").alias("n_top"),
                    F.round(share, 6).alias("top_share")))
     return materialize_release(out, [rev])
+
+
+# --- round 6: mergeable histogram-quantile rollup ------------------------------
+
+#: histogram geometry for the quantile rollup: equi-width bins over the
+#: value domain. Deterministic (no data-dependent boundaries), so daily
+#: states from different shards/engines merge bit-identically — the
+#: property a data-dependent t-digest only has approximately.
+HQ_BIN_W = 2.0
+
+
+@register(
+    "histogram_quantile_rollup",
+    oracle=f"""
+    WITH binned AS (
+      SELECT date_trunc('week', ts) AS week,
+             CAST(FLOOR(value / {HQ_BIN_W}) AS BIGINT) AS bin,
+             COUNT(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT week, SUM(c) AS n FROM binned GROUP BY week),
+    cum AS (
+      SELECT b.week, b.bin, t.n,
+             SUM(b.c) OVER (PARTITION BY b.week ORDER BY b.bin
+                            ROWS UNBOUNDED PRECEDING) AS cw
+      FROM binned b JOIN tot t USING (week)
+    ),
+    med AS (
+      SELECT week, CAST(MIN(bin) AS BIGINT) AS median_bin,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM cum WHERE 2 * cw >= n GROUP BY week
+    ),
+    exact AS (
+      SELECT date_trunc('week', ts) AS week,
+             quantile_cont(value, 0.5) AS exact_median
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(m.week AS TIMESTAMP) AS week, m.n,
+           m.median_bin,
+           ROUND(m.median_bin * {HQ_BIN_W} + {HQ_BIN_W} / 2, 6)
+             AS approx_median,
+           ROUND(e.exact_median, 6) AS exact_median,
+           ABS(m.median_bin * {HQ_BIN_W} + {HQ_BIN_W} / 2 - e.exact_median)
+             <= {HQ_BIN_W} AS within_bin_bound
+    FROM med m JOIN exact e USING (week)
+    """,
+    tags=("scale", "sketch", "rollup", "approx"),
+)
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup — the quantile analogue of
+    ``hll_rollup_daily_users``: per-DAY equi-width histogram states of
+    ``events.value`` are merged up to weeks by plain count addition, and
+    the weekly median is read off the merged histogram's cumulative walk.
+    The oracle bins the raw events into weeks DIRECTLY (no daily step),
+    so the value-hash match IS the proof that
+    ``merge(daily states) == rebin(all)`` — the re-aggregability every
+    quantile-rollup tier relies on, exact here because equi-width bin
+    assignment is a pure function of the value (a t-digest's
+    data-dependent centroids only merge approximately). The exact weekly
+    median rides along with a ``within_bin_bound`` verdict, so the row
+    certifies the sketch's error bound, not just its internal
+    consistency.
+
+    Scale: the daily state is |days| x |occupied bins| rows (map-side
+    combinable); the weekly merge re-aggregates states, never raw events;
+    the cumulative walk runs per week over <=(domain/width) bins. At
+    100 TB the daily states are a stored table and each refresh touches
+    one day — the ``incremental_agg_maintenance`` deployment shape, for
+    medians."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day_state = (ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor(F.col("value") / HQ_BIN_W).cast("long").alias("bin"))
+        .agg(F.count("*").alias("c")))
+    weekly = (day_state.groupBy(
+        F.date_trunc("week", "day").alias("week"), "bin")
+        .agg(F.sum("c").alias("c")))
+    tot = weekly.groupBy("week").agg(F.sum("c").alias("n"))
+    wcum = (Window.partitionBy("week").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (weekly.join(F.broadcast(tot), "week")
+           .withColumn("cw", F.sum("c").over(wcum)))
+    med = (cum.where(2 * F.col("cw") >= F.col("n"))
+           .groupBy("week")
+           .agg(F.min("bin").cast("long").alias("median_bin"),
+                F.max("n").cast("long").alias("n")))
+    exact = (ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+             .agg(F.expr("percentile(value, 0.5)").alias("exact_median")))
+    approx = F.col("median_bin") * HQ_BIN_W + HQ_BIN_W / 2
+    return (med.join(exact, "week")
+            .select("week", "n", "median_bin",
+                    F.round(approx, 6).alias("approx_median"),
+                    F.round("exact_median", 6).alias("exact_median"),
+                    (F.abs(approx - F.col("exact_median")) <= HQ_BIN_W)
+                    .alias("within_bin_bound")))

@@ -160,6 +160,7 @@ _HEAD = (
     "streaming_cusum_tail", "streaming_interarrival_tail",
     "supplier_revenue_pareto", "user_funnel_conversion",
     "k_anonymity_audit", "streaming_funnel_tail",
+    "histogram_quantile_rollup",
     # REFRESH BATCH: the r01-only driver rows (latest evidence 5 rounds
     # old) whose implementing files moved most since — relational/
     # textprep/tfidf/clustering families. Local sf0.001 parity stays their
@@ -169,7 +170,6 @@ _HEAD = (
     "value_decile_summary", "crosstab_priority_status",
     "rollup_event_counts", "event_type_counts", "user_type_group_size",
     "cast_label_counts", "null_scan_fill", "json_props_flatten",
-    "topn_semijoin_events",
     "approx_distinct_and_quantiles",
     "top_customers_per_region", "revenue_by_region",
     "brand_revenue_by_nation", "late_shipment_orders",

@@ -132,6 +132,7 @@ QUERIES = [
     "lsa_features_rsvd",           # documents: 3-pass randomized SVD
     "user_funnel_conversion",      # events: 3 pruned scans, user-keyed steps
     "k_anonymity_audit",           # customer: one QI aggregate + audit fold
+    "histogram_quantile_rollup",   # events: day states -> week merge walk
 ]
 
 
