@@ -505,3 +505,33 @@ def test_retention_curve_and_weighted_quantiles_invariants(spark):
                 want = qual
                 break
         assert row.weighted_quality == want
+
+
+def test_histogram_quantile_rollup_bound_and_merge(spark):
+    """The rollup's within_bin_bound verdict must hold on every week (the
+    approx median from the merged daily states sits within one bin width
+    of the exact median), and the approx median must equal the bin-center
+    formula exactly — pinned against a numpy recomputation from the raw
+    fixture."""
+    import numpy as np
+
+    from fts_errors_clustering_spark.operators.scale import (
+        HQ_BIN_W, histogram_quantile_rollup)
+    from fts_errors_clustering_spark.sources.readers import table
+
+    rows = histogram_quantile_rollup(spark, SF_SMALL).collect()
+    assert rows
+    ev = (table(spark, SF_SMALL, "events")
+          .where("value is not null")
+          .selectExpr("date_trunc('week', ts) AS week", "value").collect())
+    by_week = {}
+    for r in ev:
+        by_week.setdefault(r.week, []).append(r.value)
+    for r in rows:
+        assert r.within_bin_bound, r
+        assert abs(r.approx_median
+                   - (r.median_bin * HQ_BIN_W + HQ_BIN_W / 2)) < 1e-9
+        vals = np.array(by_week[r.week])
+        assert len(vals) == r.n
+        # numpy exact median within the same bound (independent formula)
+        assert abs(float(np.median(vals)) - r.approx_median) <= HQ_BIN_W + 1e-9
