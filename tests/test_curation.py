@@ -317,3 +317,35 @@ def test_column_profile_bounds(spark):
         assert 0 <= r.n_distinct <= r.n_rows - r.n_null
         if r.min_value is not None:
             assert r.min_value <= r.max_value
+
+
+def test_cc_chain_graph_log_rounds_and_release(spark):
+    """Chaos twin of the DBSCAN chain test for the dedup connected
+    components: a 4096-node path must resolve to one component within the
+    pointer-halving round budget (max_iter=18 << n-1), AND the loop's
+    round-release discipline must leave nothing pinned beyond the final
+    consumer-registered checkpoint — released here as the consumer."""
+    from pyspark.sql import functions as F
+
+    from fts_errors_clustering_spark.operators.dedup import \
+        min_label_components
+    from fts_errors_clustering_spark.plans.registry import \
+        release_consumer_caches
+
+    def persist_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = persist_ids()
+    n = 4096
+    fwd = (spark.range(n - 1)
+           .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b")))
+    edges = fwd.unionByName(fwd.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b")))
+    ids = spark.range(n).select(F.col("id"))
+    comp = min_label_components(ids, edges, max_iter=18)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert all(r.component == 0 for r in rows)
+    release_consumer_caches()
+    assert persist_ids() == before
