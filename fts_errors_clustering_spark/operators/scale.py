@@ -921,6 +921,17 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("day"),
         F.floor(F.col("value") / HQ_BIN_W).cast("long").alias("bin"))
         .agg(F.count("*").alias("c")))
+    exact = (ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+             .agg(F.expr("percentile(value, 0.5)").alias("exact_median")))
+    return hq_rollup_tail(day_state, exact)
+
+
+def hq_rollup_tail(day_state: DataFrame, exact: DataFrame) -> DataFrame:
+    """Merge per-day histogram states to weeks and read the median off the
+    cumulative walk — shared tail of the batch operator above and its
+    streaming twin (``streaming_hq_rollup_tail``, which maintains the
+    daily states with a watermarked streaming aggregate and hands the
+    MATERIALIZED states here)."""
     weekly = (day_state.groupBy(
         F.date_trunc("week", "day").alias("week"), "bin")
         .agg(F.sum("c").alias("c")))
@@ -933,8 +944,6 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("week")
            .agg(F.min("bin").cast("long").alias("median_bin"),
                 F.max("n").cast("long").alias("n")))
-    exact = (ev.groupBy(F.date_trunc("week", "ts").alias("week"))
-             .agg(F.expr("percentile(value, 0.5)").alias("exact_median")))
     approx = F.col("median_bin") * HQ_BIN_W + HQ_BIN_W / 2
     return (med.join(exact, "week")
             .select("week", "n", "median_bin",

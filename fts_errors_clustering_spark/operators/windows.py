@@ -298,6 +298,19 @@ def streaming_cusum_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hourly_cusum_stream(spark, sf_dir)
 
 
+@register("streaming_hq_rollup_tail", oracle=None,
+          tags=("windows", "streaming", "sketch", "rollup"))
+def streaming_hq_rollup_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``histogram_quantile_rollup``'s streaming twin: the mergeable
+    per-day histogram states maintained by a watermarked streaming
+    aggregate over ordered daily micro-batches; week merge + median walk
+    batch-side over the materialized states (``scale.hq_rollup_tail``).
+    Rows-only in the driver; batch/stream EQUALITY asserted in
+    tests/test_streaming.py."""
+    from ..streaming.jobs import run_hq_rollup_stream
+    return run_hq_rollup_stream(spark, sf_dir)
+
+
 @register("streaming_funnel_tail", oracle=None,
           tags=("windows", "streaming", "stateful", "funnel"))
 def streaming_funnel_tail(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -710,3 +710,40 @@ def run_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
          (2, FUNNEL_STEPS[1], int(n2), conv(n2, n1)),
          (3, FUNNEL_STEPS[2], int(n3), conv(n3, n2))],
         "step int, event_type string, n_users long, conv_from_prev double")
+
+
+def run_hq_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``operators.scale.histogram_quantile_rollup``:
+    the per-day histogram STATES (day x bin counts — the mergeable sketch)
+    are maintained by a watermarked streaming aggregate as the ordered
+    daily slices drain; the week merge + median walk then runs batch-side
+    over the stream-maintained states (``scale.hq_rollup_tail``), exactly
+    the aggregate-in-stream / scan-in-batch split of the CUSUM twin. The
+    exact-median comparison column is computed batch-side from the staged
+    data — it exists to certify the sketch's bound, not as stream state."""
+    from ..operators.scale import HQ_BIN_W, hq_rollup_tail
+    staged = _stage_events_daily(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(staged)
+              .where(F.col("value").isNotNull()))
+    day_state = (stream
+                 .withWatermark("ts", "25 hours")
+                 .groupBy(F.window("ts", "1 day").alias("w"),
+                          F.floor(F.col("value") / HQ_BIN_W).cast("long")
+                           .alias("bin"))
+                 .agg(F.count("*").alias("c"))
+                 .select(F.col("w.start").alias("day"), "bin", "c"))
+    name = "hq_" + uuid.uuid4().hex[:12]
+    q = (day_state.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name)
+    mat = spark.createDataFrame(_guarded_collect(rows), schema=rows.schema)
+    ev = spark.read.parquet(staged).where(F.col("value").isNotNull())
+    exact = (ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+             .agg(F.expr("percentile(value, 0.5)").alias("exact_median")))
+    return hq_rollup_tail(mat, exact)

@@ -286,3 +286,17 @@ def test_streaming_funnel_equals_batch(spark):
     assert batch.keys() == stream.keys()
     for k in batch:
         assert batch[k] == stream[k], f"step {k}: {batch[k]} != {stream[k]}"
+
+
+def test_streaming_hq_rollup_equals_batch(spark):
+    """The stream-maintained daily histogram states fed through the shared
+    merge/median tail must equal the batch rollup exactly."""
+    from fts_errors_clustering_spark.operators.scale import \
+        histogram_quantile_rollup
+    from fts_errors_clustering_spark.streaming.jobs import run_hq_rollup_stream
+    batch = {r.week: r for r in
+             histogram_quantile_rollup(spark, SF_SMALL).collect()}
+    stream = {r.week: r for r in run_hq_rollup_stream(spark, SF_SMALL).collect()}
+    assert batch.keys() == stream.keys()
+    for k in batch:
+        assert batch[k] == stream[k], f"{k}: {batch[k]} != {stream[k]}"
