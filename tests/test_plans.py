@@ -410,6 +410,14 @@ _EXCHANGE_BUDGET = {
     "quality_retention_curve": 6,
     "token_weighted_quality_quantiles": 12,
     "revenue_autocorrelation": 8,
+    # round 6: pareto/funnel return bounded LOCAL relations by design
+    # (materialize_release / O(1) driver assembly) — a nonzero count here
+    # means the release regressed; the audit is one QI aggregate + fold;
+    # the rollup is day-state agg -> week merge -> walk -> exact join
+    "supplier_revenue_pareto": 0,
+    "user_funnel_conversion": 0,
+    "k_anonymity_audit": 6,
+    "histogram_quantile_rollup": 18,
 }
 
 
