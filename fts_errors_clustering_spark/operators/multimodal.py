@@ -226,3 +226,77 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a per-frame relation ready for downstream feature joins."""
     docs = table(spark, sf_dir, "documents")
     return with_payload(docs).mapInPandas(sample_frames, FRAME_SCHEMA)
+
+
+# --- round 6: audio-shaped payload features -----------------------------------
+
+#: fake-waveform geometry: bytes reinterpreted as 8-bit PCM samples
+AUDIO_SAMPLE_RATE = 8000
+AUDIO_FRAME = 256  # samples per analysis frame (32 ms at 8 kHz)
+
+AUDIO_SCHEMA = ("doc_id long, n_samples long, duration_s double, "
+                "rms double, zero_cross_rate double, n_frames long, "
+                "max_frame_rms double")
+
+
+def decode_audio(payload: bytes):
+    """REAL decode stub: no audio codec (ffmpeg/soundfile) ships in this
+    environment. A production build plugs the codec here; the Spark-side
+    contract (bytes in, float waveform out) is what the pipeline tests."""
+    raise NotImplementedError(
+        "audio codec not available in this environment; "
+        "use the deterministic PCM reinterpretation in extract_audio")
+
+
+def extract_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas audio featurizer: per Arrow batch, reinterpret each
+    payload as centered 8-bit PCM and compute duration, full-signal RMS,
+    zero-crossing rate, and framewise peak RMS (the VAD/clipping-screen
+    statistics an audio-curation pass gates on). All numpy per payload —
+    no per-row Python beyond the batch loop, no driver collect."""
+    import numpy as np
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "n_samples", "duration_s", "rms",
+                               "zero_cross_rate", "n_frames",
+                               "max_frame_rms")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            x = (np.frombuffer(bytes(payload), dtype=np.uint8)
+                 .astype(np.float64) - 128.0)
+            n = int(len(x))
+            out["doc_id"].append(int(doc_id))
+            out["n_samples"].append(n)
+            out["duration_s"].append(round(n / AUDIO_SAMPLE_RATE, 6))
+            if n == 0:
+                out["rms"].append(0.0)
+                out["zero_cross_rate"].append(0.0)
+                out["n_frames"].append(0)
+                out["max_frame_rms"].append(0.0)
+                continue
+            out["rms"].append(round(float(np.sqrt(np.mean(x * x))) / 128.0, 6))
+            zc = (np.signbit(x[1:]) != np.signbit(x[:-1])).mean() if n > 1 else 0.0
+            out["zero_cross_rate"].append(round(float(zc), 6))
+            k = n // AUDIO_FRAME
+            out["n_frames"].append(k)
+            if k:
+                fr = x[:k * AUDIO_FRAME].reshape(k, AUDIO_FRAME)
+                frms = np.sqrt((fr * fr).mean(axis=1)) / 128.0
+                out["max_frame_rms"].append(round(float(frms.max()), 6))
+            else:
+                out["max_frame_rms"].append(0.0)
+        yield pd.DataFrame(out)
+
+
+@register("multimodal_audio_features", oracle=None,
+          tags=("multimodal", "audio", "mapinpandas"))
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped member of the multimodal family: the binary payload
+    treated as an 8-bit PCM waveform, featurized per Arrow batch
+    (duration / RMS / zero-crossing rate / framewise peak — the curation
+    screen for silence, clipping, and synthetic tones). Codec stubbed
+    like the image path (``decode_audio`` raises; the deterministic PCM
+    reinterpretation keeps schema, batching, and the numpy hot path
+    real). Rows-only in the driver; determinism and physical invariants
+    pinned in tests/test_streaming.py's multimodal block."""
+    docs = table(spark, sf_dir, "documents")
+    pay = with_payload(docs).select("doc_id", "payload")
+    return pay.mapInPandas(extract_audio, AUDIO_SCHEMA)

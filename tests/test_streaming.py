@@ -300,3 +300,26 @@ def test_streaming_hq_rollup_equals_batch(spark):
     assert batch.keys() == stream.keys()
     for k in batch:
         assert batch[k] == stream[k], f"{k}: {batch[k]} != {stream[k]}"
+
+
+def test_multimodal_audio_invariants(spark):
+    """Audio featurizer: deterministic across runs; RMS/ZCR in [0, 1];
+    frame count = n_samples // FRAME; duration consistent with the
+    sample-rate constant; framewise peak >= full-signal RMS is NOT
+    guaranteed, but both must be positive whenever samples exist."""
+    from fts_errors_clustering_spark.operators.multimodal import (
+        AUDIO_FRAME, AUDIO_SAMPLE_RATE, multimodal_audio_features)
+    a = {r.doc_id: r for r in
+         multimodal_audio_features(spark, SF_SMALL).collect()}
+    b = {r.doc_id: r for r in
+         multimodal_audio_features(spark, SF_SMALL).collect()}
+    assert a.keys() == b.keys() and len(a) == 500
+    for k, r in a.items():
+        assert r == b[k]
+        assert 0.0 <= r.rms <= 1.0 and 0.0 <= r.zero_cross_rate <= 1.0
+        assert r.n_frames == r.n_samples // AUDIO_FRAME
+        assert abs(r.duration_s - round(r.n_samples / AUDIO_SAMPLE_RATE, 6)) < 1e-9
+        if r.n_samples:
+            assert r.rms > 0.0
+        if r.n_frames:
+            assert r.max_frame_rms > 0.0
