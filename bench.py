@@ -168,6 +168,7 @@ HEADLINE = [
     "user_funnel_conversion",
     "k_anonymity_audit",
     "histogram_quantile_rollup",
+    "multimodal_audio_features",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and

@@ -133,6 +133,7 @@ QUERIES = [
     "user_funnel_conversion",      # events: 3 pruned scans, user-keyed steps
     "k_anonymity_audit",           # customer: one QI aggregate + audit fold
     "histogram_quantile_rollup",   # events: day states -> week merge walk
+    "multimodal_audio_features",   # documents: Arrow-batched PCM featurize
 ]
 
 
