@@ -336,6 +336,10 @@ def test_cc_chain_graph_log_rounds_and_release(spark):
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         return {int(k) for k in jmap.keySet().toArray()}
 
+    # snapshot a CLEAN baseline: earlier tests in the session may have
+    # materialized queries directly (outside the parity gate) and left
+    # consumer-scoped caches awaiting acknowledgement
+    release_consumer_caches()
     before = persist_ids()
     n = 4096
     fwd = (spark.range(n - 1)
