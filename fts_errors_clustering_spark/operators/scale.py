@@ -836,15 +836,20 @@ def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count("*").alias("n"))
     sel = (cum.crossJoin(F.broadcast(tot))
            .where(5 * (F.col("cum") - F.col("rev_e4")) < 4 * F.col("t")))
-    share = (F.sum(F.col("rev_e4").cast("decimal(27,0)"))
-             .cast("string").cast("double")
-             / F.first(F.col("t").cast("string").cast("double")))
-    # coalesce(first(n), 0): on an EMPTY lineitem the oracle's scalar
-    # subquery yields COUNT(*)=0 while first() over zero rows yields NULL
-    out = (sel.agg(F.coalesce(F.first("n"), F.lit(0)).cast("long")
-                   .alias("n_suppliers"),
-                   F.count("*").cast("long").alias("n_top"),
-                   F.round(share, 6).alias("top_share")))
+    # n_suppliers comes from the broadcast TOTALS frame, mirroring the
+    # oracle's scalar subquery: deriving it as first('n') over sel would
+    # report 0 on any input where sel is empty but suppliers exist
+    # (all-zero revenue) — an engine-parity break on degenerate data
+    top = sel.agg(
+        F.count("*").cast("long").alias("n_top"),
+        F.sum(F.col("rev_e4").cast("decimal(27,0)"))
+        .cast("string").cast("double").alias("sel_rev"))
+    out = (top.crossJoin(F.broadcast(tot))
+           .select(F.col("n").cast("long").alias("n_suppliers"),
+                   "n_top",
+                   F.round(F.col("sel_rev")
+                           / F.col("t").cast("string").cast("double"),
+                           6).alias("top_share")))
     return materialize_release(out, [rev])
 
 
@@ -857,9 +862,9 @@ def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 HQ_BIN_W = 2.0
 
 
-@register(
-    "histogram_quantile_rollup",
-    oracle=f"""
+#: shared by the batch rollup and its streaming twin (stream-maintained
+#: daily states through the same hq_rollup_tail — pytest equality gate).
+HQ_ROLLUP_ORACLE = f"""
     WITH binned AS (
       SELECT date_trunc('week', ts) AS week,
              CAST(FLOOR(value / {HQ_BIN_W}) AS BIGINT) AS bin,
@@ -892,7 +897,12 @@ HQ_BIN_W = 2.0
            ABS(m.median_bin * {HQ_BIN_W} + {HQ_BIN_W} / 2 - e.exact_median)
              <= {HQ_BIN_W} AS within_bin_bound
     FROM med m JOIN exact e USING (week)
-    """,
+    """
+
+
+@register(
+    "histogram_quantile_rollup",
+    oracle=HQ_ROLLUP_ORACLE,
     tags=("scale", "sketch", "rollup", "approx"),
 )
 def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,9 +916,19 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile-rollup tier relies on, exact here because equi-width bin
     assignment is a pure function of the value (a t-digest's
     data-dependent centroids only merge approximately). The exact weekly
-    median rides along with a ``within_bin_bound`` verdict, so the row
-    certifies the sketch's error bound, not just its internal
-    consistency.
+    median rides along with a ``within_bin_bound`` verdict. The verdict
+    is a REPORTED observation, not an invariant: the one-bin-width bound
+    on the interpolated median is provable only for odd-count weeks
+    (where the median is the ceil(n/2)-th element, which lives in
+    ``median_bin`` by construction); for even counts the midpoint of the
+    two middle values can sit above the bound on adversarial data.
+
+    Deployed shape: the ``exact_median`` rider (``percentile(value,
+    0.5)`` over RAW events per week) is the only non-mergeable piece of
+    this plan and exists purely as a test-time audit — at 100 TB it would
+    cost more than the sketch it certifies, so production drops it (or
+    samples a few weeks for spot-audit) and reads ONLY the mergeable
+    daily states.
 
     Scale: the daily state is |days| x |occupied bins| rows (map-side
     combinable); the weekly merge re-aggregates states, never raw events;

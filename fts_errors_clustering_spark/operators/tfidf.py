@@ -413,6 +413,13 @@ def lsa_svd_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: subspace capture within O(1/sqrt(p)) of optimal for decaying spectra).
 RSVD_OVERSAMPLE = 8
 RSVD_SEED = 42
+
+#: flush the sparse accumulation block when it holds this many nonzeros:
+#: peak per-flush memory is O(nnz * l) for the expanded contribution
+#: matrix (262144 * 33 * 8 B ~ 69 MB at k=25), INDEPENDENT of the vocab
+#: dimension d — the dense 1024 x d block this replaces was ~8 GB at the
+#: web-scale vocab (d ~ 1e6) the tier exists for.
+RSVD_FLUSH_NNZ = 262_144
 #: subspace-iteration steps (q): 0 suffices for fast-decaying spectra; 1
 #: recovers flat topic blocks (see fit_lsa_rsvd docstring). Each step is
 #: one extra fused pass over X.
@@ -451,13 +458,16 @@ def fit_lsa_rsvd(features_df: DataFrame, k: int, id_col: str = "doc_id",
     Memory: executors and driver hold O(d*l) (vs the gram tier's O(d^2))
     — at vocab 1M, k=25, that is ~260 MB vs 8 TB; beyond ~10M vocab the
     treeReduce of T should become a term-keyed DataFrame aggregate, the
-    only remaining driver-bound piece. Cost: (2 + power_iters) passes
+    only remaining driver-bound piece. The streaming accumulation is
+    SPARSE end-to-end (CSR-style flush blocks capped at RSVD_FLUSH_NNZ
+    nonzeros -> O(nnz*l) peak, and the final projection gathers V rows
+    at each vector's nonzeros) — no step materializes a rows x d dense
+    block, which at d=1e6 was ~8 GB per 1024-row flush. Cost: (2 + power_iters) passes
     over X. tests/test_tfidf.py pins the captured energy against the
     exact tier and determinism under the fixed seed.
 
     Returns (reduced_df(id_col, lsa_rsvd array<double>), explained)."""
     import numpy as np
-    import pandas as pd
 
     sc = features_df.sparkSession.sparkContext
     d = features_df.select(input_col).first()[0].size
@@ -465,28 +475,70 @@ def fit_lsa_rsvd(features_df: DataFrame, k: int, id_col: str = "doc_id",
     rows = features_df.select(id_col, input_col).rdd
 
     def one_pass(bOm):
-        """Accumulate (G_Y, T, ||X||_F^2) for Omega = bOm.value."""
+        """Accumulate (G_Y, T, ||X||_F^2) for Omega = bOm.value.
+
+        SPARSE accumulation (the rows are ~99% sparse TF-IDF vectors):
+        each flush block is CSR-style flat (data, indices, indptr) capped
+        at RSVD_FLUSH_NNZ nonzeros, so peak block memory is O(nnz * l) —
+        never the O(rows * d) dense block that would be ~8 GB per flush
+        at vocab 1e6. numpy-only kernels (no scipy in the runtime):
+        Y = X @ Om via add.reduceat over the row-sorted contribution
+        matrix; T += X^T Y via one bincount per projection column."""
         def part_stats(it):
             Om = bOm.value
             GY = np.zeros((l, l))
             T = np.zeros((d, l))
             frob2 = 0.0
-            batch: list = []
+            dat: list = []
+            idx: list = []
+            indptr = [0]
+            nnz = 0
 
-            def flush(batch, GY, T, frob2):
-                X = np.asarray(batch)
-                Y = X @ Om
+            def flush(GY, T, frob2):
+                fd = (np.concatenate(dat) if dat
+                      else np.empty(0, dtype=np.float64))
+                fi = (np.concatenate(idx) if idx
+                      else np.empty(0, dtype=np.int64))
+                ip = np.asarray(indptr, dtype=np.int64)
+                n = len(ip) - 1
+                row_of = np.repeat(np.arange(n), np.diff(ip))
+                # Y[i] = x_i @ Om — contributions are row-sorted by
+                # construction, so reduceat sums each row's slice;
+                # reduceat misbehaves on empty slices (repeats the next
+                # element), so zero those rows explicitly
+                contrib = fd[:, None] * Om[fi]
+                Y = np.zeros((n, l))
+                if len(fd):
+                    nz_rows = np.diff(ip) > 0
+                    Ynz = np.add.reduceat(contrib, ip[:-1].clip(max=len(fd) - 1))
+                    Y[nz_rows] = Ynz[nz_rows]
                 GY += Y.T @ Y
-                T += X.T @ Y
-                return GY, T, frob2 + float((X * X).sum())
+                # T += X^T Y: scatter-add per projection column (bincount
+                # is the fast C path; np.add.at is ~10x slower)
+                YR = Y[row_of]
+                for j in range(l):
+                    T[:, j] += np.bincount(fi, weights=fd * YR[:, j],
+                                           minlength=d)
+                return GY, T, frob2 + float((fd * fd).sum())
 
             for r in it:
-                batch.append(r[1].toArray())
-                if len(batch) == 1024:
-                    GY, T, frob2 = flush(batch, GY, T, frob2)
-                    batch = []
-            if batch:
-                GY, T, frob2 = flush(batch, GY, T, frob2)
+                v = r[1]
+                if hasattr(v, "indices"):       # SparseVector
+                    vi = np.asarray(v.indices, dtype=np.int64)
+                    vd = np.asarray(v.values, dtype=np.float64)
+                else:                            # DenseVector fallback
+                    a = v.toArray()
+                    vi = np.nonzero(a)[0].astype(np.int64)
+                    vd = a[vi]
+                idx.append(vi)
+                dat.append(vd)
+                nnz += len(vi)
+                indptr.append(nnz)
+                if nnz >= RSVD_FLUSH_NNZ:
+                    GY, T, frob2 = flush(GY, T, frob2)
+                    dat, idx, indptr, nnz = [], [], [0], 0
+            if len(indptr) > 1:
+                GY, T, frob2 = flush(GY, T, frob2)
             yield GY, T, frob2
 
         return rows.mapPartitions(part_stats).treeReduce(
@@ -515,21 +567,24 @@ def fit_lsa_rsvd(features_df: DataFrame, k: int, id_col: str = "doc_id",
     explained = float(s2.sum()) / max(float(frob2), 1e-300)
 
     bV = sc.broadcast(np.ascontiguousarray(V))
-    from pyspark.ml.functions import vector_to_array
-    arr_df = features_df.select(id_col, vector_to_array(input_col).alias("x"))
 
-    def project(batches):
+    def project_part(it):
+        """Sparse projection P[i] = x_i @ V_k: per-row gather of V's rows
+        at the vector's nonzero indices (O(nnz * k) per row) — the same
+        no-densify discipline as the accumulation passes."""
         Vk = bV.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.array(pdf["x"].to_list())
-            P = X @ Vk
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
-                                "lsa_rsvd": [r.tolist() for r in P]})
+        for r in it:
+            v = r[1]
+            if hasattr(v, "indices"):
+                p = np.asarray(v.values, dtype=np.float64) @ Vk[
+                    np.asarray(v.indices, dtype=np.int64)]
+            else:
+                p = v.toArray() @ Vk
+            yield int(r[0]), [float(x) for x in p]
 
-    reduced = arr_df.mapInPandas(project,
-                                 f"{id_col} long, lsa_rsvd array<double>")
+    reduced = features_df.sparkSession.createDataFrame(
+        rows.mapPartitions(project_part),
+        schema=f"{id_col} long, lsa_rsvd array<double>")
     return reduced, explained
 
 

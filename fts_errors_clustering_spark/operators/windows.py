@@ -11,10 +11,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import (dec_avg, dec_std, dec_sum, sql_dec_avg,
-                                 sql_dec_std, sql_dec_sum)
+from ..functions.numeric import (dec_avg, dec_std, dec_sum, round_half_up,
+                                 sql_dec_avg, sql_dec_std, sql_dec_sum)
 from ..plans.registry import register
 from ..sources.readers import table
+# one-way dependency (scale.py never imports windows): the hq-rollup twin
+# shares the batch rollup's oracle, certified by the pytest equality gate
+from .scale import HQ_ROLLUP_ORACLE as _HQ_ROLLUP_ORACLE_REF
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+#: shared by the batch funnel and its streaming twin (per-user stage
+#: machine — pytest equality gate pins twin == batch, so the same oracle
+#: certifies both driver rows).
+FUNNEL_ORACLE = f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > v.t1 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > c.t2 GROUP BY 1
+    ),
+    n AS (SELECT (SELECT COUNT(*) FROM v) AS n1,
+                 (SELECT COUNT(*) FROM c) AS n2,
+                 (SELECT COUNT(*) FROM p) AS n3)
+    SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+           CAST(n1 AS BIGINT) AS n_users,
+           CASE WHEN n1 = 0 THEN 0.0 ELSE 1.0 END AS conv_from_prev FROM n
+    UNION ALL
+    SELECT 2, '{FUNNEL_STEPS[1]}', CAST(n2 AS BIGINT),
+           CASE WHEN n1 = 0 THEN 0.0
+                ELSE ROUND(CAST(n2 AS DOUBLE) / n1, 6) END FROM n
+    UNION ALL
+    SELECT 3, '{FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
+           CASE WHEN n2 = 0 THEN 0.0
+                ELSE ROUND(CAST(n3 AS DOUBLE) / n2, 6) END FROM n
+    """
 
 
 @register(
@@ -37,9 +76,10 @@ def tumbling_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n", "sum_value"))
 
 
-@register(
-    "user_interarrival_stats",
-    oracle="""
+#: shared by the batch operator and its streaming twin: the twin's stateful
+#: gap extraction reproduces the LAG window exactly (pytest equality gate),
+#: so the SAME oracle certifies both driver rows.
+INTERARRIVAL_ORACLE = """
     WITH gaps AS (
       SELECT event_type,
              epoch_us(ts) - LAG(epoch_us(ts)) OVER (
@@ -53,7 +93,12 @@ def tumbling_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MAX(gap_us) / 1e6, 6) AS max_gap_s
     FROM gaps WHERE gap_us IS NOT NULL
     GROUP BY event_type
-    """,
+    """
+
+
+@register(
+    "user_interarrival_stats",
+    oracle=INTERARRIVAL_ORACLE,
     tags=("windows", "stats"),
 )
 def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,9 +138,9 @@ def interarrival_stats(gaps: DataFrame) -> DataFrame:
                  F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s")))
 
 
-@register(
-    "hourly_cusum_changepoint",
-    oracle="""
+#: shared by the batch operator and its streaming twin (stream-maintained
+#: hourly aggregate through the same cusum_tail — pytest equality gate).
+CUSUM_ORACLE = """
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
              CAST(COUNT(*) AS BIGINT) AS n
@@ -121,7 +166,12 @@ def interarrival_stats(gaps: DataFrame) -> DataFrame:
     SELECT event_type, h AS changepoint_hour,
            ROUND(a, 6) AS max_abs_cusum, n_hours
     FROM ranked WHERE rk = 1
-    """,
+    """
+
+
+@register(
+    "hourly_cusum_changepoint",
+    oracle=CUSUM_ORACLE,
     tags=("windows", "stats", "anomaly"),
 )
 def hourly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,7 +323,7 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_stream(spark, sf_dir)
 
 
-@register("streaming_interarrival_tail", oracle=None,
+@register("streaming_interarrival_tail", oracle=INTERARRIVAL_ORACLE,
           tags=("windows", "streaming", "stateful", "stats"))
 def streaming_interarrival_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``user_interarrival_stats``' streaming twin: per-user gap extraction
@@ -286,7 +336,7 @@ def streaming_interarrival_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_interarrival_stream(spark, sf_dir)
 
 
-@register("streaming_cusum_tail", oracle=None,
+@register("streaming_cusum_tail", oracle=CUSUM_ORACLE,
           tags=("windows", "streaming", "stats", "anomaly"))
 def streaming_cusum_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``hourly_cusum_changepoint``'s streaming twin: the hourly aggregate
@@ -298,7 +348,7 @@ def streaming_cusum_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hourly_cusum_stream(spark, sf_dir)
 
 
-@register("streaming_hq_rollup_tail", oracle=None,
+@register("streaming_hq_rollup_tail", oracle=_HQ_ROLLUP_ORACLE_REF,
           tags=("windows", "streaming", "sketch", "rollup"))
 def streaming_hq_rollup_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``histogram_quantile_rollup``'s streaming twin: the mergeable
@@ -311,7 +361,7 @@ def streaming_hq_rollup_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hq_rollup_stream(spark, sf_dir)
 
 
-@register("streaming_funnel_tail", oracle=None,
+@register("streaming_funnel_tail", oracle=FUNNEL_ORACLE,
           tags=("windows", "streaming", "stateful", "funnel"))
 def streaming_funnel_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``user_funnel_conversion``'s streaming twin: a per-user stage
@@ -1130,41 +1180,9 @@ def twa_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: funnel step sequence: a user reaches step k+1 only with an event of
 #: that type STRICTLY AFTER their step-k time (min qualifying ts).
-FUNNEL_STEPS = ("view", "click", "purchase")
-
-
 @register(
     "user_funnel_conversion",
-    oracle=f"""
-    WITH v AS (
-      SELECT user_id, MIN(ts) AS t1 FROM events
-      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
-    ),
-    c AS (
-      SELECT e.user_id, MIN(e.ts) AS t2
-      FROM events e JOIN v ON v.user_id = e.user_id
-      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > v.t1 GROUP BY 1
-    ),
-    p AS (
-      SELECT e.user_id, MIN(e.ts) AS t3
-      FROM events e JOIN c ON c.user_id = e.user_id
-      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > c.t2 GROUP BY 1
-    ),
-    n AS (SELECT (SELECT COUNT(*) FROM v) AS n1,
-                 (SELECT COUNT(*) FROM c) AS n2,
-                 (SELECT COUNT(*) FROM p) AS n3)
-    SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
-           CAST(n1 AS BIGINT) AS n_users,
-           CASE WHEN n1 = 0 THEN 0.0 ELSE 1.0 END AS conv_from_prev FROM n
-    UNION ALL
-    SELECT 2, '{FUNNEL_STEPS[1]}', CAST(n2 AS BIGINT),
-           CASE WHEN n1 = 0 THEN 0.0
-                ELSE ROUND(CAST(n2 AS DOUBLE) / n1, 6) END FROM n
-    UNION ALL
-    SELECT 3, '{FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
-           CASE WHEN n2 = 0 THEN 0.0
-                ELSE ROUND(CAST(n3 AS DOUBLE) / n2, 6) END FROM n
-    """,
+    oracle=FUNNEL_ORACLE,
     tags=("windows", "funnel", "stats"),
 )
 def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1183,18 +1201,7 @@ def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks on power users at 100 TB; the min-time recurrence needs only
     one timestamp of state per step)."""
     ev = table(spark, sf_dir, "events")
-
-    def step_min(etype: str, after: DataFrame | None, tcol: str) -> DataFrame:
-        e = ev.where(F.col("event_type") == etype)
-        if after is not None:
-            prev = after.columns[1]
-            e = (e.join(after, "user_id")
-                 .where(F.col("ts") > F.col(prev)))
-        return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
-
-    v = step_min(FUNNEL_STEPS[0], None, "t1")
-    c = step_min(FUNNEL_STEPS[1], v, "t2")
-    p = step_min(FUNNEL_STEPS[2], c, "t3")
+    v, c, p = funnel_min_times(ev, FUNNEL_STEPS)
     # one 1-row materialization (the knee_epsilon_value discipline): a
     # 3-branch union of selects over the counts frame would replicate the
     # whole funnel subtree per branch (measured 74 Exchange nodes); the
@@ -1206,11 +1213,198 @@ def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-defined conversions (no NULL cells: a NULL crashes naive row
     # sorters in downstream canonicalizers): step 1 converts from its own
     # population (1.0, or 0.0 on an empty funnel); an empty previous step
-    # reports 0.0
+    # reports 0.0.  round_half_up, NOT round(): Python's banker's rounding
+    # diverges from the oracle's SQL ROUND on dyadic midpoints (1/128).
     conv = lambda num, den: (0.0 if den == 0
-                             else round(float(num) / float(den), 6))
+                             else round_half_up(float(num) / float(den), 6))
     return spark.createDataFrame(
         [(1, FUNNEL_STEPS[0], int(n1), 1.0 if n1 else 0.0),
          (2, FUNNEL_STEPS[1], int(n2), conv(n2, n1)),
          (3, FUNNEL_STEPS[2], int(n3), conv(n3, n2))],
         "step int, event_type string, n_users long, conv_from_prev double")
+
+
+def funnel_min_times(ev: DataFrame, steps: tuple[str, ...]) -> list[DataFrame]:
+    """The min-qualifying-time recurrence for an ARBITRARY ordered step
+    sequence: frame k holds (user_id, t{k+1}) — the earliest time the user
+    completed step k+1 having completed every prior step strictly earlier.
+    Shared by the conversion table (counts) and the step-timing table
+    (deltas between consecutive frames); parameterized so callers can run
+    any funnel, not just the default {FUNNEL_STEPS}."""
+    frames: list[DataFrame] = []
+    for k, etype in enumerate(steps):
+        e = ev.where(F.col("event_type") == etype)
+        if frames:
+            prev = frames[-1]
+            pcol = prev.columns[1]
+            e = e.join(prev, "user_id").where(F.col("ts") > F.col(pcol))
+        frames.append(e.groupBy("user_id").agg(F.min("ts").alias(f"t{k + 1}")))
+    return frames
+
+
+@register(
+    "funnel_step_timing",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, v.t1, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > v.t1 GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT e.user_id, c.t2, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > c.t2 GROUP BY 1, 2
+    ),
+    d2 AS (SELECT epoch_us(t2) - epoch_us(t1) AS d_us FROM c),
+    d3 AS (SELECT epoch_us(t3) - epoch_us(t2) AS d_us FROM p)
+    SELECT 2 AS step, '{FUNNEL_STEPS[1]}' AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(quantile_cont(d_us, 0.5) / 3.6e9, 6) AS median_hours,
+           ROUND(quantile_cont(d_us, 0.95) / 3.6e9, 6) AS p95_hours
+    FROM d2
+    UNION ALL
+    SELECT 3, '{FUNNEL_STEPS[2]}', CAST(COUNT(*) AS BIGINT),
+           ROUND(quantile_cont(d_us, 0.5) / 3.6e9, 6),
+           ROUND(quantile_cont(d_us, 0.95) / 3.6e9, 6)
+    FROM d3
+    """,
+    tags=("windows", "funnel", "stats"),
+)
+def funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel step: for users who advanced to step k,
+    the median and p95 of (step-k time - step-(k-1) time) — the latency
+    companion to ``user_funnel_conversion``'s rate table (the growth
+    question is not only HOW MANY convert but HOW LONG the hesitation
+    window is, which sets retargeting deadlines).
+
+    Both engines keep the deltas in integer MICROSECONDS until the final
+    division (the ``user_interarrival_stats`` exactness precedent:
+    interpolated percentiles over identical integer multisets are
+    bit-identical doubles), and the min-time frames come from the shared
+    parameterized recurrence ``funnel_min_times``.
+
+    Scale: identical to the conversion table — type-filtered scans to
+    user cardinality, user-keyed joins between per-user aggregates. Each
+    step frame CARRIES the previous step's time (groupBy (user, t_prev),
+    exact because t_prev is functionally dependent on user), so the delta
+    needs no extra join; intermediate frames referenced by both a later
+    step's lineage and their own delta branch are consumer-retained
+    (user-cardinality, bounded) rather than letting the union replicate
+    the event-scan subtree per branch — the 74-Exchange failure mode the
+    conversion table's docstring documents. Exact per-step percentiles
+    run over |converted users| rows in TWO groups, the
+    `percentile`/`quantile_cont` parity precedent."""
+    from ..plans.registry import retain_for_consumer
+    ev = table(spark, sf_dir, "events")
+    steps = FUNNEL_STEPS
+    prev = (ev.where(F.col("event_type") == steps[0])
+            .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    out = None
+    for k in range(1, len(steps)):
+        pcol, ccol = f"t{k}", f"t{k + 1}"
+        cur = (ev.where(F.col("event_type") == steps[k])
+               .join(prev.select("user_id", pcol), "user_id")
+               .where(F.col("ts") > F.col(pcol))
+               .groupBy("user_id", pcol)
+               .agg(F.min("ts").alias(ccol)))
+        if k < len(steps) - 1:
+            cur = retain_for_consumer(cur)
+        d = cur.select((F.unix_micros(F.col(ccol))
+                        - F.unix_micros(F.col(pcol))).alias("d_us"))
+        step = (d.agg(F.count("*").cast("long").alias("n_users"),
+                      F.round(F.expr("percentile(d_us, 0.5)") / 3.6e9, 6)
+                       .alias("median_hours"),
+                      F.round(F.expr("percentile(d_us, 0.95)") / 3.6e9, 6)
+                       .alias("p95_hours"))
+                .select(F.lit(k + 1).cast("int").alias("step"),
+                        F.lit(steps[k]).alias("event_type"),
+                        "n_users", "median_hours", "p95_hours"))
+        out = step if out is None else out.unionByName(step)
+        prev = cur
+    return out
+
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+             CASE WHEN event_type = 'purchase' THEN NULL
+                  ELSE printf('%020d|%020d|%s', epoch_us(ts), event_id,
+                              event_type) END AS touch_key
+      FROM events
+    ),
+    o AS (
+      SELECT is_conv, epoch_us(ts) AS us,
+             MAX(touch_key) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, is_conv DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+      FROM u
+    ),
+    attr AS (
+      SELECT CASE WHEN lt IS NULL THEN 'direct'
+                  WHEN CAST(substr(lt, 1, 20) AS BIGINT)
+                       < us - 604800000000::BIGINT THEN 'direct'
+                  ELSE split_part(lt, '|', 3) END AS touch_type
+      FROM o WHERE is_conv = 1
+    )
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM attr), 6) AS share
+    FROM attr GROUP BY touch_type
+    """,
+    tags=("windows", "attribution", "stats"),
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's LATEST strictly-earlier non-purchase event within a 7-day
+    lookback — purchases with no qualifying touch (first event, or the
+    last touch aged out) credit 'direct'. The table answers which
+    interaction type actually precedes revenue, the question the funnel
+    (fixed step order) and the transition matrix (adjacent pairs only)
+    both miss.
+
+    Engine parity without an event-level self-join: the latest-prior
+    touch is a running MAX over a zero-padded sortable string
+    (epoch_us|event_id|type — lexicographic order == (ts, event_id)
+    order), computed per user with a rows-frame ending at 1 PRECEDING;
+    same-timestamp touches sort AFTER the purchase (ORDER BY ts,
+    is_conv DESC) so strict-< is enforced by the frame, identically in
+    both engines, and event_id breaks ties deterministically.
+
+    Scale: ONE exchange on user_id + per-partition sort (the
+    interarrival/sessionize shape) — the window carries a bounded string
+    per row, never an event list; the result aggregates to |event types|
+    + 1 rows. The 1-row total for the share joins back as a broadcast
+    (scalar subquery both sides)."""
+    ev = table(spark, sf_dir, "events")
+    is_conv = (F.col("event_type") == "purchase").cast("int")
+    touch_key = F.when(
+        F.col("event_type") != "purchase",
+        F.format_string("%020d|%020d|%s", F.unix_micros("ts"),
+                        F.col("event_id"), F.col("event_type")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", F.desc("is_conv"), "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    o = (ev.select("user_id", "ts", "event_id",
+                   is_conv.alias("is_conv"), touch_key.alias("touch_key"))
+         .select("is_conv", F.unix_micros("ts").alias("us"),
+                 F.max("touch_key").over(w).alias("lt")))
+    attr = (o.where(F.col("is_conv") == 1)
+            .select(F.when(F.col("lt").isNull(), "direct")
+                    .when(F.substring("lt", 1, 20).cast("long")
+                          < F.col("us") - 7 * 86400 * 1000000, "direct")
+                    .otherwise(F.element_at(F.split("lt", "\\|"), 3))
+                    .alias("touch_type")))
+    counts = attr.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_conversions"))
+    total = counts.agg(F.sum("n_conversions").alias("t"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("touch_type", "n_conversions",
+                    F.round(F.col("n_conversions") * 1.0 / F.col("t"), 6)
+                    .alias("share")))

@@ -82,7 +82,34 @@ _MODULES = (
 #: CLI, the parity gate, any long-lived service — materializes the result
 #: and then calls :func:`release_consumer_caches`; one-shot sessions (the
 #: external driver) may skip it, their retention is bounded by the run.
-_CONSUMER_CACHES: list[DataFrame] = []
+#:
+#: Keyed by SCOPE (the registered query name, set thread-locally by the
+#: ``register`` wrapper around each query fn; ``__global__`` for direct
+#: helper calls outside any query) so a consumer that has materialized
+#: query A can release A's caches without yanking a localCheckpoint still
+#: backing query B's uncollected result. All access under ``_CONSUMER_LOCK``
+#: — interleaved consumers on different threads are in contract.
+_CONSUMER_CACHES: dict[str, list[DataFrame]] = {}
+_CONSUMER_LOCK = __import__("threading").RLock()
+_CURRENT_SCOPE = __import__("threading").local()
+
+
+def consumer_scope(name: str):
+    """Context manager: retentions inside attribute to scope ``name``.
+    Nested query fns (one operator calling another as a helper) keep the
+    OUTERMOST scope — the caches belong to the query the consumer ran."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        prev = getattr(_CURRENT_SCOPE, "name", None)
+        if prev is None:
+            _CURRENT_SCOPE.name = name
+        try:
+            yield
+        finally:
+            _CURRENT_SCOPE.name = prev
+    return _cm()
 
 
 def retain_for_consumer(df: DataFrame) -> DataFrame:
@@ -99,7 +126,9 @@ def retain_for_consumer(df: DataFrame) -> DataFrame:
         is_ckpt = False
     if not is_ckpt and df.storageLevel == StorageLevel.NONE:
         df = df.cache()
-    _CONSUMER_CACHES.append(df)
+    scope = getattr(_CURRENT_SCOPE, "name", None) or "__global__"
+    with _CONSUMER_LOCK:
+        _CONSUMER_CACHES.setdefault(scope, []).append(df)
     return df
 
 
@@ -120,13 +149,20 @@ def unpersist_any(df: DataFrame) -> None:
         pass
 
 
-def release_consumer_caches() -> int:
-    """Unpersist every consumer-scoped cache; returns how many."""
-    n = len(_CONSUMER_CACHES)
-    for df in _CONSUMER_CACHES:
+def release_consumer_caches(scope: str | None = None) -> int:
+    """Unpersist consumer-scoped caches; returns how many. With ``scope``
+    (a query name) releases only that query's retentions — the safe call
+    for interleaved consumers; with no argument releases everything (the
+    single-consumer convention of the check CLI / parity sweep)."""
+    with _CONSUMER_LOCK:
+        if scope is None:
+            frames = [f for lst in _CONSUMER_CACHES.values() for f in lst]
+            _CONSUMER_CACHES.clear()
+        else:
+            frames = _CONSUMER_CACHES.pop(scope, [])
+    for df in frames:
         unpersist_any(df)
-    _CONSUMER_CACHES.clear()
-    return n
+    return len(frames)
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
@@ -136,7 +172,21 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QueryDef(name, fn, oracle, tuple(tags), local_oracle)
+
+        import functools
+
+        @functools.wraps(fn)
+        def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # every retain_for_consumer during the call (including via
+            # helper operators) attributes to THIS query's cache scope
+            with consumer_scope(name):
+                return fn(spark, sf_dir)
+
+        _REGISTRY[name] = QueryDef(name, scoped, oracle, tuple(tags),
+                                   local_oracle)
+        # return the RAW fn: intra-module helper calls stay unscoped so the
+        # outermost registered query owns the retention (consumer_scope
+        # keeps the outer name on nesting anyway)
         return fn
     return deco
 
@@ -148,23 +198,60 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 #: follows in registration order. tests/test_oracle_parity.py asserts every
 #: head name exists and sits inside the budget window.
 _HEAD = (
-    # ROUND-6 ROTATION. First: the two perennial rows-only heads, back in
-    # the window with their strengthened local checks (SequenceMatcher
-    # ratio as a DuckDB Python-UDF oracle in the parity harness; recall
-    # floor pinned as a hash-stable column).
-    "cluster_stats_by_source_exact",  # rows-only in driver (Python UDF)
-    "ann_recall_audit",
-    # ROUND-6 ADDITIONS: new queries registered this round, first-class
-    # driver rows on first exposure.
-    "lsa_features_rsvd",
-    "streaming_cusum_tail", "streaming_interarrival_tail",
-    "supplier_revenue_pareto", "user_funnel_conversion",
-    "k_anonymity_audit", "streaming_funnel_tail",
+    # ROUND-7 ROTATION. First: the two round-6 additions that missed the
+    # r06 head budget and have never been driver-checked.
+    "multimodal_audio_features",  # rows-only (pytest invariants)
+    "streaming_hq_rollup_tail",   # NOW oracle-backed (shares the batch
+                                  # rollup's oracle; pytest equality gate)
+    # ROUND-7 ADDITIONS: first-class driver rows on first exposure.
+    "funnel_step_timing", "last_touch_attribution",
+    # PROMOTED twins: r06 rows were rows-only; these re-expose them with
+    # full oracles (each shares its batch counterpart's oracle SQL, the
+    # batch==stream pytest equality gate being the bridging proof).
+    "streaming_funnel_tail", "streaming_cusum_tail",
+    "streaming_interarrival_tail",
+    # REFRESH BATCH: 43 of the 53 r01/r02-stale driver rows (VERDICT r06
+    # gap #2), prioritizing the files that moved in rounds 5-6 (pipelines,
+    # dbscan, dedup, knn) and the never-refreshed r01 relational batch.
+    # Local sf0.001 parity remains every query's per-commit gate.
+    "pipeline_tfidf_kmeans", "pipeline_word2vec_dbscan",
+    "knn_knee_sweep", "dbscan_labels", "dbscan_summary",
+    "minhash_near_dups", "simhash_near_dups",
+    "dedup_exact", "dedup_clusters",
+    "count_filtered_events", "distinct_documents", "top_users_share",
+    "json_sum_by_type", "external_metrics_pseudo",
+    "top_events_by_value", "topn_semijoin_events",
+    "funnel_counts", "session_windows_6h", "sliding_2h_windows",
+    "tumbling_hourly_by_type", "latest_event_per_user",
+    "value_histogram", "unpivot_lineitem_measures",
+    "skew_join_segments", "token_counts", "zipf_slope",
+    "doc_chunks", "doc_fingerprints", "doc_quality_scores",
+    "doc_repetition_stats", "duplicate_ngram_coverage",
+    "quality_filter_funnel", "quality_threshold_by_lang",
+    "lang_id_confusion", "curated_corpus_stats",
+    "token_budget_selection", "distribution_drift_psi",
+    "hash_split_counts", "multimodal_metadata",
+    "ngram_jaccard_pairs", "embedding_near_dup_pairs",
+    "ann_batch_topk", "ann_bruteforce_topk",
+)
+
+#: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
+#: ~50-row budget): every name here already has a green driver row
+#: (r01-r04); the local parity sweep (tests/test_oracle_parity.py over all
+#: entries at sf0.001) remains their regression gate.
+_TAIL_AFTER_HEAD = (
+    # the 10 r01/r02-stale rows the r07 head budget could not fit — FIRST
+    # in line for the r08 rotation (they are the only rows left whose
+    # driver evidence predates r03)
+    "sample_events", "streaming_neardup_gate", "benchmark_contamination",
+    "bigram_logprob_scores", "importance_weights_dsir",
+    "internal_cluster_metrics", "label_centroid_cosine",
+    "lsa_svd_features", "mixture_weights", "silhouette_by_label",
+    # round-6 head (all green/rows-only in CORRECTNESS_r06.json)
+    "cluster_stats_by_source_exact", "ann_recall_audit",
+    "lsa_features_rsvd", "supplier_revenue_pareto",
+    "user_funnel_conversion", "k_anonymity_audit",
     "histogram_quantile_rollup",
-    # REFRESH BATCH: the r01-only driver rows (latest evidence 5 rounds
-    # old) whose implementing files moved most since — relational/
-    # textprep/tfidf/clustering families. Local sf0.001 parity stays their
-    # per-commit gate; this refreshes the DRIVER evidence.
     "pricing_summary", "describe_event_value", "describe_event_type",
     "summary_all_numeric", "value_percentiles_by_type",
     "value_decile_summary", "crosstab_priority_status",
@@ -182,13 +269,6 @@ _HEAD = (
     "tfidf_pipeline_features", "lsa_features", "kmeans_cluster_sizes",
     "kmeans_quality", "word2vec_doc_vectors",
     "knn_mean_distance", "knn_knee_epsilon",
-)
-
-#: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
-#: ~50-row budget): every name here already has a green driver row
-#: (r01-r04); the local parity sweep (tests/test_oracle_parity.py over all
-#: entries at sf0.001) remains their regression gate.
-_TAIL_AFTER_HEAD = (
     "winsorized_value_stats", "cube_priority_status_revenue",
     "idle_rich_customers", "forward_fill_values", "modal_bucket_by_type",
     "sole_late_suppliers",

@@ -28,7 +28,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dec_sum
+from ..functions.numeric import dec_sum, round_half_up
 from ..sources.readers import table
 
 _STAGE_ROOT = "/root/repo/.tmp/stream_stage"
@@ -527,18 +527,29 @@ def _stage_events_daily(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(_STAGE_ROOT, tag)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
+        # Interruption safety: build the slices in a TEMP directory and
+        # atomically rename into place.  Appending directly into `out` and
+        # writing the marker last leaves a trap: an interrupted run leaves
+        # partial slices with no marker, and the rerun's mode('append')
+        # stacks a second copy of every event on top — all streaming twins
+        # then silently double their input.  A markerless `out` is
+        # therefore garbage by definition and is removed first.
+        shutil.rmtree(out, ignore_errors=True)
+        tmp = out + "_building"
+        shutil.rmtree(tmp, ignore_errors=True)
         ev = table(spark, sf_dir, "events")
         seen: set[str] = set()
         base = 1_600_000_000
         for i in range(6):
             sl = ev.where(F.floor((F.dayofmonth("ts") - 1) / 6) == i)
-            sl.coalesce(1).write.mode("append").parquet(out)
-            for f in sorted(os.listdir(out)):
+            sl.coalesce(1).write.mode("append").parquet(tmp)
+            for f in sorted(os.listdir(tmp)):
                 if f.endswith(".parquet") and f not in seen:
                     seen.add(f)
-                    os.utime(os.path.join(out, f), (base + i, base + i))
-        with open(marker, "w") as fh:
+                    os.utime(os.path.join(tmp, f), (base + i, base + i))
+        with open(os.path.join(tmp, "_STAGED"), "w") as fh:
             fh.write("ok")
+        os.replace(tmp, out)
     return out
 
 
@@ -702,9 +713,10 @@ def run_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = {r["stage"]: r["n"] for r in
               mat.groupBy("stage").agg(F.count("*").alias("n")).collect()}
     n1, n2, n3 = (counts.get(1, 0), counts.get(2, 0), counts.get(3, 0))
-    # same all-defined conversion convention as the batch operator
+    # same all-defined conversion convention (and same half-up rounding,
+    # matching SQL ROUND on dyadic midpoints) as the batch operator
     conv = lambda num, den: (0.0 if den == 0
-                             else round(float(num) / float(den), 6))
+                             else round_half_up(float(num) / float(den), 6))
     return spark.createDataFrame(
         [(1, FUNNEL_STEPS[0], int(n1), 1.0 if n1 else 0.0),
          (2, FUNNEL_STEPS[1], int(n2), conv(n2, n1)),

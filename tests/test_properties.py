@@ -528,10 +528,22 @@ def test_histogram_quantile_rollup_bound_and_merge(spark):
     for r in ev:
         by_week.setdefault(r.week, []).append(r.value)
     for r in rows:
-        assert r.within_bin_bound, r
         assert abs(r.approx_median
                    - (r.median_bin * HQ_BIN_W + HQ_BIN_W / 2)) < 1e-9
-        vals = np.array(by_week[r.week])
+        vals = np.array(sorted(by_week[r.week]))
         assert len(vals) == r.n
-        # numpy exact median within the same bound (independent formula)
-        assert abs(float(np.median(vals)) - r.approx_median) <= HQ_BIN_W + 1e-9
+        # The ALWAYS-provable property: median_bin is by construction the
+        # bin holding the ceil(n/2)-th smallest value (min bin with
+        # 2*cum >= n), independent of interpolation.
+        lower_mid = vals[(r.n - 1) // 2]
+        assert int(np.floor(lower_mid / HQ_BIN_W)) == r.median_bin, r
+        # The one-bin-width bound on the INTERPOLATED median is provable
+        # only for odd n (the median IS the lower-mid element, which lives
+        # in median_bin).  For even n the midpoint of the two middle
+        # values can legitimately sit many bins above median_bin (e.g.
+        # values [1, 100] with bin width 2), so within_bin_bound is a
+        # reported verdict there, not an invariant.
+        if r.n % 2 == 1:
+            assert r.within_bin_bound, r
+            assert (abs(float(np.median(vals)) - r.approx_median)
+                    <= HQ_BIN_W + 1e-9)

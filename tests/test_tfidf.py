@@ -201,3 +201,50 @@ def test_rsvd_matches_exact_tier(spark):
     rn2 = {r_.doc_id: r_.lsa_rsvd for r_ in again.collect()}
     rn1 = {r_.doc_id: r_.lsa_rsvd for r_ in rsvd_red.collect()}
     assert rn1 == rn2
+
+
+def test_rsvd_sparse_high_dim(spark):
+    """The sparse accumulation must survive a WEB-SCALE vocab dimension
+    (d = 2e5) that the old dense flush path could not (a single 1024 x d
+    dense block is 1.6 GB there; the whole planted matrix here carries
+    only ~16k nonzeros). Planted rank-2 structure in two disjoint index
+    blocks -> captured energy ~ 1.0 at k=2, per-doc projection norms
+    equal to row norms, and seeded determinism. Mixed Sparse/Dense rows
+    exercise both vector branches of the accumulator."""
+    import math
+
+    import numpy as np
+    from pyspark.ml.linalg import Vectors
+
+    from fts_errors_clustering_spark.operators.tfidf import fit_lsa_rsvd
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 200_000
+    u_idx = list(range(20))                      # block 1: dims 0..19
+    v_idx = list(range(100_000, 100_020))        # block 2: far dims
+    rows = []
+    for i in range(n):
+        a, b = float(rng.uniform(0.5, 2.0)), float(rng.uniform(0.5, 2.0))
+        if i % 7 == 0:
+            # a few structurally-dense rows (values mostly zero) hit the
+            # DenseVector fallback branch without densifying the math
+            dense = np.zeros(d)
+            dense[u_idx] = a
+            dense[v_idx] = b
+            rows.append((i, Vectors.dense(dense)))
+        else:
+            rows.append((i, Vectors.sparse(
+                d, u_idx + v_idx, [a] * 20 + [b] * 20)))
+    df = spark.createDataFrame(rows, ["doc_id", "features"])
+
+    red, ev = fit_lsa_rsvd(df, k=2)
+    assert ev > 0.999, ev  # rank-2 planted structure fully captured
+    got = {r.doc_id: math.sqrt(sum(v * v for v in r.lsa_rsvd))
+           for r in red.collect()}
+    # projection norm == row norm when the subspace captures the row
+    for i, vec in rows:
+        rn = float(np.linalg.norm(vec.toArray()))
+        assert abs(got[i] - rn) / rn <= 1e-6, (i, got[i], rn)
+
+    again, ev2 = fit_lsa_rsvd(df, k=2)
+    assert ev2 == ev
