@@ -95,9 +95,10 @@ def salted_members(df: DataFrame, key: str, val: str,
                      .alias("members")))
 
 
-@register(
-    "latest_event_per_user",
-    oracle="""
+#: shared by the batch compaction and its streaming CDC-upsert twin (the
+#: foreachBatch MERGE state drains to exactly this snapshot — pytest
+#: equality gate in tests/test_streaming.py).
+LATEST_EVENT_ORACLE = """
     SELECT user_id, event_id, ts, event_type, value
     FROM (
       SELECT user_id, event_id, ts, event_type, value,
@@ -105,7 +106,12 @@ def salted_members(df: DataFrame, key: str, val: str,
                                 ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
     ) WHERE rn = 1
-    """,
+    """
+
+
+@register(
+    "latest_event_per_user",
+    oracle=LATEST_EVENT_ORACLE,
     tags=("scale", "compaction", "window"),
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,9 +15,10 @@ from ..functions.numeric import (dec_avg, dec_std, dec_sum, round_half_up,
                                  sql_dec_avg, sql_dec_std, sql_dec_sum)
 from ..plans.registry import register
 from ..sources.readers import table
-# one-way dependency (scale.py never imports windows): the hq-rollup twin
-# shares the batch rollup's oracle, certified by the pytest equality gate
+# one-way dependency (scale.py never imports windows): these twins share
+# their batch counterparts' oracles, certified by pytest equality gates
 from .scale import HQ_ROLLUP_ORACLE as _HQ_ROLLUP_ORACLE_REF
+from .scale import LATEST_EVENT_ORACLE as _LATEST_EVENT_ORACLE_REF
 
 FUNNEL_STEPS = ("view", "click", "purchase")
 
@@ -56,13 +57,19 @@ FUNNEL_ORACLE = f"""
     """
 
 
-@register(
-    "tumbling_hourly_by_type",
-    oracle=f"""
+#: shared by the batch operator and its streaming twin (complete-mode
+#: watermarked window aggregate — Spark guarantees batch/stream window()
+#: agreement; the pytest equality gate pins it).
+TUMBLING_ORACLE = f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n, {sql_dec_sum('value', 6)} AS sum_value
     FROM events GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "tumbling_hourly_by_type",
+    oracle=TUMBLING_ORACLE,
     tags=("windows", "streaming"),
 )
 def tumbling_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,12 +320,14 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("string").cast("double").alias("sum_value_7d"))
 
 
-@register("streaming_tumbling_hourly", oracle=None, tags=("windows", "streaming"))
+@register("streaming_tumbling_hourly", oracle=TUMBLING_ORACLE,
+          tags=("windows", "streaming"))
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling aggregation executed as a REAL Structured Streaming
     query (file source -> watermark -> windowed agg -> memory sink,
-    processAllAvailable). Rows-only in the driver; equality with the batch
-    plan is asserted in tests/test_streaming.py."""
+    processAllAvailable). Carries the batch operator's oracle (pytest
+    equality gate is the bridge), so the driver row is a full value-hash
+    check."""
     from ..streaming.jobs import run_tumbling_stream
     return run_tumbling_stream(spark, sf_dir)
 
@@ -330,8 +339,8 @@ def streaming_interarrival_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a custom stateful operator (``applyInPandasWithState``, key =
     user_id, state = last timestamp) over the month replayed as ordered
     daily micro-batches; the rollup is the shared ``interarrival_stats``
-    tail. Rows-only in the driver; batch/stream EQUALITY asserted in
-    tests/test_streaming.py."""
+    tail. Carries the batch operator's oracle (pytest equality gate is
+    the bridge), so the driver row is a full value-hash check."""
     from ..streaming.jobs import run_interarrival_stream
     return run_interarrival_stream(spark, sf_dir)
 
@@ -342,8 +351,9 @@ def streaming_cusum_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``hourly_cusum_changepoint``'s streaming twin: the hourly aggregate
     maintained by a watermarked streaming window over ordered daily
     micro-batches, the CUSUM walk + peak pick run batch-side on the
-    stream-maintained aggregate (see ``cusum_tail``). Rows-only in the
-    driver; batch/stream EQUALITY asserted in tests/test_streaming.py."""
+    stream-maintained aggregate (see ``cusum_tail``). Carries the batch
+    operator's oracle (pytest equality gate is the bridge), so the driver
+    row is a full value-hash check."""
     from ..streaming.jobs import run_hourly_cusum_stream
     return run_hourly_cusum_stream(spark, sf_dir)
 
@@ -355,8 +365,8 @@ def streaming_hq_rollup_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day histogram states maintained by a watermarked streaming
     aggregate over ordered daily micro-batches; week merge + median walk
     batch-side over the materialized states (``scale.hq_rollup_tail``).
-    Rows-only in the driver; batch/stream EQUALITY asserted in
-    tests/test_streaming.py."""
+    Carries the batch rollup's oracle (pytest equality gate is the
+    bridge), so the driver row is a full value-hash check."""
     from ..streaming.jobs import run_hq_rollup_stream
     return run_hq_rollup_stream(spark, sf_dir)
 
@@ -368,20 +378,50 @@ def streaming_funnel_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     machine (``applyInPandasWithState``, state = stages completed + last
     step time) over the month replayed as chronological daily
     micro-batches, emitting one row per stage advance; stage-advance
-    counts assemble the same bounded conversion table. Rows-only in the
-    driver; batch/stream EQUALITY asserted in tests/test_streaming.py."""
+    counts assemble the same bounded conversion table. Carries the BATCH
+    funnel's oracle (the pytest batch==stream equality gate is the
+    bridge), so the driver row is a full value-hash check."""
     from ..streaming.jobs import run_funnel_stream
     return run_funnel_stream(spark, sf_dir)
 
 
-@register("streaming_stateful_dedup", oracle=None,
+@register("streaming_stateful_dedup",
+          # the arrival order is DETERMINISTIC by construction (slice k =
+          # micro-batch k: originals land in slice doc_id % 4, planted
+          # dups in slice 4; within a batch the operator keeps min
+          # doc_id), so the first-seen winner is a pure function of the
+          # data and the oracle replays it as a window over the same
+          # staged union — a full value-hash check on a custom stateful
+          # streaming operator
+          oracle="""
+    WITH staged AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id >= 100000 THEN 4
+                  ELSE doc_id % 4 END AS slice
+      FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text
+        FROM documents WHERE doc_id < 20
+      )
+    ),
+    win AS (
+      SELECT md5(text) AS text_hash, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                ORDER BY slice, doc_id) AS rn
+      FROM staged
+    )
+    SELECT text_hash, doc_id FROM win WHERE rn = 1
+    """,
           tags=("windows", "streaming", "stateful"))
 def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     first-seen exact dedup over the planted-dup corpus, one emitted row per
     distinct text across ALL micro-batches (duplicates arrive in later
-    batches and are swallowed by per-key state). Rows-only in the driver;
-    invariants vs the batch dedup in tests/test_streaming.py."""
+    batches and are swallowed by per-key state). Oracle-checked in the
+    driver: the staged arrival order is deterministic, so the first-seen
+    winner is SQL-replayable (see the register note); cross-incarnation
+    recovery invariants stay in tests/test_streaming.py."""
     from ..streaming.jobs import run_stateful_dedup_stream
     return run_stateful_dedup_stream(spark, sf_dir)
 
@@ -398,13 +438,29 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_neardup_stream(spark, sf_dir)
 
 
-@register("streaming_interval_join", oracle=None,
+@register("streaming_interval_join",
+          # the INNER form of interval_join_prior_events' oracle: the
+          # stream-stream join emits no unmatched errors, so the twin's
+          # exact contract is the batch result restricted to n_prior_1h>0
+          # (pytest equality gate asserts precisely that restriction)
+          oracle="""
+    SELECT e1.event_id,
+           COUNT(e2.event_id) AS n_prior_1h
+    FROM events e1
+    JOIN events e2
+      ON e2.user_id = e1.user_id
+     AND e2.ts >= e1.ts - INTERVAL 1 HOUR
+     AND e2.ts < e1.ts
+    WHERE e1.event_type = 'error'
+    GROUP BY e1.event_id
+    """,
           tags=("windows", "streaming", "join"))
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked interval join (streaming twin of
     ``interval_join_prior_events``; inner — unmatched errors absent).
-    Rows-only in the driver; equality with the batch join's non-zero rows
-    asserted in tests/test_streaming.py."""
+    Carries the INNER form of the batch join's oracle (pytest equality
+    gate asserts exactly that restriction), so the driver row is a full
+    value-hash check."""
     from ..streaming.jobs import run_stream_stream_join
     return run_stream_stream_join(spark, sf_dir)
 
@@ -1033,14 +1089,14 @@ def weekly_growth_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prev_n").isNotNull()))
 
 
-@register("streaming_upsert_compaction", oracle=None,
+@register("streaming_upsert_compaction", oracle=_LATEST_EVENT_ORACLE_REF,
           tags=("windows", "streaming", "cdc"))
 def streaming_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch CDC upsert sink: micro-batches MERGE latest-per-user
     rows into a parquet state table (read-modify-write compaction — the
     idempotent upsert pattern without a transactional table format).
-    Rows-only in the driver; equality with the batch latest_event_per_user
-    plan is asserted in tests/test_streaming.py."""
+    Carries the batch ``latest_event_per_user`` oracle (pytest equality
+    gate is the bridge), so the driver row is a full value-hash check."""
     from ..streaming.jobs import run_upsert_stream
     return run_upsert_stream(spark, sf_dir)
 
@@ -1403,8 +1459,13 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("touch_type")))
     counts = attr.groupBy("touch_type").agg(
         F.count("*").cast("long").alias("n_conversions"))
-    total = counts.agg(F.sum("n_conversions").alias("t"))
-    return (counts.crossJoin(F.broadcast(total))
-            .select("touch_type", "n_conversions",
-                    F.round(F.col("n_conversions") * 1.0 / F.col("t"), 6)
-                    .alias("share")))
+    # total via an unpartitioned window OVER THE AGGREGATE: counts is
+    # bounded at |event types| + 1 rows, so the SinglePartition window is
+    # O(types) — a separate total-aggregate branch would replicate the
+    # full event-window subtree into a second scan (measured: 2 scans +
+    # 2 window sorts in the crossJoin(broadcast(total)) formulation)
+    wt = Window.partitionBy()
+    return counts.select(
+        "touch_type", "n_conversions",
+        F.round(F.col("n_conversions") * 1.0
+                / F.sum("n_conversions").over(wt), 6).alias("share"))

@@ -114,6 +114,12 @@ def _stage_documents_staggered(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(_STAGE_ROOT, tag)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
+        # temp-dir build + atomic rename (the _stage_events_daily
+        # discipline): a markerless target is a partial interrupted write
+        # whose rerun would append a second copy of every slice
+        shutil.rmtree(out, ignore_errors=True)
+        tmp = out + "_building"
+        shutil.rmtree(tmp, ignore_errors=True)
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
         slices = [docs.where(F.col("doc_id") % 4 == part)
                   for part in range(4)]
@@ -123,16 +129,17 @@ def _stage_documents_staggered(spark: SparkSession, sf_dir: str) -> str:
         seen: set[str] = set()
         base = 1_600_000_000  # fixed epoch; only the ORDER matters
         for i, sl in enumerate(slices):
-            sl.coalesce(1).write.mode("append").parquet(out)
+            sl.coalesce(1).write.mode("append").parquet(tmp)
             # FileStreamSource orders by modification time; parallel appends
             # can land within the same clock tick, so stamp explicit,
             # strictly increasing mtimes per staged slice
-            for f in sorted(os.listdir(out)):
+            for f in sorted(os.listdir(tmp)):
                 if f.endswith(".parquet") and f not in seen:
                     seen.add(f)
-                    os.utime(os.path.join(out, f), (base + i, base + i))
-        with open(marker, "w") as fh:
+                    os.utime(os.path.join(tmp, f), (base + i, base + i))
+        with open(os.path.join(tmp, "_STAGED"), "w") as fh:
             fh.write("ok")
+        os.replace(tmp, out)
     return out
 
 

@@ -391,6 +391,13 @@ _EXCHANGE_BUDGET = {
     "linestatus_priority_counts": 4,
     "pii_audit_counts": 2,
     "tokenizer_fertility_by_lang": 2,
+    # round-7 additions: attribution = ONE user-keyed window exchange +
+    # the bounded type-level agg + the O(types) total window (a regressed
+    # crossJoin(broadcast(total)) formulation measured 2 scans — this pin
+    # catches its return); step timing = 3 type-filtered scans to
+    # user-sized aggregates + the cached middle frame's branches
+    "last_touch_attribution": 6,
+    "funnel_step_timing": 17,
     "split_neardup_leakage": 20,
     "neardup_threshold_sweep": 22,
     # 42 when the shared minhash sigs cache is cold (both LSH branches

@@ -323,3 +323,31 @@ def test_multimodal_audio_invariants(spark):
             assert r.rms > 0.0
         if r.n_frames:
             assert r.max_frame_rms > 0.0
+
+
+def test_funnel_min_times_parameterized(spark):
+    """The min-time recurrence must work for an ARBITRARY step sequence,
+    not just the registered default: run it on the reversed-ish funnel
+    (signup -> view) and verify each frame against a brute-force pandas
+    walk of the strict-after recurrence."""
+    from fts_errors_clustering_spark.operators.windows import \
+        funnel_min_times
+    from fts_errors_clustering_spark.sources.readers import table
+
+    steps = ("signup", "view")
+    ev = table(spark, SF_SMALL, "events")
+    f1, f2 = funnel_min_times(ev, steps)
+
+    pdf = ev.select("user_id", "event_type", "ts").toPandas()
+    t1 = (pdf[pdf.event_type == steps[0]].groupby("user_id").ts.min())
+    got1 = {r.user_id: r.t1 for r in f1.collect()}
+    assert got1 == {int(u): t.to_pydatetime() for u, t in t1.items()}
+
+    want2 = {}
+    for u, t_first in t1.items():
+        later = pdf[(pdf.user_id == u) & (pdf.event_type == steps[1])
+                    & (pdf.ts > t_first)]
+        if len(later):
+            want2[int(u)] = later.ts.min().to_pydatetime()
+    got2 = {r.user_id: r.t2 for r in f2.collect()}
+    assert got2 == want2 and len(got2) > 0
