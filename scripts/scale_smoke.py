@@ -134,6 +134,10 @@ QUERIES = [
     "k_anonymity_audit",           # customer: one QI aggregate + audit fold
     "histogram_quantile_rollup",   # events: day states -> week merge walk
     "multimodal_audio_features",   # documents: Arrow-batched PCM featurize
+    # round-7 additions
+    "funnel_step_timing",          # events: shared min-time recurrence +
+                                   # per-step percentiles over converters
+    "last_touch_attribution",      # events: one user-keyed window + tiny agg
 ]
 
 
