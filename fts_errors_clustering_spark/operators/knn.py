@@ -70,7 +70,10 @@ def knn_mean_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors (the reference's ``kneighbors`` with k=sqrt(n), ``:178``)."""
     emb = table(spark, sf_dir, "embeddings")
     n = emb.count()
-    k = int(round(n ** 0.5))
+    # half-up, matching the oracle's SQL ROUND (Python round() is
+    # banker's; sqrt(int) landing on an exact .5 is ~impossible in
+    # binary, but the k derivation should not depend on that argument)
+    k = int(n ** 0.5 + 0.5)
     cand = topk_candidate_pairs(emb, "vec_id", "embedding", k)
     a = emb.select(F.col("vec_id").alias("vec_id"),
                    F.col("embedding").alias("ea"))

@@ -353,3 +353,40 @@ def test_cc_chain_graph_log_rounds_and_release(spark):
     assert all(r.component == 0 for r in rows)
     release_consumer_caches()
     assert persist_ids() == before
+
+
+def test_scoped_consumer_release_is_isolated(spark):
+    """Per-query cache scoping: releasing query A's consumer caches must
+    NOT unpersist a frame retained under query B's scope (the round-6
+    global list let one consumer's release yank a localCheckpoint still
+    backing another query's uncollected result). The no-arg release stays
+    the drop-everything form."""
+    from pyspark.storagelevel import StorageLevel
+
+    from fts_errors_clustering_spark.plans.registry import (
+        consumer_scope, release_consumer_caches, retain_for_consumer)
+
+    release_consumer_caches()  # clean slate
+    with consumer_scope("qa"):
+        a = retain_for_consumer(spark.range(10).selectExpr("id * 2 AS x"))
+    with consumer_scope("qb"):
+        b = retain_for_consumer(spark.range(10).selectExpr("id * 3 AS y"))
+    a.count(), b.count()
+    assert a.storageLevel != StorageLevel.NONE
+    assert b.storageLevel != StorageLevel.NONE
+
+    assert release_consumer_caches("qa") == 1
+    assert a.storageLevel == StorageLevel.NONE   # A released
+    assert b.storageLevel != StorageLevel.NONE   # B untouched
+
+    # nested scopes attribute to the OUTERMOST query
+    with consumer_scope("outer"):
+        with consumer_scope("inner"):
+            c = retain_for_consumer(spark.range(5).selectExpr("id AS z"))
+    c.count()
+    assert release_consumer_caches("inner") == 0
+    assert release_consumer_caches("outer") == 1
+    assert c.storageLevel == StorageLevel.NONE
+
+    assert release_consumer_caches("qb") == 1
+    assert b.storageLevel == StorageLevel.NONE
