@@ -2725,3 +2725,73 @@ def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            / (F.col("st").cast("double") / F.col("nd").cast("double")))
     return (g.crossJoin(F.broadcast(tot))
             .select("dow", "n_days", idx.alias("seasonal_index")))
+
+
+@register(
+    "nation_revenue_theilsen",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT n.n_name,
+             CAST(YEAR(CAST(o.o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM({_CENTS}) AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.n_name,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+      FROM monthly a
+      JOIN monthly b ON b.n_name = a.n_name AND b.x > a.x
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(s, 0.5) / 100.0, 6)
+             AS theilsen_dollars_per_month
+    FROM pairs GROUP BY 1
+    """,
+    tags=("relational", "trend", "regression", "robust"),
+)
+def nation_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: per nation, the MEDIAN of all pairwise
+    slopes of the monthly revenue series — the outlier-resistant
+    companion to ``nation_revenue_trend``'s OLS slope (one promo-spike
+    month drags an OLS fit; the median slope ignores it, which is why
+    Theil-Sen is the standard robust trend in monitoring pipelines).
+
+    Exactness: the monthly series is integer (month index, cents), each
+    pairwise slope is one double division of exact integers (identical
+    in both engines), and the median is the interpolated-percentile
+    parity precedent over a per-nation bounded group.
+
+    Scale: the pairwise self-join runs over the MONTHLY AGGREGATE —
+    |nations| x |months| rows (calendar-bounded at ANY corpus size, ~2k
+    rows at 100 TB just as here), never raw orders; the only fact-sized
+    work is the first map-side-combinable aggregate. The quadratic
+    pair count is quadratic in MONTHS (84 -> ~3.5k pairs/nation), the
+    standard way Theil-Sen stays exact at scale without sampling."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    x = (F.year(F.to_date("o_orderdate")) * 12
+         + F.month(F.to_date("o_orderdate"))).cast("long")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders")
+    monthly = (o.join(cust, o.o_custkey == cust.c_custkey)
+               .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+               .groupBy("n_name", x.alias("x"))
+               .agg(F.sum(cents).cast("long").alias("y")))
+    a = monthly.select("n_name", F.col("x").alias("x1"),
+                       F.col("y").alias("y1"))
+    b = monthly.select("n_name", F.col("x").alias("x2"),
+                       F.col("y").alias("y2"))
+    pairs = (a.join(b, "n_name").where(F.col("x2") > F.col("x1"))
+             .select("n_name",
+                     ((F.col("y2") - F.col("y1")).cast("double")
+                      / (F.col("x2") - F.col("x1")).cast("double"))
+                     .alias("s")))
+    return (pairs.groupBy("n_name")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.round(F.expr("percentile(s, 0.5)") / 100.0, 6)
+                 .alias("theilsen_dollars_per_month")))
