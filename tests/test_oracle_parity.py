@@ -75,3 +75,24 @@ def test_approx_bounds(spark):
          .fn(spark, SF_SMALL).first())
     assert abs(r.approx_users - r.exact_users) / max(r.exact_users, 1) <= 0.05
     assert abs(r.approx_median - r.exact_median) / max(abs(r.exact_median), 1e-9) <= 0.05
+
+
+def test_streaming_twins_share_batch_oracles():
+    """The promoted streaming twins' driver oracles are DEFINED to be
+    their batch counterpart's SQL (the batch==stream equality gates are
+    the bridging proof). If someone edits one side's oracle without the
+    other, the shared-oracle argument silently breaks — pin identity."""
+    defs = all_queries()
+    for twin, batch in [
+        ("streaming_funnel_tail", "user_funnel_conversion"),
+        ("streaming_cusum_tail", "hourly_cusum_changepoint"),
+        ("streaming_interarrival_tail", "user_interarrival_stats"),
+        ("streaming_hq_rollup_tail", "histogram_quantile_rollup"),
+        ("streaming_tumbling_hourly", "tumbling_hourly_by_type"),
+        ("streaming_upsert_compaction", "latest_event_per_user"),
+    ]:
+        assert defs[twin].oracle == defs[batch].oracle, (twin, batch)
+    # the interval-join twin's oracle is the INNER restriction, not a
+    # verbatim copy — assert the structural relation instead
+    ij = defs["streaming_interval_join"].oracle
+    assert "JOIN events e2" in ij and "LEFT JOIN" not in ij
