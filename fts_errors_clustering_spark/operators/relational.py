@@ -2795,3 +2795,76 @@ def nation_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_pairs"),
                  F.round(F.expr("percentile(s, 0.5)") / 100.0, 6)
                  .alias("theilsen_dollars_per_month")))
+
+
+@register(
+    "cohort_ltv_triangle",
+    oracle=f"""
+    WITH co AS (
+      SELECT o_custkey,
+             MIN(YEAR(CAST(o_orderdate AS DATE)) * 12
+                 + MONTH(CAST(o_orderdate AS DATE))) AS m0
+      FROM orders GROUP BY 1
+    ),
+    cell AS (
+      SELECT co.m0,
+             CAST(YEAR(CAST(o.o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o.o_orderdate AS DATE)) - co.m0
+                  AS BIGINT) AS k,
+             CAST(SUM({_CENTS}) AS BIGINT) AS cents,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+      FROM orders o JOIN co ON co.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT printf('%04d-%02d', (m0 - 1) // 12, (m0 - 1) % 12 + 1)
+             AS cohort_month,
+           k,
+           n_active,
+           ROUND(cents / 100.0, 2) AS revenue,
+           ROUND(CAST(SUM(cents) OVER (PARTITION BY m0 ORDER BY k
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0, 2)
+             AS cum_revenue
+    FROM cell
+    """,
+    tags=("relational", "cohort", "ltv"),
+)
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value cohort triangle: customers grouped by
+    FIRST-order month, each cohort's revenue and active-customer count at
+    k months since acquisition, with the running cumulative revenue that
+    an LTV curve reads off — the revenue companion to
+    ``weekly_cohort_retention``'s headcount view (finance asks "how much
+    has the March cohort spent by month 6", not just "how many came
+    back").
+
+    Exactness: month indices and cents are integers; the only divisions
+    are final /100 displays; the cumulative sum runs over integer cents
+    in the fixed k order, so both engines emit bit-identical doubles.
+
+    Scale: first-order month is one map-side-combinable aggregate on the
+    customer key; the cell aggregate is customer-keyed then
+    (cohort x k)-keyed (map-side combinable both times); the cumulative
+    window runs over the TRIANGLE (|months|^2 / 2 rows at any corpus
+    size — ~3k rows for a 7-year ledger), never raw orders."""
+    ym = (F.year(F.to_date("o_orderdate")) * 12
+          + F.month(F.to_date("o_orderdate"))).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    o = table(spark, sf_dir, "orders")
+    co = (o.groupBy("o_custkey").agg(F.min(ym).alias("m0")))
+    cell = (o.join(co, "o_custkey")
+            .groupBy("m0", (ym - F.col("m0")).cast("long").alias("k"))
+            .agg(F.sum(cents).cast("long").alias("cents"),
+                 F.countDistinct("o_custkey").cast("long").alias("n_active")))
+    wk = (Window.partitionBy("m0").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    month_label = F.format_string(
+        "%04d-%02d",
+        ((F.col("m0") - 1) / 12).cast("long"),
+        ((F.col("m0") - 1) % 12 + 1).cast("long"))
+    return cell.select(
+        month_label.alias("cohort_month"),
+        "k",
+        "n_active",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("cents").over(wk).cast("double") / 100.0, 2)
+        .alias("cum_revenue"))
