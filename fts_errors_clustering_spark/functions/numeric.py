@@ -98,6 +98,21 @@ def round_half_up(x: float, ndigits: int = 6) -> float:
     doubles + dyadic edge cases with zero mismatches.  Only valid for
     finite x >= 0 (conversion rates, shares); extend with a sign fold
     before using on negatives.
+
+    KNOWN CROSS-ENGINE GAP (r07 advice): Spark's ``F.round`` is NOT this
+    computation — it is decimal-exact HALF_UP via BigDecimal on the
+    shortest-decimal string of the double, so on inputs whose shortest
+    decimal lands exactly on a scaled .5 boundary (e.g. 0.1234565 at 6
+    digits) ``F.round`` and DuckDB's ``ROUND`` can disagree by one ulp of
+    the target scale.  Operators that pair Spark-side ``F.round`` with a
+    DuckDB ``ROUND`` oracle (theilsen, cohort_ltv_triangle,
+    funnel_step_timing, last_touch_attribution) tolerate this because
+    their rounded quantities are ratios of integer cent/microsecond
+    units — the quotient's shortest decimal essentially never lands on
+    the boundary at 6 digits (zero mismatches across all fixture scales).
+    For NEW operators, prefer keeping values in integer micro-units until
+    display, or round at a scale the upstream arithmetic cannot touch;
+    do not assume F.round == DuckDB ROUND on arbitrary doubles.
     """
     import math
 

@@ -503,15 +503,17 @@ def fit_lsa_rsvd(features_df: DataFrame, k: int, id_col: str = "doc_id",
                 n = len(ip) - 1
                 row_of = np.repeat(np.arange(n), np.diff(ip))
                 # Y[i] = x_i @ Om — contributions are row-sorted by
-                # construction, so reduceat sums each row's slice;
-                # reduceat misbehaves on empty slices (repeats the next
-                # element), so zero those rows explicitly
+                # construction, so reduceat over the NON-EMPTY row starts
+                # sums each such row's slice exactly (starts are strictly
+                # increasing and all < len(fd), so the final slice runs to
+                # the end; clipping out-of-range starts instead would steal
+                # the last element from the preceding row when the block
+                # ends with empty vectors). Empty rows stay zero.
                 contrib = fd[:, None] * Om[fi]
                 Y = np.zeros((n, l))
                 if len(fd):
                     nz_rows = np.diff(ip) > 0
-                    Ynz = np.add.reduceat(contrib, ip[:-1].clip(max=len(fd) - 1))
-                    Y[nz_rows] = Ynz[nz_rows]
+                    Y[nz_rows] = np.add.reduceat(contrib, ip[:-1][nz_rows])
                 GY += Y.T @ Y
                 # T += X^T Y: scatter-add per projection column (bincount
                 # is the fast C path; np.add.at is ~10x slower)

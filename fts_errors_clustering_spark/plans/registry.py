@@ -87,8 +87,14 @@ _MODULES = (
 #: ``register`` wrapper around each query fn; ``__global__`` for direct
 #: helper calls outside any query) so a consumer that has materialized
 #: query A can release A's caches without yanking a localCheckpoint still
-#: backing query B's uncollected result. All access under ``_CONSUMER_LOCK``
-#: — interleaved consumers on different threads are in contract.
+#: backing query B's uncollected result. All access under ``_CONSUMER_LOCK``.
+#: Interleaved consumers on different threads are in contract BECAUSE
+#: release refcounts by the frame's analyzed-plan semantic hash: two
+#: scopes that retain the same helper-built lineage (Spark's cache
+#: manager dedupes cache entries by logical plan) each hold a reference,
+#: and the storage is unpersisted only when the LAST retaining scope
+#: releases (r07 advice — previously releasing scope A yanked a cache
+#: scope B still listed).
 _CONSUMER_CACHES: dict[str, list[DataFrame]] = {}
 _CONSUMER_LOCK = __import__("threading").RLock()
 _CURRENT_SCOPE = __import__("threading").local()
@@ -149,19 +155,40 @@ def unpersist_any(df: DataFrame) -> None:
         pass
 
 
+def _plan_key(df: DataFrame):
+    """Identity of the frame's cached storage: the analyzed plan's
+    semantic hash (what Spark's CacheManager dedupes cache entries by).
+    Falls back to the Python object id when the JVM handle is gone — a
+    dead frame only ever matches itself, which degrades to the old
+    per-scope behavior instead of blocking a release."""
+    try:
+        return ("sem", df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:  # noqa: BLE001
+        return ("pyid", id(df))
+
+
 def release_consumer_caches(scope: str | None = None) -> int:
-    """Unpersist consumer-scoped caches; returns how many. With ``scope``
-    (a query name) releases only that query's retentions — the safe call
-    for interleaved consumers; with no argument releases everything (the
-    single-consumer convention of the check CLI / parity sweep)."""
+    """Unpersist consumer-scoped caches; returns how many were released.
+    With ``scope`` (a query name) releases only that query's retentions;
+    with no argument releases everything (the single-consumer convention
+    of the check CLI / parity sweep). Safe for interleaved consumers: a
+    frame whose analyzed-plan semantic hash is still retained by another
+    scope is dropped from this scope's list but its storage is NOT
+    unpersisted — the last retaining scope's release does that."""
     with _CONSUMER_LOCK:
         if scope is None:
             frames = [f for lst in _CONSUMER_CACHES.values() for f in lst]
             _CONSUMER_CACHES.clear()
+            still_held: set = set()
         else:
             frames = _CONSUMER_CACHES.pop(scope, [])
+            still_held = {
+                _plan_key(f)
+                for lst in _CONSUMER_CACHES.values() for f in lst
+            }
     for df in frames:
-        unpersist_any(df)
+        if _plan_key(df) not in still_held:
+            unpersist_any(df)
     return len(frames)
 
 

@@ -390,3 +390,30 @@ def test_scoped_consumer_release_is_isolated(spark):
 
     assert release_consumer_caches("qb") == 1
     assert b.storageLevel == StorageLevel.NONE
+
+
+def test_shared_lineage_release_is_refcounted(spark):
+    """Regression (r07 advice): two scopes that retain the SAME logical
+    plan (Spark's cache manager dedupes cache entries by plan, so both
+    handles share one storage) must not lose the storage when only ONE
+    of them releases — the last retaining scope's release unpersists."""
+    from pyspark.storagelevel import StorageLevel
+
+    from fts_errors_clustering_spark.plans.registry import (
+        consumer_scope, release_consumer_caches, retain_for_consumer)
+
+    release_consumer_caches()  # clean slate
+    with consumer_scope("qa"):
+        a = retain_for_consumer(spark.range(20).selectExpr("id * 7 AS x"))
+    with consumer_scope("qb"):
+        # same logical plan -> CacheManager resolves to the SAME storage
+        b = retain_for_consumer(spark.range(20).selectExpr("id * 7 AS x"))
+    a.count(), b.count()
+    assert a.storageLevel != StorageLevel.NONE
+    assert b.storageLevel != StorageLevel.NONE
+
+    assert release_consumer_caches("qa") == 1     # qa's ref dropped...
+    assert b.storageLevel != StorageLevel.NONE    # ...storage survives
+    assert release_consumer_caches("qb") == 1     # last ref -> unpersist
+    assert b.storageLevel == StorageLevel.NONE
+    assert a.storageLevel == StorageLevel.NONE

@@ -248,3 +248,47 @@ def test_rsvd_sparse_high_dim(spark):
 
     again, ev2 = fit_lsa_rsvd(df, k=2)
     assert ev2 == ev
+
+
+def test_rsvd_trailing_empty_vector(spark):
+    """Regression (r07 advice): a flush block whose FINAL element is an
+    all-zero vector must not corrupt the preceding row's accumulation.
+    The old clip-based reduceat shortened the last non-empty row's slice
+    by one element (its last nonzero's contribution silently vanished
+    from Y/GY/T). Single-partition input pins the empty row as the last
+    element of the partition's final flush; rank-1 planted structure
+    makes per-row projection norms exactly equal row norms, so a stolen
+    contribution on the last non-empty row is a hard failure."""
+    import math
+
+    import numpy as np
+    from pyspark.ml.linalg import Vectors
+    from pyspark.sql import types as T
+
+    from fts_errors_clustering_spark.operators.tfidf import fit_lsa_rsvd
+
+    d = 64
+    w = np.zeros(d)
+    w[[3, 11, 27, 40, 55]] = [1.0, 2.0, 3.0, 4.0, 5.0]  # 5 nonzeros
+    rows = [(i, Vectors.sparse(d, [3, 11, 27, 40, 55],
+                               list((0.5 + i) * w[[3, 11, 27, 40, 55]])))
+            for i in range(6)]
+    rows.append((6, Vectors.sparse(d, [], [])))          # trailing empty
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", __import__(
+            "pyspark.ml.linalg", fromlist=["VectorUDT"]).VectorUDT()),
+    ])
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+
+    red, ev = fit_lsa_rsvd(df, k=1)
+    assert ev > 0.999999, ev  # exact rank-1: nothing may leak
+    got = {r.doc_id: math.sqrt(sum(v * v for v in r.lsa_rsvd))
+           for r in red.collect()}
+    for i, vec in rows:
+        rn = float(np.linalg.norm(vec.toArray()))
+        if rn == 0.0:
+            assert got[i] <= 1e-12, (i, got[i])
+        else:
+            assert abs(got[i] - rn) / rn <= 1e-9, (i, got[i], rn)
