@@ -172,6 +172,11 @@ HEADLINE = [
     # round 7
     "funnel_step_timing",
     "last_touch_attribution",
+    "nation_revenue_theilsen",
+    "cohort_ltv_triangle",
+    # round 8
+    "ab_test_lift",
+    "nelson_aalen_hazard",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and
@@ -408,9 +413,18 @@ def main() -> None:
     # file carries every number; stdout gets a COMPACT line (headline total
     # + the 20 most expensive queries) that always fits the capture window.
     full = json.dumps({**common, "queries": timings, "load1": loads})
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_out.json"), "w") as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_out.json"), "w") as f:
         f.write(full + "\n")
+    # canonical-run stamping (r07 verdict #5): bench_out.json is clobbered
+    # by every run including the driver's, so a curated best/verified-idle
+    # map is preserved under a round-stamped name the driver never writes
+    # (SPARK_GRAFT_BENCH_STAMP=r08 -> bench_best_r08.json, committed and
+    # referenced by BASELINE.md instead of the volatile file).
+    stamp = os.environ.get("SPARK_GRAFT_BENCH_STAMP")
+    if stamp:
+        with open(os.path.join(here, f"bench_best_{stamp}.json"), "w") as f:
+            f.write(full + "\n")
     top20 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     print(json.dumps({**common, "queries": top20,
                       "n_queries_total": len(timings),

@@ -253,8 +253,16 @@ def extract_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     payload as centered 8-bit PCM and compute duration, full-signal RMS,
     zero-crossing rate, and framewise peak RMS (the VAD/clipping-screen
     statistics an audio-curation pass gates on). All numpy per payload —
-    no per-row Python beyond the batch loop, no driver collect."""
+    no per-row Python beyond the batch loop, no driver collect.
+
+    Rounding is ``round_half_up`` (NOT Python's banker's ``round``): a
+    constant payload of one odd-deviation byte value makes the true RMS
+    k/128 — a terminating 7-decimal ending in 5 (1/128 = 0.0078125) —
+    exactly the boundary where banker's rounding and DuckDB's ROUND
+    disagree, and the r08 oracle replays these features in SQL."""
     import numpy as np
+
+    from ..functions.numeric import round_half_up
     for pdf in batches:
         out = {k: [] for k in ("doc_id", "n_samples", "duration_s", "rms",
                                "zero_cross_rate", "n_frames",
@@ -265,29 +273,94 @@ def extract_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             n = int(len(x))
             out["doc_id"].append(int(doc_id))
             out["n_samples"].append(n)
-            out["duration_s"].append(round(n / AUDIO_SAMPLE_RATE, 6))
+            out["duration_s"].append(round_half_up(n / AUDIO_SAMPLE_RATE, 6))
             if n == 0:
                 out["rms"].append(0.0)
                 out["zero_cross_rate"].append(0.0)
                 out["n_frames"].append(0)
                 out["max_frame_rms"].append(0.0)
                 continue
-            out["rms"].append(round(float(np.sqrt(np.mean(x * x))) / 128.0, 6))
+            out["rms"].append(round_half_up(float(np.sqrt(np.mean(x * x))) / 128.0, 6))
             zc = (np.signbit(x[1:]) != np.signbit(x[:-1])).mean() if n > 1 else 0.0
-            out["zero_cross_rate"].append(round(float(zc), 6))
+            out["zero_cross_rate"].append(round_half_up(float(zc), 6))
             k = n // AUDIO_FRAME
             out["n_frames"].append(k)
             if k:
                 fr = x[:k * AUDIO_FRAME].reshape(k, AUDIO_FRAME)
                 frms = np.sqrt((fr * fr).mean(axis=1)) / 128.0
-                out["max_frame_rms"].append(round(float(frms.max()), 6))
+                out["max_frame_rms"].append(round_half_up(float(frms.max()), 6))
             else:
                 out["max_frame_rms"].append(0.0)
         yield pd.DataFrame(out)
 
 
-@register("multimodal_audio_features", oracle=None,
-          tags=("multimodal", "audio", "mapinpandas"))
+@register(
+    "multimodal_audio_features",
+    # SQL replay of the PCM reinterpretation (r08, the image twin's
+    # treatment): every feature is byte arithmetic over the payload, and
+    # the payload is the ASCII text's bytes, so per-character code points
+    # reproduce it exactly. Float parity is EXACT, not approximate: the
+    # squared deviations are integer-valued doubles (sums are exact in
+    # any order), sqrt is IEEE-correctly-rounded on both engines, /128
+    # and /8000-into-6-decimals are exact scalings, and the UDF rounds
+    # half-up (round_half_up) to match DuckDB ROUND bit-for-bit. The
+    # sign convention replays signbit: a crossing is (c < 128) flipping
+    # (x = c - 128.0; signbit(0.0) is False, i.e. c >= 128 is
+    # 'non-negative').
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents
+    ),
+    chars AS (
+      SELECT doc_id, n,
+             unnest(range(1, n + 1)) AS i
+      FROM base WHERE n > 0
+    ),
+    vals AS (
+      SELECT c.doc_id, c.n, c.i,
+             CAST(ascii(substr(b.text, CAST(c.i AS BIGINT), 1)) AS DOUBLE)
+               - 128.0 AS x,
+             ascii(substr(b.text, CAST(c.i AS BIGINT), 1)) < 128 AS neg
+      FROM chars c JOIN base b ON b.doc_id = c.doc_id
+    ),
+    lagd AS (
+      SELECT doc_id, n, i, x, neg,
+             LAG(neg) OVER (PARTITION BY doc_id ORDER BY i) AS prev_neg
+      FROM vals
+    ),
+    stats AS (
+      SELECT doc_id,
+             SUM(x * x) AS ssq,
+             SUM(CASE WHEN prev_neg IS NOT NULL AND neg <> prev_neg
+                      THEN 1 ELSE 0 END) AS ncross
+      FROM lagd GROUP BY doc_id
+    ),
+    frames AS (
+      SELECT doc_id, (i - 1) // {AUDIO_FRAME} AS frame, SUM(x * x) AS fssq
+      FROM vals GROUP BY doc_id, (i - 1) // {AUDIO_FRAME}
+      HAVING COUNT(*) = {AUDIO_FRAME}
+    ),
+    fmax AS (
+      SELECT doc_id, MAX(SQRT(fssq / {AUDIO_FRAME}.0)) / 128.0 AS mfr
+      FROM frames GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n AS n_samples,
+           ROUND(b.n / {AUDIO_SAMPLE_RATE}.0, 6) AS duration_s,
+           CASE WHEN b.n = 0 THEN 0.0
+                ELSE ROUND(SQRT(s.ssq / b.n) / 128.0, 6) END AS rms,
+           CASE WHEN b.n <= 1 THEN 0.0
+                ELSE ROUND(CAST(s.ncross AS DOUBLE) / (b.n - 1), 6)
+           END AS zero_cross_rate,
+           b.n // {AUDIO_FRAME} AS n_frames,
+           CASE WHEN f.mfr IS NULL THEN 0.0 ELSE ROUND(f.mfr, 6) END
+             AS max_frame_rms
+    FROM base b
+    LEFT JOIN stats s ON s.doc_id = b.doc_id
+    LEFT JOIN fmax f ON f.doc_id = b.doc_id
+    """,
+    tags=("multimodal", "audio", "mapinpandas"),
+)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-shaped member of the multimodal family: the binary payload
     treated as an 8-bit PCM waveform, featurized per Arrow batch
@@ -295,8 +368,11 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen for silence, clipping, and synthetic tones). Codec stubbed
     like the image path (``decode_audio`` raises; the deterministic PCM
     reinterpretation keeps schema, batching, and the numpy hot path
-    real). Rows-only in the driver; determinism and physical invariants
-    pinned in tests/test_streaming.py's multimodal block."""
+    real). Promoted to a FULL oracle in r08: the reinterpretation is byte
+    arithmetic, replayed in DuckDB over per-character code points (ASCII
+    fixture precondition, same as ``multimodal_features``); determinism
+    and physical invariants stay in tests/test_streaming.py's multimodal
+    block."""
     docs = table(spark, sf_dir, "documents")
     pay = with_payload(docs).select("doc_id", "payload")
     return pay.mapInPandas(extract_audio, AUDIO_SCHEMA)

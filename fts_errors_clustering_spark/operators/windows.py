@@ -426,14 +426,74 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_dedup_stream(spark, sf_dir)
 
 
-@register("streaming_neardup_gate", oracle=None,
+def _neardup_gate_oracle() -> str:
+    """DuckDB replay of the streaming LSH gate. Deterministic end to end:
+    arrival order is staged (slice k = micro-batch k — originals in slice
+    doc_id % 4, planted exact dups in slice 4), signatures are pure
+    functions of the text (shared md5 double-hash scheme, the SAME CTEs
+    the batch minhash oracles use), and bucket ownership is first-arrival
+    = min (slice, doc_id) — ``_claim_bucket`` keeps min doc_id within the
+    first trigger that sees the bucket."""
+    from ..functions.text import sql_hash32, sql_hash32_hi
+    from .dedup import BAND_SIZE, N_HASHES, _shingle_sql
+    return f"""
+    WITH staged AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id >= 100000 THEN 4
+                  ELSE doc_id % 4 END AS slice
+      FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text
+        FROM documents WHERE doc_id < 20
+      )
+    ),
+    shing AS ({_shingle_sql('staged')}),
+    hashed AS (
+      SELECT doc_id, {sql_hash32('sh')} AS h1, {sql_hash32_hi('sh')} AS h2
+      FROM shing
+    ),
+    seeds AS (SELECT CAST(s.range AS BIGINT) AS seed
+              FROM range(0, {N_HASHES}) s),
+    sigs AS (SELECT doc_id, seed,
+                    MIN((h1 + seed * h2) % 4294967296) AS minhash
+             FROM hashed CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // {BAND_SIZE} AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+               AS bucket
+      FROM sigs GROUP BY doc_id, seed // {BAND_SIZE}
+    ),
+    own AS (
+      SELECT band, bucket, doc_id AS owner
+      FROM (SELECT b.band, b.bucket, b.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.band, b.bucket
+                                      ORDER BY st.slice, b.doc_id) AS rn
+            FROM bands b JOIN staged st ON st.doc_id = b.doc_id)
+      WHERE rn = 1
+    )
+    SELECT b.doc_id,
+           CAST(SUM(CASE WHEN o.owner <> b.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit_bands,
+           SUM(CASE WHEN o.owner <> b.doc_id THEN 1 ELSE 0 END) > 0
+             AS is_candidate
+    FROM bands b JOIN own o ON o.band = b.band AND o.bucket = b.bucket
+    GROUP BY b.doc_id
+    """
+
+
+@register("streaming_neardup_gate", oracle=_neardup_gate_oracle(),
           tags=("windows", "streaming", "stateful", "dedup"))
 def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash-LSH near-dup gate (streaming twin of
     ``minhash_near_dups``): stateless per-row signatures + banding, one
     stateful bucket-ownership stage (``applyInPandasWithState``), per-doc
-    candidate verdicts across micro-batches. Rows-only in the driver;
-    planted-dup recall and batch agreement in tests/test_streaming.py."""
+    candidate verdicts across micro-batches. Promoted to a FULL oracle in
+    r08: the staged arrival order is deterministic and the signature math
+    shares the batch minhash oracles' md5 CTEs, so first-arrival bucket
+    ownership SQL-replays as a (slice, doc_id) window (see
+    ``_neardup_gate_oracle``); planted-dup recall and batch agreement stay
+    in tests/test_streaming.py."""
     from ..streaming.jobs import run_neardup_stream
     return run_neardup_stream(spark, sf_dir)
 
@@ -717,15 +777,54 @@ def daily_cumulative_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sum("n").over(w).cast("long").alias("cum_n"))
 
 
-@register("streaming_debounce_gate", oracle=None,
+#: DuckDB replay of the KEPT-gap debounce recursion (each verdict depends
+#: on the previous VERDICT, not the previous row — no window expression
+#: states it, but a recursive CTE walks it exactly): per (user, type) the
+#: first event in (ts, event_id) order is kept, and each kept event's
+#: successor is the earliest event >= 1h later. Deterministic because the
+#: stream replays chronologically staged daily slices (a key's next event
+#: is never in an earlier micro-batch) and the stateful gate sorts each
+#: batch by (ts, event_id) — so the cross-batch sequence IS the global
+#: event-time order the recursion walks.
+DEBOUNCE_GATE_ORACLE = """
+    WITH RECURSIVE k AS (
+      (SELECT user_id, event_type, ts, event_id
+       FROM (SELECT user_id, event_type, ts, event_id,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) AS rn
+             FROM events)
+       WHERE rn = 1)
+      UNION ALL
+      SELECT nxt.user_id, nxt.event_type, nxt.ts, nxt.event_id
+      FROM k, LATERAL (
+        SELECT b.user_id, b.event_type, b.ts, b.event_id
+        FROM events b
+        WHERE b.user_id = k.user_id AND b.event_type = k.event_type
+          AND b.ts >= k.ts + INTERVAL 1 HOUR
+        ORDER BY b.ts, b.event_id
+        LIMIT 1
+      ) nxt
+    )
+    SELECT e.user_id, e.event_type, e.event_id,
+           (k.event_id IS NOT NULL) AS kept
+    FROM events e
+    LEFT JOIN k ON k.user_id = e.user_id AND k.event_type = e.event_type
+               AND k.event_id = e.event_id
+    """
+
+
+@register("streaming_debounce_gate", oracle=DEBOUNCE_GATE_ORACLE,
           tags=("windows", "streaming", "stateful", "throttle"))
 def streaming_debounce_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-key cooldown gate (``applyInPandasWithState``): the
     KEPT-gap debounce recursion (see ``streaming/jobs.run_debounce_stream``)
     — the stateful twin of the oracle-checked raw-gap
-    ``debounced_event_counts``. Rows-only in the driver; single-batch
-    equality with an in-pandas reference and cross-batch invariants in
-    tests/test_streaming.py."""
+    ``debounced_event_counts``. Promoted to a FULL oracle in r08: the
+    stream drains chronologically staged daily slices, so the per-key
+    verdict sequence equals the global (ts, event_id)-order recursion,
+    which DuckDB replays as a recursive CTE (``DEBOUNCE_GATE_ORACLE``).
+    Single-batch equality with an in-pandas reference and cross-batch
+    invariants stay in tests/test_streaming.py."""
     from ..streaming.jobs import run_debounce_stream
     return run_debounce_stream(spark, sf_dir)
 
@@ -1469,3 +1568,242 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "touch_type", "n_conversions",
         F.round(F.col("n_conversions") * 1.0
                 / F.sum("n_conversions").over(wt), 6).alias("share"))
+
+
+@register(
+    "ab_test_lift",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    assigned AS (
+      SELECT f.user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(f.user_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN e.event_type = 'purchase' AND e.ts > f.t0
+                       AND e.ts <= f.t0 + INTERVAL 24 HOUR
+                      THEN 1 ELSE 0 END) AS converted
+      FROM fv f JOIN events e ON e.user_id = f.user_id
+      GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+             AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+             AS BIGINT) AS conv_b
+      FROM assigned
+    )
+    SELECT n_a, conv_a,
+           ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           n_b, conv_b,
+           ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           ROUND(conv_b / CAST(n_b AS DOUBLE)
+                 - conv_a / CAST(n_a AS DOUBLE), 6) AS abs_lift,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                THEN 0.0
+                ELSE ROUND((conv_b / CAST(n_b AS DOUBLE)
+                            - conv_a / CAST(n_a AS DOUBLE))
+                           / SQRT(((conv_a + conv_b)
+                                   / CAST(n_a + n_b AS DOUBLE))
+                                  * (1.0 - (conv_a + conv_b)
+                                           / CAST(n_a + n_b AS DOUBLE))
+                                  * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS z_score
+    FROM v
+    """,
+    tags=("windows", "experiment", "stats"),
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test analysis: users hash-split into two variants (the
+    ``hash_split_counts`` md5-bucket convention on user_id, so assignment
+    is a pure deterministic function — no experiment-assignment table in
+    the fixture), per-variant conversion rates, absolute lift, and the
+    two-proportion pooled z-score — the readout a growth team runs after
+    funnel/attribution/LTV (r07 verdict ask #6). Conversion is 'purchase
+    within 24h of the user's FIRST view' (population: users with >= 1
+    view) — every fixture user eventually purchases, so the unwindowed
+    rate is degenerately 1.0; the windowed definition has real variance
+    at every SF (8/15 at sf0.001, 63/150 at sf0.01).
+
+    Engine parity on the z-score is EXACT-EXPRESSION, not tolerance: both
+    engines build the statistic from the same four integers (n_a, c_a,
+    n_b, c_b) with the identical operand-ordered double expression
+    (pb - pa) / sqrt(p*(1-p)*(1/n_a + 1/n_b)) — every IEEE op
+    (div/mul/add/sqrt) is correctly rounded, so identical inputs and
+    shape give bit-identical doubles (the dec_std/SQRT precedent), and
+    the final ROUND(6) is far from any representable boundary.
+
+    Scale: ONE exchange — events shuffle by user_id once for the
+    first-view window; the conversion flag is a conditional MAX over the
+    same partition (the ``funnel_counts`` stacked-window shape, no
+    join-back), the per-user groupBy reuses that partitioning, variants
+    derive from the key itself, and the final aggregate is a single
+    row. The same user-keyed single-exchange shape as
+    ``last_touch_attribution``."""
+    from ..functions.text import hash32
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t0 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    day = F.expr("INTERVAL 24 HOURS")
+    rows = ev.select(
+        "user_id", t0.alias("t0"),
+        F.when((F.col("event_type") == "purchase")
+               & (F.col("ts") > t0) & (F.col("ts") <= t0 + day), 1)
+         .otherwise(0).alias("c"))
+    per_user = (rows.where(F.col("t0").isNotNull())
+                .groupBy("user_id").agg(F.max("c").alias("converted")))
+    assigned = per_user.select(
+        F.when(hash32(F.col("user_id").cast("string")) % 2 == 0, "A")
+         .otherwise("B").alias("variant"), "converted")
+    v = assigned.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+         .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == "A", F.col("converted"))
+              .otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+         .cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("converted"))
+              .otherwise(0)).cast("long").alias("conv_b"))
+    pa = F.col("conv_a") / F.col("n_a").cast("double")
+    pb = F.col("conv_b") / F.col("n_b").cast("double")
+    p = ((F.col("conv_a") + F.col("conv_b"))
+         / (F.col("n_a") + F.col("n_b")).cast("double"))
+    se = F.sqrt(p * (F.lit(1.0) - p)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")))
+    conv_tot = F.col("conv_a") + F.col("conv_b")
+    # degenerate experiment (pooled rate 0 or 1, e.g. every fixture user
+    # purchases at sf0.001): zero variance -> the statistic is undefined;
+    # pin 0.0 identically in both engines (rates are equal there anyway)
+    z = (F.when((conv_tot == 0)
+                | (conv_tot == F.col("n_a") + F.col("n_b")), F.lit(0.0))
+         .otherwise(F.round((pb - pa) / se, 6)))
+    return v.select(
+        "n_a", "conv_a", F.round(pa, 6).alias("rate_a"),
+        "n_b", "conv_b", F.round(pb, 6).alias("rate_b"),
+        F.round(pb - pa, 6).alias("abs_lift"),
+        z.alias("z_score"))
+
+
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH t0 AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    obs AS (SELECT MAX(ts) AS t_end FROM events),
+    ev AS (
+      SELECT f.user_id, MIN(e.ts) AS t_ev
+      FROM t0 f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts > f.t0
+      GROUP BY 1
+    ),
+    dur AS (
+      SELECT f.user_id,
+             CASE WHEN ev.t_ev IS NULL
+                  THEN epoch_us((SELECT t_end FROM obs)) - epoch_us(f.t0)
+                  ELSE epoch_us(ev.t_ev) - epoch_us(f.t0) END AS t_us,
+             CASE WHEN ev.t_ev IS NULL THEN 0 ELSE 1 END AS is_event
+      FROM t0 f LEFT JOIN ev ON ev.user_id = f.user_id
+    ),
+    g AS (
+      SELECT t_us, CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(is_event) AS BIGINT) AS n_events
+      FROM dur GROUP BY t_us
+    ),
+    r AS (
+      SELECT t_us, n_events,
+             CAST((SELECT COUNT(*) FROM dur) AS BIGINT)
+               - CAST(COALESCE(SUM(n_all) OVER (ORDER BY t_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n_risk
+      FROM g
+    ),
+    h AS (
+      SELECT t_us, n_risk, n_events,
+             CAST(FLOOR(CAST(n_events AS DOUBLE) / n_risk * 1000000.0
+                        + 0.5) AS BIGINT) AS hz_micro
+      FROM r WHERE n_events > 0
+    )
+    SELECT t_us, n_risk, n_events,
+           CAST(SUM(hz_micro) OVER (ORDER BY t_us) AS BIGINT)
+             AS cum_hazard_micro,
+           CAST(SUM(hz_micro) OVER (ORDER BY t_us) AS BIGINT) / 1000000.0
+             AS cum_hazard
+    FROM h
+    """,
+    tags=("windows", "survival", "stats"),
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis for time-to-convert: the Nelson-Aalen cumulative
+    hazard over 'first purchase strictly after first view', right-censored
+    at the observation-window end (the corpus MAX(ts)) — the
+    retention-team view ab_test_lift's point rate collapses: WHEN do
+    users convert, with non-converts handled correctly instead of
+    dropped. One row per distinct event duration: at-risk count, event
+    count, cumulative hazard.
+
+    Exactness design (why Nelson-Aalen, not Kaplan-Meier): the KM
+    survival product needs EXP(SUM(LN(...))) — libm ln/exp are not
+    correctly rounded and DuckDB's windowed SUM is segment-tree ordered,
+    so float cumulative sums are NOT reproducible across engines. The
+    N-A hazard avoids both: each increment d/n is quantized to INTEGER
+    micro-hazards with the identical floor(x*1e6+0.5) expression (one
+    IEEE divide + multiply + floor on the same operands), and the
+    cumulative sum runs over integers — exact in any summation order.
+    Durations stay integer microseconds end to end (no hours rounding:
+    at curve cardinality a 7th-decimal tie is a real risk class).
+
+    Scale: ONE exchange on user_id for the first-view/first-purchase
+    window (the ``funnel_counts`` stacked conditional-min shape), the
+    censor time is a broadcast 1-row aggregate, and everything after the
+    per-user collapse is |users|-bounded; the curve windows run
+    single-partition over the bounded duration table (the
+    ``supplier_revenue_pareto`` precedent)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t0 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    rows = ev.select("user_id", t0.alias("t0"),
+                     F.col("event_type"), F.col("ts"))
+    t_ev = F.min(F.when((F.col("event_type") == "purchase")
+                        & (F.col("ts") > F.col("t0")), F.col("ts"))).over(w)
+    per_user = (rows.where(F.col("t0").isNotNull())
+                .select("user_id", "t0", t_ev.alias("t_ev"))
+                .groupBy("user_id")
+                .agg(F.min("t0").alias("t0"), F.min("t_ev").alias("t_ev")))
+    t_end = ev.agg(F.max("ts").alias("t_end"))
+    dur = (per_user.crossJoin(F.broadcast(t_end))
+           .select(F.when(F.col("t_ev").isNull(),
+                          F.unix_micros("t_end") - F.unix_micros("t0"))
+                   .otherwise(F.unix_micros("t_ev") - F.unix_micros("t0"))
+                   .alias("t_us"),
+                   F.when(F.col("t_ev").isNull(), 0).otherwise(1)
+                   .alias("is_event")))
+    g = (dur.groupBy("t_us")
+         .agg(F.count("*").cast("long").alias("n_all"),
+              F.sum("is_event").cast("long").alias("n_events")))
+    wall = Window.partitionBy()
+    wprev = (Window.orderBy("t_us")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    r = g.select(
+        "t_us", "n_events",
+        (F.sum("n_all").over(wall)
+         - F.coalesce(F.sum("n_all").over(wprev), F.lit(0)))
+        .cast("long").alias("n_risk"))
+    h = (r.where(F.col("n_events") > 0)
+         .select("t_us", "n_risk", "n_events",
+                 F.floor(F.col("n_events").cast("double") / F.col("n_risk")
+                         * 1000000.0 + 0.5).cast("long").alias("hz_micro")))
+    wcum = Window.orderBy("t_us").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("hz_micro").over(wcum).cast("long")
+    return h.select("t_us", "n_risk", "n_events",
+                    cum.alias("cum_hazard_micro"),
+                    (cum / F.lit(1000000.0)).alias("cum_hazard"))

@@ -225,41 +225,45 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 #: follows in registration order. tests/test_oracle_parity.py asserts every
 #: head name exists and sits inside the budget window.
 _HEAD = (
-    # ROUND-7 ROTATION. First: the two round-6 additions that missed the
-    # r06 head budget and have never been driver-checked.
-    "multimodal_audio_features",  # rows-only (pytest invariants)
-    "streaming_hq_rollup_tail",   # NOW oracle-backed (shares the batch
-                                  # rollup's oracle; pytest equality gate)
-    # ROUND-7 ADDITIONS: first-class driver rows on first exposure.
-    "funnel_step_timing", "last_touch_attribution",
-    # PROMOTED twins: r06 rows were rows-only; these re-expose them with
-    # full oracles (each shares its batch counterpart's oracle SQL, the
-    # batch==stream pytest equality gate being the bridging proof).
-    "streaming_funnel_tail", "streaming_cusum_tail",
-    "streaming_interarrival_tail",
-    # REFRESH BATCH: 43 of the 53 r01/r02-stale driver rows (VERDICT r06
-    # gap #2), prioritizing the files that moved in rounds 5-6 (pipelines,
-    # dbscan, dedup, knn) and the never-refreshed r01 relational batch.
-    # Local sf0.001 parity remains every query's per-commit gate.
-    "pipeline_tfidf_kmeans", "pipeline_word2vec_dbscan",
-    "knn_knee_sweep", "dbscan_labels", "dbscan_summary",
-    "minhash_near_dups", "simhash_near_dups",
-    "dedup_exact", "dedup_clusters",
-    "count_filtered_events", "distinct_documents", "top_users_share",
-    "json_sum_by_type", "external_metrics_pseudo",
-    "top_events_by_value", "topn_semijoin_events",
-    "funnel_counts", "session_windows_6h", "sliding_2h_windows",
-    "tumbling_hourly_by_type", "latest_event_per_user",
-    "value_histogram", "unpivot_lineitem_measures",
-    "skew_join_segments", "token_counts", "zipf_slope",
-    "doc_chunks", "doc_fingerprints", "doc_quality_scores",
-    "doc_repetition_stats", "duplicate_ngram_coverage",
-    "quality_filter_funnel", "quality_threshold_by_lang",
-    "lang_id_confusion", "curated_corpus_stats",
-    "token_budget_selection", "distribution_drift_psi",
-    "hash_split_counts", "multimodal_metadata",
-    "ngram_jaccard_pairs", "embedding_near_dup_pairs",
-    "ann_batch_topk", "ann_bruteforce_topk",
+    # ROUND-8 ROTATION (VERDICT r07 asks #2-#4). First exposure for the
+    # two post-freeze r07 additions (judge-replayed green, never
+    # driver-checked):
+    "nation_revenue_theilsen", "cohort_ltv_triangle",
+    # NEW in r08 (nelson_aalen_hazard rides the last refresh slot below):
+    "ab_test_lift",
+    # PROMOTED to full oracles in r08 (LSH-gate bucket-ownership SQL
+    # replay, recursive-CTE kept-gap debounce, PCM byte-arithmetic audio
+    # replay) — their r07 driver rows were rows-only:
+    "streaming_neardup_gate", "streaming_debounce_gate",
+    "multimodal_audio_features",
+    # twins promoted AFTER the r07 head froze (oracle rows pending):
+    "streaming_tumbling_hourly", "streaming_stateful_dedup",
+    "streaming_interval_join", "streaming_upsert_compaction",
+    # the 10 rows whose driver evidence predates r03 (the last of the
+    # r01/r02 era; streaming_neardup_gate is in the promoted block):
+    "sample_events", "benchmark_contamination", "bigram_logprob_scores",
+    "importance_weights_dsir", "internal_cluster_metrics",
+    "label_centroid_cosine", "lsa_svd_features", "mixture_weights",
+    "silhouette_by_label",
+    # REFRESH BATCH: 30 of the 34 r03-stale rows (activity_heatmap,
+    # benford_deviation, minhash_signatures, simhash_signatures head the
+    # r09 tail; the last slot went to the NEW nelson_aalen_hazard). Local
+    # sf0.001 parity remains every query's per-commit gate.
+    "sole_late_suppliers", "idle_rich_customers",
+    "cube_priority_status_revenue", "forward_fill_values",
+    "modal_bucket_by_type", "winsorized_value_stats", "chi2_priority_status",
+    "shipping_priority_topk", "nation_revenue_share",
+    "small_quantity_revenue", "user_profile_similarity_topk",
+    "fulfillment_lag_stats", "data_quality_report", "pmi_top_collocations",
+    "lang_token_divergence", "boilerplate_prefix_groups",
+    "weighted_doc_sample", "quality_signal_correlation",
+    "rolling_7d_user_value", "debounced_event_counts",
+    "event_trigram_journeys", "hourly_resampled_counts",
+    "daily_cumulative_events", "hourly_anomaly_scores",
+    "weekly_cohort_retention", "event_transition_matrix",
+    "decayed_user_scores", "user_event_entropy",
+    "hourly_session_concurrency", "weekly_growth_by_type",
+    "nelson_aalen_hazard",
 )
 
 #: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
@@ -267,83 +271,70 @@ _HEAD = (
 #: (r01-r04); the local parity sweep (tests/test_oracle_parity.py over all
 #: entries at sf0.001) remains their regression gate.
 _TAIL_AFTER_HEAD = (
-    # the 10 r01/r02-stale rows the r07 head budget could not fit — FIRST
-    # in line for the r08 rotation (they are the only rows left whose
-    # driver evidence predates r03)
-    "sample_events", "streaming_neardup_gate", "benchmark_contamination",
-    "bigram_logprob_scores", "importance_weights_dsir",
-    "internal_cluster_metrics", "label_centroid_cosine",
-    "lsa_svd_features", "mixture_weights", "silhouette_by_label",
-    # round-6 head (all green/rows-only in CORRECTNESS_r06.json)
-    "cluster_stats_by_source_exact", "ann_recall_audit",
-    "lsa_features_rsvd", "supplier_revenue_pareto",
+    # the 4 r03-stale rows the r08 head budget could not fit — FIRST in
+    # line for the r09 rotation
+    "activity_heatmap", "benford_deviation", "minhash_signatures",
+    "simhash_signatures",
+    # round-7 head (all green in CORRECTNESS_r07.json), then everything
+    # else in prior rotation order (r04-r06 evidence, parity-gated)
+    "streaming_hq_rollup_tail", "funnel_step_timing",
+    "last_touch_attribution", "streaming_funnel_tail",
+    "streaming_cusum_tail", "streaming_interarrival_tail",
+    "pipeline_tfidf_kmeans", "pipeline_word2vec_dbscan", "knn_knee_sweep",
+    "dbscan_labels", "dbscan_summary", "minhash_near_dups",
+    "simhash_near_dups", "dedup_exact", "dedup_clusters",
+    "count_filtered_events", "distinct_documents", "top_users_share",
+    "json_sum_by_type", "external_metrics_pseudo", "top_events_by_value",
+    "topn_semijoin_events", "funnel_counts", "session_windows_6h",
+    "sliding_2h_windows", "tumbling_hourly_by_type", "latest_event_per_user",
+    "value_histogram", "unpivot_lineitem_measures", "skew_join_segments",
+    "token_counts", "zipf_slope", "doc_chunks", "doc_fingerprints",
+    "doc_quality_scores", "doc_repetition_stats", "duplicate_ngram_coverage",
+    "quality_filter_funnel", "quality_threshold_by_lang",
+    "lang_id_confusion", "curated_corpus_stats", "token_budget_selection",
+    "distribution_drift_psi", "hash_split_counts", "multimodal_metadata",
+    "ngram_jaccard_pairs", "embedding_near_dup_pairs", "ann_batch_topk",
+    "ann_bruteforce_topk", "cluster_stats_by_source_exact",
+    "ann_recall_audit", "lsa_features_rsvd", "supplier_revenue_pareto",
     "user_funnel_conversion", "k_anonymity_audit",
-    "histogram_quantile_rollup",
-    "pricing_summary", "describe_event_value", "describe_event_type",
-    "summary_all_numeric", "value_percentiles_by_type",
-    "value_decile_summary", "crosstab_priority_status",
-    "rollup_event_counts", "event_type_counts", "user_type_group_size",
-    "cast_label_counts", "null_scan_fill", "json_props_flatten",
-    "approx_distinct_and_quantiles",
+    "histogram_quantile_rollup", "pricing_summary", "describe_event_value",
+    "describe_event_type", "summary_all_numeric",
+    "value_percentiles_by_type", "value_decile_summary",
+    "crosstab_priority_status", "rollup_event_counts", "event_type_counts",
+    "user_type_group_size", "cast_label_counts", "null_scan_fill",
+    "json_props_flatten", "approx_distinct_and_quantiles",
     "top_customers_per_region", "revenue_by_region",
     "brand_revenue_by_nation", "late_shipment_orders",
     "customers_without_orders", "events_asof_latest_order",
-    "interval_join_prior_events", "user_event_gaps",
-    "mask_documents", "document_tokens", "doc_token_stats",
-    "length_stats_by_source", "group_members_by_lang",
-    "cluster_stats_by_source", "vocabulary_size", "vocabulary_set_ops",
-    "term_frequency", "term_idf", "tfidf_top_terms",
+    "interval_join_prior_events", "user_event_gaps", "mask_documents",
+    "document_tokens", "doc_token_stats", "length_stats_by_source",
+    "group_members_by_lang", "cluster_stats_by_source", "vocabulary_size",
+    "vocabulary_set_ops", "term_frequency", "term_idf", "tfidf_top_terms",
     "tfidf_pipeline_features", "lsa_features", "kmeans_cluster_sizes",
-    "kmeans_quality", "word2vec_doc_vectors",
-    "knn_mean_distance", "knn_knee_epsilon",
-    "winsorized_value_stats", "cube_priority_status_revenue",
-    "idle_rich_customers", "forward_fill_values", "modal_bucket_by_type",
-    "sole_late_suppliers",
-    "chi2_priority_status", "shipping_priority_topk",
-    "nation_revenue_share", "small_quantity_revenue",
-    "user_profile_similarity_topk",
-    "fulfillment_lag_stats", "data_quality_report",
-    "pmi_top_collocations", "lang_token_divergence",
-    "boilerplate_prefix_groups", "weighted_doc_sample",
-    "quality_signal_correlation", "rolling_7d_user_value",
-    "local_supplier_revenue", "linestatus_priority_counts",
-    "debounced_event_counts",
-    "event_trigram_journeys", "hourly_resampled_counts",
-    "daily_cumulative_events", "hourly_anomaly_scores",
-    "weekly_cohort_retention", "event_transition_matrix",
-    "decayed_user_scores", "user_event_entropy",
-    "hourly_session_concurrency", "weekly_growth_by_type",
-    "activity_heatmap", "benford_deviation",
-    "minhash_signatures", "simhash_signatures",
-    # round-5 head (all green in CORRECTNESS_r05.json)
-    "split_neardup_leakage", "neardup_threshold_sweep",
-    "pii_audit_counts", "tokenizer_fertility_by_lang",
-    "shard_balance_audit", "source_overlap_matrix", "embedding_norm_stats",
-    "events_column_profile", "scd2_user_intervals",
-    "split_stratification_chi2", "open_orders_backlog",
-    "part_affinity_lift",
+    "kmeans_quality", "word2vec_doc_vectors", "knn_mean_distance",
+    "knn_knee_epsilon", "local_supplier_revenue",
+    "linestatus_priority_counts", "split_neardup_leakage",
+    "neardup_threshold_sweep", "pii_audit_counts",
+    "tokenizer_fertility_by_lang", "shard_balance_audit",
+    "source_overlap_matrix", "embedding_norm_stats", "events_column_profile",
+    "scd2_user_intervals", "split_stratification_chi2",
+    "open_orders_backlog", "part_affinity_lift",
     "snapshot_publish_roundtrip", "rest_tail_category_counts",
-    "part_entity_matches", "value_mad_outliers",
-    "stratified_hash_sample", "user_interarrival_stats",
-    "hourly_cusum_changepoint", "incremental_agg_maintenance",
-    "value_decile_histogram",
-    "fd_violation_audit", "revenue_gini_by_nation",
-    "nation_revenue_trend", "pareto_frontier_parts",
-    "rolling_7d_distinct_users", "quality_retention_curve",
-    "revenue_autocorrelation", "twa_value_per_user",
-    "token_weighted_quality_quantiles", "dow_seasonality_index",
-    "flagship_top_error_users",
-    "salted_group_members", "packed_sequences",
-    "bpe_merge_table", "bpe_vocab_tokens", "bpe_tokens_per_lang",
-    "heavy_hitter_tokens", "part_copurchase_pagerank", "dataset_fingerprint",
-    "contrastive_chunk_pairs", "sql_api_revenue_by_priority",
-    "bm25_search", "hybrid_search_rrf", "incremental_dedup_counts",
-    "canonical_by_quality",
-    "dominant_part_suppliers",
-    "global_value_rank",
-    # round-4 head (all green in CORRECTNESS_r04.json)
-    "split_leakage_counts", "leakage_safe_splits",
-    "incremental_neardup_counts",
+    "part_entity_matches", "value_mad_outliers", "stratified_hash_sample",
+    "user_interarrival_stats", "hourly_cusum_changepoint",
+    "incremental_agg_maintenance", "value_decile_histogram",
+    "fd_violation_audit", "revenue_gini_by_nation", "nation_revenue_trend",
+    "pareto_frontier_parts", "rolling_7d_distinct_users",
+    "quality_retention_curve", "revenue_autocorrelation",
+    "twa_value_per_user", "token_weighted_quality_quantiles",
+    "dow_seasonality_index", "flagship_top_error_users",
+    "salted_group_members", "packed_sequences", "bpe_merge_table",
+    "bpe_vocab_tokens", "bpe_tokens_per_lang", "heavy_hitter_tokens",
+    "part_copurchase_pagerank", "dataset_fingerprint",
+    "contrastive_chunk_pairs", "sql_api_revenue_by_priority", "bm25_search",
+    "hybrid_search_rrf", "incremental_dedup_counts", "canonical_by_quality",
+    "dominant_part_suppliers", "global_value_rank", "split_leakage_counts",
+    "leakage_safe_splits", "incremental_neardup_counts",
     "multimodal_features", "multimodal_framesample", "treebank_tokens",
     "market_share_by_year", "cheapest_supplier_per_part",
     "disjunctive_bracket_revenue", "forecast_revenue_delta",
@@ -352,21 +343,15 @@ _TAIL_AFTER_HEAD = (
     "top_supplier_by_revenue", "large_volume_customers",
     "late_exists_priority_counts", "nation_profit_by_year",
     "important_part_value", "part_supplier_diversity",
-    "copurchase_triangle_count", "copurchase_kcore",
-    "time_rollup_revenue", "props_variant_stats",
-    "domain_capped_docs", "rfm_customer_segments",
-    "events_asof_next_order",
-    "quality_percentile_by_lang", "mixture_sampled_counts",
-    "packing_efficiency", "curriculum_length_phases",
-    "snapshot_diff_counts", "lang_temperature_weights",
-    "embedding_quantization_error", "doc_novelty_scores",
-    "streaming_tumbling_hourly", "streaming_stateful_dedup",
-    "streaming_interval_join", "streaming_upsert_compaction",
-    "streaming_debounce_gate",
-    "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-    "lsh_neighbor_counts", "stratified_doc_sample",
-    "semantic_dedup_ivf", "dbscan_labels_lsh",
-    "hll_rollup_daily_users",
+    "copurchase_triangle_count", "copurchase_kcore", "time_rollup_revenue",
+    "props_variant_stats", "domain_capped_docs", "rfm_customer_segments",
+    "events_asof_next_order", "quality_percentile_by_lang",
+    "mixture_sampled_counts", "packing_efficiency",
+    "curriculum_length_phases", "snapshot_diff_counts",
+    "lang_temperature_weights", "embedding_quantization_error",
+    "doc_novelty_scores", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "lsh_neighbor_counts", "stratified_doc_sample", "semantic_dedup_ivf",
+    "dbscan_labels_lsh", "hll_rollup_daily_users",
 )
 
 

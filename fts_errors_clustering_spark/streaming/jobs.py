@@ -432,9 +432,14 @@ def run_debounce_stream(spark: SparkSession, sf_dir: str,
     ``single_batch=True`` drains the staged fixture in one micro-batch
     (deterministic event-time order end to end), which the test compares
     against an in-pandas reference; the default multi-batch run exercises
-    cross-batch state carry-over."""
+    cross-batch state carry-over. Both paths stream the CHRONOLOGICALLY
+    staged daily slices (r08): a key's next event is never in an earlier
+    micro-batch and the gate sorts within each batch, so the multi-batch
+    verdict sequence equals the global (ts, event_id)-order recursion —
+    what makes the registered query's recursive-CTE oracle
+    (``operators/windows.DEBOUNCE_GATE_ORACLE``) exact."""
     from pyspark.sql.streaming.state import GroupStateTimeout
-    staged = _stage_events(spark, sf_dir)
+    staged = _stage_events_daily(spark, sf_dir)
     schema = spark.read.parquet(staged).schema
     reader = spark.readStream.schema(schema)
     if not single_batch:

@@ -425,6 +425,13 @@ _EXCHANGE_BUDGET = {
     "user_funnel_conversion": 0,
     "k_anonymity_audit": 6,
     "histogram_quantile_rollup": 18,
+    # round 8: A/B = ONE user-keyed window exchange (the per-user groupBy
+    # reuses its partitioning — a second user exchange here means the
+    # window/groupBy clustering drifted apart) + the 1-row final agg;
+    # hazard curve = the same user window + censor-time scalar agg +
+    # bounded single-partition curve windows over <= |users| rows
+    "ab_test_lift": 4,
+    "nelson_aalen_hazard": 10,
 }
 
 
