@@ -176,6 +176,7 @@ HEADLINE = [
     "cohort_ltv_triangle",
     # round 8
     "ab_test_lift",
+    "ab_test_cuped",
     "nelson_aalen_hazard",
 ]
 

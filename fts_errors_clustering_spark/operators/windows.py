@@ -1692,6 +1692,160 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ab_test_cuped",
+    oracle="""
+    WITH obs AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+      FROM events
+    ),
+    pu AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             SUM(CAST(CASE WHEN epoch_us(ts) < (SELECT mid FROM obs)
+                           THEN value ELSE 0 END AS DECIMAL(18,6))) AS x,
+             SUM(CAST(CASE WHEN epoch_us(ts) >= (SELECT mid FROM obs)
+                           THEN value ELSE 0 END AS DECIMAL(18,6))) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(CAST(SUM(CASE WHEN variant = 'A' THEN x END) AS VARCHAR)
+             AS DOUBLE) AS sx_a,
+        CAST(CAST(SUM(CASE WHEN variant = 'B' THEN x END) AS VARCHAR)
+             AS DOUBLE) AS sx_b,
+        CAST(CAST(SUM(CASE WHEN variant = 'A' THEN y END) AS VARCHAR)
+             AS DOUBLE) AS sy_a,
+        CAST(CAST(SUM(CASE WHEN variant = 'B' THEN y END) AS VARCHAR)
+             AS DOUBLE) AS sy_b,
+        CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+                           AS DECIMAL(33,12))) AS VARCHAR) AS DOUBLE) AS sxx,
+        CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+                           AS DECIMAL(33,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+        CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+                           AS DECIMAL(33,12))) AS VARCHAR) AS DOUBLE) AS syy
+      FROM pu
+    ),
+    d AS (
+      SELECT n_a, n_b, sx_a, sx_b, sy_a, sy_b,
+             CAST(n_a + n_b AS DOUBLE) AS n,
+             sxy - (sx_a + sx_b) * (sy_a + sy_b) / CAST(n_a + n_b AS DOUBLE)
+               AS ss_xy,
+             sxx - (sx_a + sx_b) * (sx_a + sx_b) / CAST(n_a + n_b AS DOUBLE)
+               AS ss_xx,
+             syy - (sy_a + sy_b) * (sy_a + sy_b) / CAST(n_a + n_b AS DOUBLE)
+               AS ss_yy
+      FROM m
+    )
+    SELECT n_a, n_b,
+           ROUND(sy_b / n_b - sy_a / n_a, 6) AS diff_raw,
+           CASE WHEN ss_xx <= 0.0 THEN 0.0
+                ELSE ROUND(ss_xy / ss_xx, 6) END AS theta,
+           CASE WHEN ss_xx <= 0.0
+                THEN ROUND(sy_b / n_b - sy_a / n_a, 6)
+                ELSE ROUND((sy_b / n_b - (ss_xy / ss_xx)
+                            * (sx_b / n_b - (sx_a + sx_b) / n))
+                           - (sy_a / n_a - (ss_xy / ss_xx)
+                              * (sx_a / n_a - (sx_a + sx_b) / n)), 6)
+           END AS diff_cuped,
+           CASE WHEN ss_xx <= 0.0 OR ss_yy <= 0.0 THEN 0.0
+                ELSE ROUND(ss_xy * ss_xy / (ss_xx * ss_yy), 6)
+           END AS var_reduction
+    FROM d
+    """,
+    tags=("windows", "experiment", "stats"),
+)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 — the
+    standard industry companion to ``ab_test_lift``): each user's
+    pre-period covariate X (total event value before the observation
+    midpoint) adjusts their post-period metric Y, theta = SS_xy/SS_xx
+    pooled, removing rho^2 of the metric variance
+    (var_reduction = rho^2). Reported: raw and CUPED-adjusted
+    between-variant mean differences.
+
+    Exactness: X and Y are per-user DECIMAL(18,6) sums; the pooled
+    second moments (SS_xx, SS_xy, SS_yy) are decimal-product sums cast
+    through VARCHAR to double (the ``sql_dec_std`` precedent, DECIMAL(19)
+    operands on the DuckDB side for int128 multiply) — so both engines
+    derive theta and the adjusted means from bit-identical doubles with
+    the same operand-ordered expression. The midpoint is integer
+    microseconds ((min+max) DIV 2).
+
+    Scale: ONE exchange on user_id (map-side-combinable conditional
+    decimal sums), then a single-row moment aggregate; nothing after the
+    per-user collapse exceeds |users| rows."""
+    from ..functions.text import hash32
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    bounds = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).select(
+        F.expr("(unix_micros(mn) + unix_micros(mx)) div 2").alias("mid"))
+    pre = F.unix_micros("ts") < F.col("mid")
+    pu = (ev.crossJoin(F.broadcast(bounds))
+          .groupBy("user_id")
+          .agg(F.sum(F.when(pre, F.col("value")).otherwise(F.lit(0.0))
+                     .cast("decimal(18,6)")).alias("x"),
+               F.sum(F.when(~pre, F.col("value")).otherwise(F.lit(0.0))
+                     .cast("decimal(18,6)")).alias("y"))
+          .select(F.when(hash32(F.col("user_id").cast("string")) % 2 == 0,
+                         "A").otherwise("B").alias("variant"), "x", "y"))
+    # Spark operands stay DECIMAL(18,6): 18+18+1 = 37 <= 38 keeps the
+    # 12-decimal product EXACT (19-digit operands would push precision to
+    # 39 and Spark silently reduces the scale to 11, truncating the last
+    # product digit); the DuckDB side uses DECIMAL(19) to force int128
+    # multiply — same values, the sql_dec_std convention.
+    xd = F.col("x").cast("decimal(18,6)")
+    yd = F.col("y").cast("decimal(18,6)")
+
+    def dsum(c):  # decimal -> varchar -> double (correctly rounded strtod)
+        return F.sum(c).cast("string").cast("double")
+
+    m = pu.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+         .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+         .cast("long").alias("n_b"),
+        dsum(F.when(F.col("variant") == "A", F.col("x"))).alias("sx_a"),
+        dsum(F.when(F.col("variant") == "B", F.col("x"))).alias("sx_b"),
+        dsum(F.when(F.col("variant") == "A", F.col("y"))).alias("sy_a"),
+        dsum(F.when(F.col("variant") == "B", F.col("y"))).alias("sy_b"),
+        dsum((xd * xd).cast("decimal(33,12)")).alias("sxx"),
+        dsum((xd * yd).cast("decimal(33,12)")).alias("sxy"),
+        dsum((yd * yd).cast("decimal(33,12)")).alias("syy"))
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    sx = F.col("sx_a") + F.col("sx_b")
+    sy = F.col("sy_a") + F.col("sy_b")
+    d = m.select(
+        "n_a", "n_b", "sx_a", "sx_b", "sy_a", "sy_b", n.alias("n"),
+        (F.col("sxy") - sx * sy / n).alias("ss_xy"),
+        (F.col("sxx") - sx * sx / n).alias("ss_xx"),
+        (F.col("syy") - sy * sy / n).alias("ss_yy"))
+    diff_raw = F.col("sy_b") / F.col("n_b") - F.col("sy_a") / F.col("n_a")
+    theta = F.col("ss_xy") / F.col("ss_xx")
+    mx_pool = (F.col("sx_a") + F.col("sx_b")) / F.col("n")
+    adj_b = (F.col("sy_b") / F.col("n_b")
+             - theta * (F.col("sx_b") / F.col("n_b") - mx_pool))
+    adj_a = (F.col("sy_a") / F.col("n_a")
+             - theta * (F.col("sx_a") / F.col("n_a") - mx_pool))
+    degenerate_x = F.col("ss_xx") <= 0.0
+    return d.select(
+        "n_a", "n_b",
+        F.round(diff_raw, 6).alias("diff_raw"),
+        F.when(degenerate_x, F.lit(0.0))
+         .otherwise(F.round(theta, 6)).alias("theta"),
+        F.when(degenerate_x, F.round(diff_raw, 6))
+         .otherwise(F.round(adj_b - adj_a, 6)).alias("diff_cuped"),
+        F.when(degenerate_x | (F.col("ss_yy") <= 0.0), F.lit(0.0))
+         .otherwise(F.round(F.col("ss_xy") * F.col("ss_xy")
+                            / (F.col("ss_xx") * F.col("ss_yy")), 6))
+         .alias("var_reduction"))
+
+
+@register(
     "nelson_aalen_hazard",
     oracle="""
     WITH t0 AS (

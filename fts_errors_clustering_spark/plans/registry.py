@@ -245,9 +245,10 @@ _HEAD = (
     "importance_weights_dsir", "internal_cluster_metrics",
     "label_centroid_cosine", "lsa_svd_features", "mixture_weights",
     "silhouette_by_label",
-    # REFRESH BATCH: 30 of the 34 r03-stale rows (activity_heatmap,
-    # benford_deviation, minhash_signatures, simhash_signatures head the
-    # r09 tail; the last slot went to the NEW nelson_aalen_hazard). Local
+    # REFRESH BATCH: 29 of the 34 r03-stale rows (weekly_growth_by_type,
+    # activity_heatmap, benford_deviation, minhash_signatures,
+    # simhash_signatures head the r09 tail; two slots went to the NEW
+    # ab_test_cuped + nelson_aalen_hazard). Local
     # sf0.001 parity remains every query's per-commit gate.
     "sole_late_suppliers", "idle_rich_customers",
     "cube_priority_status_revenue", "forward_fill_values",
@@ -262,7 +263,7 @@ _HEAD = (
     "daily_cumulative_events", "hourly_anomaly_scores",
     "weekly_cohort_retention", "event_transition_matrix",
     "decayed_user_scores", "user_event_entropy",
-    "hourly_session_concurrency", "weekly_growth_by_type",
+    "hourly_session_concurrency", "ab_test_cuped",
     "nelson_aalen_hazard",
 )
 
@@ -271,10 +272,10 @@ _HEAD = (
 #: (r01-r04); the local parity sweep (tests/test_oracle_parity.py over all
 #: entries at sf0.001) remains their regression gate.
 _TAIL_AFTER_HEAD = (
-    # the 4 r03-stale rows the r08 head budget could not fit — FIRST in
+    # the 5 r03-stale rows the r08 head budget could not fit — FIRST in
     # line for the r09 rotation
-    "activity_heatmap", "benford_deviation", "minhash_signatures",
-    "simhash_signatures",
+    "weekly_growth_by_type", "activity_heatmap", "benford_deviation",
+    "minhash_signatures", "simhash_signatures",
     # round-7 head (all green in CORRECTNESS_r07.json), then everything
     # else in prior rotation order (r04-r06 evidence, parity-gated)
     "streaming_hq_rollup_tail", "funnel_step_timing",

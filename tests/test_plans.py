@@ -432,6 +432,9 @@ _EXCHANGE_BUDGET = {
     # bounded single-partition curve windows over <= |users| rows
     "ab_test_lift": 4,
     "nelson_aalen_hazard": 10,
+    # CUPED: user-keyed decimal-sum exchange + midpoint scalar agg +
+    # 1-row moment aggregate
+    "ab_test_cuped": 8,
 }
 
 
