@@ -296,6 +296,8 @@ _BNLJ_OK: set[str] = {
     "flagship_top_error_users",  # scalar grand total
     "describe_event_type",       # 1-row mode aggregate
     "chi2_priority_status",      # scalar grand total n
+    "ab_test_cuped",             # 1-row observation-midpoint scalar
+    "nelson_aalen_hazard",       # 1-row censor-time scalar (max ts)
     "hourly_resampled_counts",   # |event_type|-row distinct-types side
     "hourly_anomaly_scores",     # |event_type|-row distinct-types side
     "hybrid_search_rrf",         # 1-row BM25 stats + 1-row query vector
