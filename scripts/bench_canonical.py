@@ -16,6 +16,7 @@ over the merged map using the run files' own headline/ML membership split
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
@@ -31,7 +32,10 @@ def main() -> None:
                 best[q] = t
                 load[q] = m.get("load1", {}).get(q, m.get("load1_end"))
                 src[q] = path.rsplit("/", 1)[-1]
-    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    # abspath-based: a bare relative __file__ (some embedders / `python
+    # scripts/bench_canonical.py` pre-3.9) would make the '/'-split land on
+    # 'scripts' instead of the repo root (round-8 advisor finding)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import HEADLINE, ML_FIT
     headline = round(sum(best[q] for q in HEADLINE if q in best), 4)
     ml = round(sum(best[q] for q in ML_FIT if q in best), 4)

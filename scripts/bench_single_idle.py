@@ -57,9 +57,21 @@ def main() -> int:
             time.sleep(20)
             parked += 20
         env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=args.query)
-        subprocess.run([sys.executable, os.path.join(HERE, "bench.py")],
-                       env=env, cwd=HERE, capture_output=True, timeout=600)
-        with open(os.path.join(HERE, "bench_out.json")) as f:
+        # Remove any stale map BEFORE the attempt: if bench.py crashes we
+        # must not re-read a previous session's numbers and "accept" them
+        # as idle-verified (round-8 advisor finding).
+        out_json = os.path.join(HERE, "bench_out.json")
+        if os.path.exists(out_json):
+            os.remove(out_json)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench.py")],
+            env=env, cwd=HERE, capture_output=True, timeout=600)
+        if proc.returncode != 0 or not os.path.exists(out_json):
+            tail = proc.stderr.decode(errors="replace")[-500:]
+            print(f"attempt {attempt}: bench.py failed "
+                  f"(rc={proc.returncode}) -> retry\n{tail}", flush=True)
+            continue
+        with open(out_json) as f:
             d = json.load(f)
         t = d["queries"].get(args.query)
         l = d["load1"].get(args.query)
@@ -67,7 +79,7 @@ def main() -> int:
         print(f"attempt {attempt}: {args.query} = {t}s at load1 {l}"
               f" -> {'ACCEPT' if ok else 'retry'}", flush=True)
         if ok:
-            shutil.copy(os.path.join(HERE, "bench_out.json"), out)
+            shutil.copy(out_json, out)
             print(f"wrote {out}")
             return 0
     return 1
