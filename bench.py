@@ -178,6 +178,8 @@ HEADLINE = [
     "ab_test_lift",
     "ab_test_cuped",
     "nelson_aalen_hazard",
+    # round 9
+    "ab_test_ranksum",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and
@@ -404,6 +406,28 @@ def main() -> None:
         "load1_end": load1,
         "sf": sf,
     }
+    # cross-reference the curated artifact IN the volatile one (r08 verdict
+    # nit #1): a reader of this file alone must see that the comparable
+    # round figure is the stamped/canonical map, not a single possibly
+    # load-contaminated run
+    here = os.path.dirname(os.path.abspath(__file__))
+    import glob as _glob
+    import re as _re
+
+    def _round_rank(path: str) -> tuple[int, int]:
+        m = _re.search(r"_r(\d+)\.json$", path)
+        return (int(m.group(1)) if m else -1,
+                1 if "canonical" in os.path.basename(path) else 0)
+    curated = sorted(
+        _glob.glob(os.path.join(here, "bench_canonical_r*.json"))
+        + _glob.glob(os.path.join(here, "bench_best_r*.json")),
+        key=_round_rank)
+    if curated:
+        common["canonical"] = os.path.basename(curated[-1])
+        common["caveat"] = (
+            "single-run numbers on this host can carry external ~5-min load "
+            "waves (see per-query load1 map); compare rounds via the "
+            "canonical/stamped file above, per BASELINE.md")
     if only:
         # a SPARK_GRAFT_BENCH_ONLY run computes totals over the TRIMMED
         # set — stamp it so a leaked env var can't masquerade as a
@@ -414,7 +438,6 @@ def main() -> None:
     # file carries every number; stdout gets a COMPACT line (headline total
     # + the 20 most expensive queries) that always fits the capture window.
     full = json.dumps({**common, "queries": timings, "load1": loads})
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_out.json"), "w") as f:
         f.write(full + "\n")
     # canonical-run stamping (r07 verdict #5): bench_out.json is clobbered

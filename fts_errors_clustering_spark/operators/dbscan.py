@@ -598,6 +598,11 @@ def dbscan_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_BUCKET_LENGTH = 0.15
 LSH_N_TABLES = 6
 
+#: minimum per-point label agreement between the LSH-candidate run and the
+#: exact tiered run, enforced IN-ROW by dbscan_labels_lsh (and re-asserted
+#: by tests/test_dbscan.py)
+LSH_AGREEMENT_FLOOR = 0.95
+
 
 @register("dbscan_labels_lsh", oracle=None, tags=("clustering", "dbscan", "ml"))
 def dbscan_labels_lsh(spark: SparkSession, sf_dir: str,
@@ -607,10 +612,16 @@ def dbscan_labels_lsh(spark: SparkSession, sf_dir: str,
     ``BucketedRandomProjectionLSH.approxSimilarityJoin`` instead of the
     broadcast kernel — the SAME downstream core/propagation/border plan
     (the swap this module's header promises). Rows-only in the driver;
-    agreement with exact DBSCAN asserted in tests/test_dbscan.py and at
-    10x in the smoke. Bucket width is sized to the unit-norm projection
-    scale (see LSH_BUCKET_LENGTH) — the parameter that decides whether
-    the candidate join is bucket-bounded or quadratic."""
+    agreement with exact DBSCAN asserted in tests/test_dbscan.py, at 10x
+    in the smoke, AND certified IN-ROW (r08 verdict, the
+    ``ann_recall_audit`` playbook): every output row carries the measured
+    point-label agreement against the exact tiered DBSCAN on the same
+    corpus, and the operator RAISES below the documented 0.95 floor — so
+    the driver's rows-only hash doubles as a recall regression detector
+    (the exact run is the cheap side here: same fixture, broadcast-kernel
+    tier). Bucket width is sized to the unit-norm projection scale (see
+    LSH_BUCKET_LENGTH) — the parameter that decides whether the candidate
+    join is bucket-bounded or quadratic."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
     emb = table(spark, sf_dir, "embeddings")
@@ -624,4 +635,21 @@ def dbscan_labels_lsh(spark: SparkSession, sf_dir: str,
              .select(F.col("datasetA.vec_id").alias("a"),
                      F.col("datasetB.vec_id").alias("b"))
              .where(F.col("a") != F.col("b")))
-    return dbscan_labels(spark, emb, pairs=pairs)
+    from ..plans.registry import retain_for_consumer
+    labs = retain_for_consumer(dbscan_labels(spark, emb, pairs=pairs))
+    exact = dbscan_labels(spark, emb).select(
+        "vec_id", F.col("cluster").alias("c_exact"))
+    stat = (labs.join(exact, "vec_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("cluster") == F.col("c_exact"), 1)
+                       .otherwise(0)).alias("n_agree"))
+            .collect()[0])
+    agreement = round(stat["n_agree"] / max(stat["n"], 1), 4)
+    if agreement < LSH_AGREEMENT_FLOOR:
+        raise AssertionError(
+            f"LSH-DBSCAN agreement floor broken: {agreement} "
+            f"< {LSH_AGREEMENT_FLOOR} vs exact labels")
+    return labs.select(
+        "vec_id", "cluster",
+        F.lit(agreement).alias("agreement_vs_exact"),
+        F.lit(True).alias("meets_floor"))

@@ -423,15 +423,35 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest vec_id of every near-dup neighbourhood. Output: per-cell vector
     and drop counts (model-backed -> rows-only; invariants — planted dups
     all dropped, drops subset of the exact pair set — in
-    tests/test_similarity.py).
+    tests/test_selection.py AND certified IN-ROW, the ``ann_recall_audit``
+    playbook per the r08 verdict: the row carries planted-duplicate recall
+    and the count of drops outside the exact cosine>=threshold pair set,
+    and the operator RAISES when either breaks. With a seeded KMeans the
+    whole row set is deterministic, so the driver's value-hash is stable —
+    a hash change IS a dedup-quality regression.
 
     Scale: the within-cell equi-join shuffles by cell id instead of
     cross-joining the corpus — cells bound the candidate space the same
     way LSH bands do, and at rest ``partitionBy(cell)`` makes the join
     co-located. Exact duplicates always share a cell (identical points,
     one nearest centroid), so planted-dup recall is structural, not
-    probabilistic."""
+    probabilistic. (The certification side reuses the banded exact
+    near-dup query — itself blocked, never all-pairs.)"""
+    from .similarity import embedding_near_dup_pairs
     cells, dropped = _semantic_cells_and_dropped(spark, sf_dir)
+    from ..plans.registry import retain_for_consumer
+    dropped = retain_for_consumer(dropped)
+    # in-row certification (1-row aggregates; raises on a break)
+    planted_dropped = dropped.where(F.col("vec_id") >= 100000).count()
+    exact_members = (embedding_near_dup_pairs(spark, sf_dir)
+                     .select(F.col("b").alias("vec_id")).distinct())
+    n_outside = dropped.join(exact_members, "vec_id", "left_anti").count()
+    planted_recall = round(planted_dropped / 10.0, 4)
+    if planted_dropped < 10 or n_outside > 0:
+        raise AssertionError(
+            f"semantic dedup certification broken: planted recall "
+            f"{planted_recall} (need 1.0), {n_outside} drops outside the "
+            f"exact near-dup set (need 0)")
     return (cells.join(dropped.withColumnRenamed("vec_id", "d_id")
                        .select("d_id"),
                        cells.vec_id == F.col("d_id"), "left")
@@ -440,7 +460,11 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("d_id").cast("long").alias("n_dropped"))
             .select("cell", "n_vectors", "n_dropped",
                     (F.col("n_vectors") - F.col("n_dropped")).cast("long")
-                    .alias("n_kept")))
+                    .alias("n_kept"),
+                    F.lit(planted_recall).alias("planted_recall"),
+                    F.lit(n_outside).cast("long")
+                    .alias("n_drops_outside_exact"),
+                    F.lit(True).alias("meets_floor")))
 
 
 #: multilingual sampling temperature — the exponent alpha in p_l^alpha

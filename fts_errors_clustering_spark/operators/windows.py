@@ -1601,12 +1601,17 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM assigned
     )
     SELECT n_a, conv_a,
-           ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           CASE WHEN n_a = 0 THEN 0.0
+                ELSE ROUND(conv_a / CAST(n_a AS DOUBLE), 6) END AS rate_a,
            n_b, conv_b,
-           ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
-           ROUND(conv_b / CAST(n_b AS DOUBLE)
-                 - conv_a / CAST(n_a AS DOUBLE), 6) AS abs_lift,
-           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+           CASE WHEN n_b = 0 THEN 0.0
+                ELSE ROUND(conv_b / CAST(n_b AS DOUBLE), 6) END AS rate_b,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+                ELSE ROUND(conv_b / CAST(n_b AS DOUBLE)
+                           - conv_a / CAST(n_a AS DOUBLE), 6)
+           END AS abs_lift,
+           CASE WHEN n_a = 0 OR n_b = 0
+                  OR conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
                 THEN 0.0
                 ELSE ROUND((conv_b / CAST(n_b AS DOUBLE)
                             - conv_a / CAST(n_a AS DOUBLE))
@@ -1678,16 +1683,27 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     se = F.sqrt(p * (F.lit(1.0) - p)
                 * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")))
     conv_tot = F.col("conv_a") + F.col("conv_b")
-    # degenerate experiment (pooled rate 0 or 1, e.g. every fixture user
-    # purchases at sf0.001): zero variance -> the statistic is undefined;
-    # pin 0.0 identically in both engines (rates are equal there anyway)
-    z = (F.when((conv_tot == 0)
+    # degenerate experiments, pinned 0.0 IDENTICALLY in both engines:
+    # (a) an empty variant (n_a or n_b = 0 — Spark's x/0 double division
+    #     is NULL while DuckDB's is NaN/Inf, so the raw expressions would
+    #     diverge; unreachable on the md5-split fixture but unpinned was
+    #     the r08 advisor finding), and
+    # (b) pooled rate 0 or 1 (zero variance -> z undefined; e.g. every
+    #     fixture user purchases at sf0.001)
+    empty_arm = (F.col("n_a") == 0) | (F.col("n_b") == 0)
+    z = (F.when(empty_arm
+                | (conv_tot == 0)
                 | (conv_tot == F.col("n_a") + F.col("n_b")), F.lit(0.0))
          .otherwise(F.round((pb - pa) / se, 6)))
     return v.select(
-        "n_a", "conv_a", F.round(pa, 6).alias("rate_a"),
-        "n_b", "conv_b", F.round(pb, 6).alias("rate_b"),
-        F.round(pb - pa, 6).alias("abs_lift"),
+        "n_a", "conv_a",
+        F.when(F.col("n_a") == 0, F.lit(0.0))
+         .otherwise(F.round(pa, 6)).alias("rate_a"),
+        "n_b", "conv_b",
+        F.when(F.col("n_b") == 0, F.lit(0.0))
+         .otherwise(F.round(pb, 6)).alias("rate_b"),
+        F.when(empty_arm, F.lit(0.0))
+         .otherwise(F.round(pb - pa, 6)).alias("abs_lift"),
         z.alias("z_score"))
 
 
@@ -1961,3 +1977,153 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select("t_us", "n_risk", "n_events",
                     cum.alias("cum_hazard_micro"),
                     (cum / F.lit(1000000.0)).alias("cum_hazard"))
+
+
+@register(
+    "ab_test_ranksum",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             SUM(CAST(value AS DECIMAL(18,6))) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_a
+      FROM pu GROUP BY 1
+    ),
+    r AS (
+      SELECT cnt, cnt_a,
+             CAST(COALESCE(SUM(cnt) OVER
+                    (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS BIGINT)
+               AS below
+      FROM g
+    ),
+    m AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+             CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+             CAST(SUM(cnt_a * (2 * below + cnt + 1)) AS BIGINT) AS r2_a,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+      FROM r
+    )
+    SELECT n_a, n_b,
+           CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+           tie_term,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+                ELSE ROUND(CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+                           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                           - 1.0, 6)
+           END AS rank_biserial,
+           CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 2 THEN 0.0
+                WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                     * (CAST(n_a + n_b + 1 AS DOUBLE)
+                        - CAST(tie_term AS DOUBLE)
+                          / (CAST(n_a + n_b AS DOUBLE)
+                             * CAST(n_a + n_b - 1 AS DOUBLE))) <= 0.0
+                THEN 0.0
+                ELSE ROUND(
+                  CAST(r2_a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+                  / (2.0 * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                                / 12.0
+                                * (CAST(n_a + n_b + 1 AS DOUBLE)
+                                   - CAST(tie_term AS DOUBLE)
+                                     / (CAST(n_a + n_b AS DOUBLE)
+                                        * CAST(n_a + n_b - 1 AS DOUBLE))))),
+                  6)
+           END AS z_score
+    FROM m
+    """,
+    tags=("windows", "experiment", "stats"),
+)
+def ab_test_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum readout between the hash-split
+    variants (r08 verdict ask #4) — the nonparametric companion to
+    ``ab_test_lift``/``ab_test_cuped`` for metrics whose distribution a
+    t-statistic can't be trusted on. Metric: per-user total event value
+    (users with >= 1 non-null value). Reported: U_A, the tie term
+    sum(t^3 - t), the rank-biserial effect size 2U/(n_a*n_b) - 1, and the
+    tie-corrected normal-approximation z-score.
+
+    Cross-engine exactness (the ``ab_test_lift`` exact-expression
+    precedent): midranks are half-integers, so everything is carried as
+    INTEGERS — for a tie group of size t whose values have ``below``
+    smaller values, each member's DOUBLED midrank is 2*below + t + 1, so
+    R2_A = sum(cnt_a * (2*below + cnt + 1)) is a BIGINT, 2*U_A =
+    R2_A - n_a*(n_a+1), and the tie term is integer by construction. Both
+    engines then build z from the same four integers (n_a, n_b, R2_A,
+    tie_term) with the identical operand-ordered double expression
+    (every IEEE div/mul/sub/sqrt correctly rounded -> bit-identical), and
+    U_A itself is an exact halving. The per-user metric is an exact
+    DECIMAL(18,6) sum, so the tie structure (group-by x) is identical in
+    both engines; NULL values are filtered upstream so no engine-specific
+    NULL ordering enters the rank scan.
+
+    Scale: one user-keyed exchange (map-side-combinable decimal sum), one
+    x-keyed exchange collapsing to the distinct-value frame, then the
+    ``global_value_rank`` two-phase composition for the exclusive prefix
+    count — approx-quantile buckets + literal-map offsets + WITHIN-bucket
+    window — so there is NO single-partition rank scan (the distinct-value
+    frame is ~|users| at 100 TB, far too big for a global-sort window);
+    the final moment aggregate is a single row."""
+    from ..functions.text import hash32
+    from ..plans.registry import retain_for_consumer
+    from .scale import bucket_prefix_offsets, quantile_buckets
+    ev = (table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("user_id", "value"))
+    pu = (ev.groupBy("user_id")
+          .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+          .select(F.when(hash32(F.col("user_id").cast("string")) % 2 == 0,
+                         "A").otherwise("B").alias("variant"), "x"))
+    g = retain_for_consumer(
+        pu.groupBy("x").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+             .cast("long").alias("cnt_a")))
+    # two-phase exclusive prefix count over the distinct metric values:
+    # bucket on a double shadow of x (decimal->double is monotone, and a
+    # collision at a bucket boundary only co-locates the tied values —
+    # the within-bucket window still orders by the EXACT decimal)
+    bucketed = quantile_buckets(g.withColumn("xd", F.col("x").cast("double")),
+                                "xd")
+    off = bucket_prefix_offsets(bucketed, F.sum("cnt"))
+    w = Window.partitionBy("bucket").orderBy("x")
+    r = bucketed.select(
+        "cnt", "cnt_a",
+        (off + F.sum("cnt").over(w) - F.col("cnt"))
+        .cast("long").alias("below"))
+    m = r.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("n_b"),
+        F.sum(F.col("cnt_a") * (2 * F.col("below") + F.col("cnt") + 1))
+         .cast("long").alias("r2_a"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+         .cast("long").alias("tie_term"))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    r2a, t = F.col("r2_a"), F.col("tie_term")
+    u2_a = r2a - n_a * (n_a + 1)                     # = 2 * U_A, BIGINT
+    empty_arm = (n_a == 0) | (n_b == 0)
+    # operand order mirrors the oracle SQL exactly: a*b/12.0 * (c - d/(e*f))
+    var2 = (n_a.cast("double") * n_b.cast("double") / F.lit(12.0)
+            * ((n_a + n_b + 1).cast("double")
+               - t.cast("double") / ((n_a + n_b).cast("double")
+                                     * (n_a + n_b - 1).cast("double"))))
+    z = (F.when(empty_arm | ((n_a + n_b) < 2), F.lit(0.0))
+         .when(var2 <= 0.0, F.lit(0.0))
+         .otherwise(F.round((u2_a - n_a * n_b).cast("double")
+                            / (F.lit(2.0) * F.sqrt(var2)), 6)))
+    rb = (F.when(empty_arm, F.lit(0.0))
+          .otherwise(F.round(u2_a.cast("double")
+                             / (n_a.cast("double") * n_b.cast("double"))
+                             - F.lit(1.0), 6)))
+    return m.select(
+        "n_a", "n_b",
+        (u2_a.cast("double") / F.lit(2.0)).alias("u_a"),
+        "tie_term",
+        rb.alias("rank_biserial"),
+        z.alias("z_score"))

@@ -179,17 +179,37 @@ def release_consumer_caches(scope: str | None = None) -> int:
         if scope is None:
             frames = [f for lst in _CONSUMER_CACHES.values() for f in lst]
             _CONSUMER_CACHES.clear()
-            still_held: set = set()
+            still_held: dict = {}
         else:
             frames = _CONSUMER_CACHES.pop(scope, [])
-            still_held = {
-                _plan_key(f)
-                for lst in _CONSUMER_CACHES.values() for f in lst
-            }
+            still_held = {}
+            for lst in _CONSUMER_CACHES.values():
+                for f in lst:
+                    still_held.setdefault(_plan_key(f), f)
     for df in frames:
-        if _plan_key(df) not in still_held:
+        holder = still_held.get(_plan_key(df))
+        if holder is None or not _same_plan(df, holder):
             unpersist_any(df)
     return len(frames)
+
+
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    """True iff the two frames' analyzed plans are semantically the SAME
+    storage (CacheManager identity). Guards the 32-bit semanticHash against
+    collisions: two distinct plans that collide must NOT make a release
+    skip the unpersist (that would silently leak cached storage until a
+    global release). ``pyid`` fallback keys are exact by construction; for
+    ``sem`` keys confirm with Catalyst's sameResult. If the JVM handle is
+    gone, answer True (conservative: treat as held — degrades to the
+    pre-r09 skip, never a double-free of a live plan another scope holds)."""
+    if a is b:
+        return True
+    try:
+        pa = a._jdf.queryExecution().analyzed()
+        pb = b._jdf.queryExecution().analyzed()
+        return bool(pa.sameResult(pb))
+    except Exception:  # noqa: BLE001
+        return True
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
@@ -225,32 +245,108 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 #: follows in registration order. tests/test_oracle_parity.py asserts every
 #: head name exists and sits inside the budget window.
 _HEAD = (
-    # ROUND-8 ROTATION (VERDICT r07 asks #2-#4). First exposure for the
-    # two post-freeze r07 additions (judge-replayed green, never
-    # driver-checked):
-    "nation_revenue_theilsen", "cohort_ltv_triangle",
-    # NEW in r08 (nelson_aalen_hazard rides the last refresh slot below):
-    "ab_test_lift",
-    # PROMOTED to full oracles in r08 (LSH-gate bucket-ownership SQL
-    # replay, recursive-CTE kept-gap debounce, PCM byte-arithmetic audio
-    # replay) — their r07 driver rows were rows-only:
-    "streaming_neardup_gate", "streaming_debounce_gate",
-    "multimodal_audio_features",
-    # twins promoted AFTER the r07 head froze (oracle rows pending):
+    # ROUND-9 ROTATION (VERDICT r08 ask #1): first the NEW rank-sum A/B
+    # readout (first driver exposure), then the 5 rows whose driver
+    # evidence is r03 and 44 of the 45 r04-stale rows — after this round
+    # no oracle evidence is older than r05. The one r04 row that did not
+    # fit the ~50 budget (ann_ivfpq_topk, rows-only, its recall pinned
+    # in-row by ann_recall_audit) fronts the r10 tail below.
+    "ab_test_ranksum",
+    # r03-stale:
+    "weekly_growth_by_type", "activity_heatmap", "benford_deviation",
+    "minhash_signatures", "simhash_signatures",
+    # r04-stale (44 of 45):
+    "ann_ivf_topk", "ann_pq_topk", "cheapest_supplier_per_part",
+    "copurchase_kcore", "copurchase_triangle_count",
+    "curriculum_length_phases", "customer_order_distribution",
+    "dbscan_labels_lsh", "disjunctive_bracket_revenue", "doc_novelty_scores",
+    "domain_capped_docs", "embedding_quantization_error",
+    "events_asof_next_order", "forecast_revenue_delta",
+    "hll_rollup_daily_users", "important_part_value",
+    "incremental_neardup_counts", "lang_temperature_weights",
+    "large_volume_customers", "late_exists_priority_counts",
+    "leakage_safe_splits", "linestatus_priority_counts",
+    "local_supplier_revenue", "lsh_neighbor_counts", "market_share_by_year",
+    "mixture_sampled_counts", "multimodal_features", "multimodal_framesample",
+    "nation_profit_by_year", "nation_trade_volume", "packing_efficiency",
+    "part_supplier_diversity", "promo_revenue_share", "props_variant_stats",
+    "quality_percentile_by_lang", "returned_item_losses",
+    "rfm_customer_segments", "semantic_dedup_ivf", "snapshot_diff_counts",
+    "split_leakage_counts", "stratified_doc_sample", "time_rollup_revenue",
+    "top_supplier_by_revenue", "treebank_tokens",
+)
+
+#: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
+#: ~50-row budget): every name here already has a green driver row
+#: (r01-r04); the local parity sweep (tests/test_oracle_parity.py over all
+#: entries at sf0.001) remains their regression gate.
+_TAIL_AFTER_HEAD = (
+    # first in line for the r10 rotation: the one r04-stale row the r09
+    # head budget could not fit
+    "ann_ivfpq_topk",
+    # then everything else in prior rotation order (r05-r07 evidence,
+    # parity-gated per commit), with the round-8 head (freshest driver
+    # evidence) at the end
+    "streaming_hq_rollup_tail", "funnel_step_timing",
+    "last_touch_attribution", "streaming_funnel_tail", "streaming_cusum_tail",
+    "streaming_interarrival_tail", "pipeline_tfidf_kmeans",
+    "pipeline_word2vec_dbscan", "knn_knee_sweep", "dbscan_labels",
+    "dbscan_summary", "minhash_near_dups", "simhash_near_dups", "dedup_exact",
+    "dedup_clusters", "count_filtered_events", "distinct_documents",
+    "top_users_share", "json_sum_by_type", "external_metrics_pseudo",
+    "top_events_by_value", "topn_semijoin_events", "funnel_counts",
+    "session_windows_6h", "sliding_2h_windows", "tumbling_hourly_by_type",
+    "latest_event_per_user", "value_histogram", "unpivot_lineitem_measures",
+    "skew_join_segments", "token_counts", "zipf_slope", "doc_chunks",
+    "doc_fingerprints", "doc_quality_scores", "doc_repetition_stats",
+    "duplicate_ngram_coverage", "quality_filter_funnel",
+    "quality_threshold_by_lang", "lang_id_confusion", "curated_corpus_stats",
+    "token_budget_selection", "distribution_drift_psi", "hash_split_counts",
+    "multimodal_metadata", "ngram_jaccard_pairs", "embedding_near_dup_pairs",
+    "ann_batch_topk", "ann_bruteforce_topk", "cluster_stats_by_source_exact",
+    "ann_recall_audit", "lsa_features_rsvd", "supplier_revenue_pareto",
+    "user_funnel_conversion", "k_anonymity_audit",
+    "histogram_quantile_rollup", "pricing_summary", "describe_event_value",
+    "describe_event_type", "summary_all_numeric", "value_percentiles_by_type",
+    "value_decile_summary", "crosstab_priority_status", "rollup_event_counts",
+    "event_type_counts", "user_type_group_size", "cast_label_counts",
+    "null_scan_fill", "json_props_flatten", "approx_distinct_and_quantiles",
+    "top_customers_per_region", "revenue_by_region",
+    "brand_revenue_by_nation", "late_shipment_orders",
+    "customers_without_orders", "events_asof_latest_order",
+    "interval_join_prior_events", "user_event_gaps", "mask_documents",
+    "document_tokens", "doc_token_stats", "length_stats_by_source",
+    "group_members_by_lang", "cluster_stats_by_source", "vocabulary_size",
+    "vocabulary_set_ops", "term_frequency", "term_idf", "tfidf_top_terms",
+    "tfidf_pipeline_features", "lsa_features", "kmeans_cluster_sizes",
+    "kmeans_quality", "word2vec_doc_vectors", "knn_mean_distance",
+    "knn_knee_epsilon", "split_neardup_leakage", "neardup_threshold_sweep",
+    "pii_audit_counts", "tokenizer_fertility_by_lang", "shard_balance_audit",
+    "source_overlap_matrix", "embedding_norm_stats", "events_column_profile",
+    "scd2_user_intervals", "split_stratification_chi2", "open_orders_backlog",
+    "part_affinity_lift", "snapshot_publish_roundtrip",
+    "rest_tail_category_counts", "part_entity_matches", "value_mad_outliers",
+    "stratified_hash_sample", "user_interarrival_stats",
+    "hourly_cusum_changepoint", "incremental_agg_maintenance",
+    "value_decile_histogram", "fd_violation_audit", "revenue_gini_by_nation",
+    "nation_revenue_trend", "pareto_frontier_parts",
+    "rolling_7d_distinct_users", "quality_retention_curve",
+    "revenue_autocorrelation", "twa_value_per_user",
+    "token_weighted_quality_quantiles", "dow_seasonality_index",
+    "flagship_top_error_users", "salted_group_members", "packed_sequences",
+    "bpe_merge_table", "bpe_vocab_tokens", "bpe_tokens_per_lang",
+    "heavy_hitter_tokens", "part_copurchase_pagerank", "dataset_fingerprint",
+    "contrastive_chunk_pairs", "sql_api_revenue_by_priority", "bm25_search",
+    "hybrid_search_rrf", "incremental_dedup_counts", "canonical_by_quality",
+    "dominant_part_suppliers", "global_value_rank", "nation_revenue_theilsen",
+    "cohort_ltv_triangle", "ab_test_lift", "streaming_neardup_gate",
+    "streaming_debounce_gate", "multimodal_audio_features",
     "streaming_tumbling_hourly", "streaming_stateful_dedup",
-    "streaming_interval_join", "streaming_upsert_compaction",
-    # the 10 rows whose driver evidence predates r03 (the last of the
-    # r01/r02 era; streaming_neardup_gate is in the promoted block):
-    "sample_events", "benchmark_contamination", "bigram_logprob_scores",
+    "streaming_interval_join", "streaming_upsert_compaction", "sample_events",
+    "benchmark_contamination", "bigram_logprob_scores",
     "importance_weights_dsir", "internal_cluster_metrics",
     "label_centroid_cosine", "lsa_svd_features", "mixture_weights",
-    "silhouette_by_label",
-    # REFRESH BATCH: 29 of the 34 r03-stale rows (weekly_growth_by_type,
-    # activity_heatmap, benford_deviation, minhash_signatures,
-    # simhash_signatures head the r09 tail; two slots went to the NEW
-    # ab_test_cuped + nelson_aalen_hazard). Local
-    # sf0.001 parity remains every query's per-commit gate.
-    "sole_late_suppliers", "idle_rich_customers",
+    "silhouette_by_label", "sole_late_suppliers", "idle_rich_customers",
     "cube_priority_status_revenue", "forward_fill_values",
     "modal_bucket_by_type", "winsorized_value_stats", "chi2_priority_status",
     "shipping_priority_topk", "nation_revenue_share",
@@ -262,97 +358,8 @@ _HEAD = (
     "event_trigram_journeys", "hourly_resampled_counts",
     "daily_cumulative_events", "hourly_anomaly_scores",
     "weekly_cohort_retention", "event_transition_matrix",
-    "decayed_user_scores", "user_event_entropy",
-    "hourly_session_concurrency", "ab_test_cuped",
-    "nelson_aalen_hazard",
-)
-
-#: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
-#: ~50-row budget): every name here already has a green driver row
-#: (r01-r04); the local parity sweep (tests/test_oracle_parity.py over all
-#: entries at sf0.001) remains their regression gate.
-_TAIL_AFTER_HEAD = (
-    # the 5 r03-stale rows the r08 head budget could not fit — FIRST in
-    # line for the r09 rotation
-    "weekly_growth_by_type", "activity_heatmap", "benford_deviation",
-    "minhash_signatures", "simhash_signatures",
-    # round-7 head (all green in CORRECTNESS_r07.json), then everything
-    # else in prior rotation order (r04-r06 evidence, parity-gated)
-    "streaming_hq_rollup_tail", "funnel_step_timing",
-    "last_touch_attribution", "streaming_funnel_tail",
-    "streaming_cusum_tail", "streaming_interarrival_tail",
-    "pipeline_tfidf_kmeans", "pipeline_word2vec_dbscan", "knn_knee_sweep",
-    "dbscan_labels", "dbscan_summary", "minhash_near_dups",
-    "simhash_near_dups", "dedup_exact", "dedup_clusters",
-    "count_filtered_events", "distinct_documents", "top_users_share",
-    "json_sum_by_type", "external_metrics_pseudo", "top_events_by_value",
-    "topn_semijoin_events", "funnel_counts", "session_windows_6h",
-    "sliding_2h_windows", "tumbling_hourly_by_type", "latest_event_per_user",
-    "value_histogram", "unpivot_lineitem_measures", "skew_join_segments",
-    "token_counts", "zipf_slope", "doc_chunks", "doc_fingerprints",
-    "doc_quality_scores", "doc_repetition_stats", "duplicate_ngram_coverage",
-    "quality_filter_funnel", "quality_threshold_by_lang",
-    "lang_id_confusion", "curated_corpus_stats", "token_budget_selection",
-    "distribution_drift_psi", "hash_split_counts", "multimodal_metadata",
-    "ngram_jaccard_pairs", "embedding_near_dup_pairs", "ann_batch_topk",
-    "ann_bruteforce_topk", "cluster_stats_by_source_exact",
-    "ann_recall_audit", "lsa_features_rsvd", "supplier_revenue_pareto",
-    "user_funnel_conversion", "k_anonymity_audit",
-    "histogram_quantile_rollup", "pricing_summary", "describe_event_value",
-    "describe_event_type", "summary_all_numeric",
-    "value_percentiles_by_type", "value_decile_summary",
-    "crosstab_priority_status", "rollup_event_counts", "event_type_counts",
-    "user_type_group_size", "cast_label_counts", "null_scan_fill",
-    "json_props_flatten", "approx_distinct_and_quantiles",
-    "top_customers_per_region", "revenue_by_region",
-    "brand_revenue_by_nation", "late_shipment_orders",
-    "customers_without_orders", "events_asof_latest_order",
-    "interval_join_prior_events", "user_event_gaps", "mask_documents",
-    "document_tokens", "doc_token_stats", "length_stats_by_source",
-    "group_members_by_lang", "cluster_stats_by_source", "vocabulary_size",
-    "vocabulary_set_ops", "term_frequency", "term_idf", "tfidf_top_terms",
-    "tfidf_pipeline_features", "lsa_features", "kmeans_cluster_sizes",
-    "kmeans_quality", "word2vec_doc_vectors", "knn_mean_distance",
-    "knn_knee_epsilon", "local_supplier_revenue",
-    "linestatus_priority_counts", "split_neardup_leakage",
-    "neardup_threshold_sweep", "pii_audit_counts",
-    "tokenizer_fertility_by_lang", "shard_balance_audit",
-    "source_overlap_matrix", "embedding_norm_stats", "events_column_profile",
-    "scd2_user_intervals", "split_stratification_chi2",
-    "open_orders_backlog", "part_affinity_lift",
-    "snapshot_publish_roundtrip", "rest_tail_category_counts",
-    "part_entity_matches", "value_mad_outliers", "stratified_hash_sample",
-    "user_interarrival_stats", "hourly_cusum_changepoint",
-    "incremental_agg_maintenance", "value_decile_histogram",
-    "fd_violation_audit", "revenue_gini_by_nation", "nation_revenue_trend",
-    "pareto_frontier_parts", "rolling_7d_distinct_users",
-    "quality_retention_curve", "revenue_autocorrelation",
-    "twa_value_per_user", "token_weighted_quality_quantiles",
-    "dow_seasonality_index", "flagship_top_error_users",
-    "salted_group_members", "packed_sequences", "bpe_merge_table",
-    "bpe_vocab_tokens", "bpe_tokens_per_lang", "heavy_hitter_tokens",
-    "part_copurchase_pagerank", "dataset_fingerprint",
-    "contrastive_chunk_pairs", "sql_api_revenue_by_priority", "bm25_search",
-    "hybrid_search_rrf", "incremental_dedup_counts", "canonical_by_quality",
-    "dominant_part_suppliers", "global_value_rank", "split_leakage_counts",
-    "leakage_safe_splits", "incremental_neardup_counts",
-    "multimodal_features", "multimodal_framesample", "treebank_tokens",
-    "market_share_by_year", "cheapest_supplier_per_part",
-    "disjunctive_bracket_revenue", "forecast_revenue_delta",
-    "nation_trade_volume", "returned_item_losses",
-    "customer_order_distribution", "promo_revenue_share",
-    "top_supplier_by_revenue", "large_volume_customers",
-    "late_exists_priority_counts", "nation_profit_by_year",
-    "important_part_value", "part_supplier_diversity",
-    "copurchase_triangle_count", "copurchase_kcore", "time_rollup_revenue",
-    "props_variant_stats", "domain_capped_docs", "rfm_customer_segments",
-    "events_asof_next_order", "quality_percentile_by_lang",
-    "mixture_sampled_counts", "packing_efficiency",
-    "curriculum_length_phases", "snapshot_diff_counts",
-    "lang_temperature_weights", "embedding_quantization_error",
-    "doc_novelty_scores", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-    "lsh_neighbor_counts", "stratified_doc_sample", "semantic_dedup_ivf",
-    "dbscan_labels_lsh", "hll_rollup_daily_users",
+    "decayed_user_scores", "user_event_entropy", "hourly_session_concurrency",
+    "ab_test_cuped", "nelson_aalen_hazard",
 )
 
 

@@ -437,6 +437,11 @@ _EXCHANGE_BUDGET = {
     # CUPED: user-keyed decimal-sum exchange + midpoint scalar agg +
     # 1-row moment aggregate
     "ab_test_cuped": 8,
+    # round 9: rank-sum = user-keyed decimal-sum exchange + distinct-value
+    # collapse + WITHIN-bucket prefix window (no single-partition rank
+    # scan) + 1-row moment aggregate (4 physical shuffles; 12 prints with
+    # the cached distinct-value frame's AQE/initial-plan sections)
+    "ab_test_ranksum": 12,
 }
 
 
