@@ -2127,3 +2127,198 @@ def ab_test_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tie_term",
         rb.alias("rank_biserial"),
         z.alias("z_score"))
+
+
+@register(
+    "ab_test_logrank",
+    oracle="""
+    WITH t0 AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    obs AS (SELECT MAX(ts) AS t_end FROM events),
+    ev AS (
+      SELECT f.user_id, MIN(e.ts) AS t_ev
+      FROM t0 f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts > f.t0
+      GROUP BY 1
+    ),
+    dur AS (
+      SELECT f.user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(f.user_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN ev.t_ev IS NULL
+                  THEN epoch_us((SELECT t_end FROM obs)) - epoch_us(f.t0)
+                  ELSE epoch_us(ev.t_ev) - epoch_us(f.t0) END AS t_us,
+             CASE WHEN ev.t_ev IS NULL THEN 0 ELSE 1 END AS is_event
+      FROM t0 f LEFT JOIN ev ON ev.user_id = f.user_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_a) AS BIGINT) AS n_a
+      FROM dur
+    ),
+    g AS (
+      SELECT t_us, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(in_a) AS BIGINT) AS c_a,
+             CAST(SUM(is_event) AS BIGINT) AS d,
+             CAST(SUM(is_event * in_a) AS BIGINT) AS d_a
+      FROM dur GROUP BY 1
+    ),
+    r AS (
+      SELECT t_us, d, d_a,
+             (SELECT n FROM tot)
+               - CAST(COALESCE(SUM(c_all) OVER (ORDER BY t_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n_risk,
+             (SELECT n_a FROM tot)
+               - CAST(COALESCE(SUM(c_a) OVER (ORDER BY t_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n_risk_a
+      FROM g
+    ),
+    terms AS (
+      SELECT d_a,
+             CAST(FLOOR(CAST(d * n_risk_a AS DOUBLE) / n_risk * 1000000.0
+                        + 0.5) AS BIGINT) AS e_micro,
+             CASE WHEN n_risk <= 1 THEN 0
+                  ELSE CAST(FLOOR(CAST(d * n_risk_a AS DOUBLE) / n_risk
+                                  * (CAST(n_risk - n_risk_a AS DOUBLE)
+                                     / n_risk)
+                                  * (CAST(n_risk - d AS DOUBLE)
+                                     / (n_risk - 1))
+                                  * 1000000.0 + 0.5) AS BIGINT)
+             END AS v_micro
+      FROM r WHERE d > 0
+    ),
+    m AS (
+      SELECT (SELECT n_a FROM tot) AS n_a,
+             (SELECT n FROM tot) - (SELECT n_a FROM tot) AS n_b,
+             CAST(SUM(d_a) AS BIGINT) AS o_a,
+             CAST(SUM(e_micro) AS BIGINT) AS e_a_micro,
+             CAST(SUM(v_micro) AS BIGINT) AS v_a_micro
+      FROM terms
+    )
+    SELECT n_a, n_b, o_a,
+           e_a_micro / 1000000.0 AS e_a,
+           v_a_micro / 1000000.0 AS v_a,
+           CASE WHEN n_a = 0 OR n_b = 0 OR v_a_micro = 0 THEN 0.0
+                ELSE ROUND((CAST(o_a AS DOUBLE) - e_a_micro / 1000000.0)
+                           / SQRT(v_a_micro / 1000000.0), 6)
+           END AS z_score,
+           CASE WHEN n_a + n_b = 0 THEN 0.0
+                ELSE ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                           / (n_a + n_b), 6)
+           END AS srm_chi2
+    FROM m
+    """,
+    tags=("windows", "survival", "experiment", "stats"),
+)
+def ab_test_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between the hash-split variants on
+    time-to-convert — the survival companion to ``ab_test_lift``'s point
+    rate and ``nelson_aalen_hazard``'s curve: does arm A convert FASTER,
+    with right-censoring handled correctly instead of dropped. At every
+    distinct event duration t the observed arm-A events d_a are compared
+    to the hypergeometric expectation d * n_risk_a / n_risk; O-E summed
+    over the curve, normalized by the summed hypergeometric variance.
+    The SRM (sample-ratio-mismatch) chi-square on the 50/50 split rides
+    along — the first thing to check before believing any A/B readout.
+
+    Exactness design: O_A and both at-risk processes are integers by
+    construction; the per-time E and V terms are quantized to INTEGER
+    micro-units with the identical operand-ordered expression in both
+    engines (the ``nelson_aalen_hazard`` pattern — each term is one
+    chain of correctly-rounded IEEE ops on the same integers, so the
+    doubles are bit-identical BEFORE the floor, and the cross-engine
+    cumulative sum runs over integers, exact in any order). z is then
+    built from three integers (o_a, e_a_micro, v_a_micro) with the same
+    expression shape; degenerate cases (empty arm, zero variance) pin
+    0.0 identically in both engines.
+
+    Scale: ONE exchange on user_id for the first-view/first-purchase
+    window (the ``nelson_aalen_hazard`` shape, plus the md5 variant as a
+    pure key function), the censor time and arm totals are broadcast
+    1-row aggregates, and the curve windows run single-partition over
+    the |distinct durations|-bounded table (the documented
+    ``supplier_revenue_pareto`` precedent); the final moment aggregate
+    is a single row."""
+    from ..functions.text import hash32
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t0 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    rows = ev.select("user_id", t0.alias("t0"), "event_type", "ts")
+    t_ev = F.min(F.when((F.col("event_type") == "purchase")
+                        & (F.col("ts") > F.col("t0")), F.col("ts"))).over(w)
+    per_user = (rows.where(F.col("t0").isNotNull())
+                .select("user_id", "t0", t_ev.alias("t_ev"))
+                .groupBy("user_id")
+                .agg(F.min("t0").alias("t0"), F.min("t_ev").alias("t_ev")))
+    t_end = ev.agg(F.max("ts").alias("t_end"))
+    dur = (per_user.crossJoin(F.broadcast(t_end))
+           .select(F.when(hash32(F.col("user_id").cast("string")) % 2 == 0,
+                          1).otherwise(0).alias("in_a"),
+                   F.when(F.col("t_ev").isNull(),
+                          F.unix_micros("t_end") - F.unix_micros("t0"))
+                   .otherwise(F.unix_micros("t_ev") - F.unix_micros("t0"))
+                   .alias("t_us"),
+                   F.when(F.col("t_ev").isNull(), 0).otherwise(1)
+                   .alias("is_event")))
+    g = (dur.groupBy("t_us")
+         .agg(F.count("*").cast("long").alias("c_all"),
+              F.sum("in_a").cast("long").alias("c_a"),
+              F.sum("is_event").cast("long").alias("d"),
+              F.sum(F.col("is_event") * F.col("in_a")).cast("long")
+               .alias("d_a")))
+    wall = Window.partitionBy()
+    wprev = (Window.orderBy("t_us")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    r = g.select(
+        "t_us", "d", "d_a",
+        (F.sum("c_all").over(wall)
+         - F.coalesce(F.sum("c_all").over(wprev), F.lit(0)))
+        .cast("long").alias("n_risk"),
+        (F.sum("c_a").over(wall)
+         - F.coalesce(F.sum("c_a").over(wprev), F.lit(0)))
+        .cast("long").alias("n_risk_a"))
+    # per-time E and V, quantized to integer micro-units: expression order
+    # mirrors the oracle SQL exactly (see docstring)
+    e_term = ((F.col("d") * F.col("n_risk_a")).cast("double")
+              / F.col("n_risk"))
+    v_term = (e_term
+              * ((F.col("n_risk") - F.col("n_risk_a")).cast("double")
+                 / F.col("n_risk"))
+              * ((F.col("n_risk") - F.col("d")).cast("double")
+                 / (F.col("n_risk") - 1)))
+    terms = (r.where(F.col("d") > 0)
+             .select("d_a",
+                     F.floor(e_term * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("long").alias("e_micro"),
+                     F.when(F.col("n_risk") <= 1, F.lit(0).cast("long"))
+                     .otherwise(F.floor(v_term * F.lit(1000000.0)
+                                        + F.lit(0.5)).cast("long"))
+                     .alias("v_micro")))
+    tot = dur.agg(F.count("*").cast("long").alias("n"),
+                  F.sum("in_a").cast("long").alias("n_a_tot"))
+    m = (terms.agg(F.sum("d_a").cast("long").alias("o_a"),
+                   F.sum("e_micro").cast("long").alias("e_a_micro"),
+                   F.sum("v_micro").cast("long").alias("v_a_micro"))
+         .crossJoin(F.broadcast(tot))
+         .select(F.col("n_a_tot").alias("n_a"),
+                 (F.col("n") - F.col("n_a_tot")).alias("n_b"),
+                 "o_a", "e_a_micro", "v_a_micro"))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    e_a = F.col("e_a_micro") / F.lit(1000000.0)
+    v_a = F.col("v_a_micro") / F.lit(1000000.0)
+    z = (F.when((n_a == 0) | (n_b == 0) | (F.col("v_a_micro") == 0),
+                F.lit(0.0))
+         .otherwise(F.round((F.col("o_a").cast("double") - e_a)
+                            / F.sqrt(v_a), 6)))
+    srm = (F.when(n_a + n_b == 0, F.lit(0.0))
+           .otherwise(F.round(((n_a - n_b) * (n_a - n_b)).cast("double")
+                              / (n_a + n_b), 6)))
+    return m.select("n_a", "n_b", "o_a",
+                    e_a.alias("e_a"), v_a.alias("v_a"),
+                    z.alias("z_score"), srm.alias("srm_chi2"))

@@ -80,3 +80,55 @@ def test_lift_matches_pandas_reference(spark, duck):
         assert abs(row["z_score"] - z) < 1e-6
     else:
         assert row["z_score"] == 0.0
+
+
+def test_logrank_matches_pandas_reference(spark, duck):
+    """ab_test_logrank == the textbook Mantel-Cox statistic computed
+    from scratch on independently-derived (duration, event, arm) rows —
+    allowing only the documented 1e-6 per-term quantization."""
+    row = (all_queries()["ab_test_logrank"].fn(spark, SF_SMALL)
+           .collect()[0].asDict())
+
+    d = duck_for(duck, SF_SMALL).execute("""
+        WITH t0 AS (
+          SELECT user_id, MIN(ts) AS t0 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        ev AS (
+          SELECT f.user_id, MIN(e.ts) AS t_ev
+          FROM t0 f JOIN events e ON e.user_id = f.user_id
+           AND e.event_type = 'purchase' AND e.ts > f.t0 GROUP BY 1
+        )
+        SELECT f.user_id,
+               CASE WHEN ev.t_ev IS NULL
+                    THEN epoch_us((SELECT MAX(ts) FROM events))
+                         - epoch_us(f.t0)
+                    ELSE epoch_us(ev.t_ev) - epoch_us(f.t0) END AS t_us,
+               CASE WHEN ev.t_ev IS NULL THEN 0 ELSE 1 END AS is_event
+        FROM t0 f LEFT JOIN ev ON ev.user_id = f.user_id
+    """).df()
+    d["in_a"] = d["user_id"].map(lambda u: _variant(u) == "A")
+    n, n_a = len(d), int(d["in_a"].sum())
+    o_a = e_a = v_a = 0.0
+    for t in sorted(d.loc[d.is_event == 1, "t_us"].unique()):
+        at_risk = d[d.t_us >= t]
+        nj, naj = len(at_risk), int(at_risk["in_a"].sum())
+        evs = d[(d.t_us == t) & (d.is_event == 1)]
+        dj, daj = len(evs), int(evs["in_a"].sum())
+        o_a += daj
+        e_a += dj * naj / nj
+        if nj > 1:
+            v_a += (dj * naj / nj) * ((nj - naj) / nj) * ((nj - dj) / (nj - 1))
+    z = (o_a - e_a) / math.sqrt(v_a) if v_a > 0 else 0.0
+
+    assert (row["n_a"], row["n_b"]) == (n_a, n - n_a)
+    assert row["o_a"] == o_a
+    # per-term 1e-6 quantization: curve has <= |users| event terms, so the
+    # accumulated quantization error is bounded by n * 5e-7
+    assert abs(row["e_a"] - e_a) <= len(d) * 5e-7 + 1e-9
+    assert abs(row["v_a"] - v_a) <= len(d) * 5e-7 + 1e-9
+    assert abs(row["z_score"] - z) < 1e-3
+    srm = (n_a - (n - n_a)) ** 2 / n
+    assert abs(row["srm_chi2"] - srm) < 1e-6
+    # the fixture must exercise real censoring and both arms
+    assert 0 < int(d.is_event.sum()) < n and 0 < n_a < n

@@ -298,6 +298,7 @@ _BNLJ_OK: set[str] = {
     "chi2_priority_status",      # scalar grand total n
     "ab_test_cuped",             # 1-row observation-midpoint scalar
     "nelson_aalen_hazard",       # 1-row censor-time scalar (max ts)
+    "ab_test_logrank",           # 1-row censor-time + 1-row arm totals
     "hourly_resampled_counts",   # |event_type|-row distinct-types side
     "hourly_anomaly_scores",     # |event_type|-row distinct-types side
     "hybrid_search_rrf",         # 1-row BM25 stats + 1-row query vector
@@ -442,6 +443,9 @@ _EXCHANGE_BUDGET = {
     # scan) + 1-row moment aggregate (4 physical shuffles; 12 prints with
     # the cached distinct-value frame's AQE/initial-plan sections)
     "ab_test_ranksum": 12,
+    # log-rank = the nelson_aalen user window + duration collapse +
+    # bounded curve windows + censor/arm-total scalar aggs + 1-row final
+    "ab_test_logrank": 14,
 }
 
 
