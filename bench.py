@@ -180,6 +180,8 @@ HEADLINE = [
     "nelson_aalen_hazard",
     # round 9
     "ab_test_ranksum",
+    # round 10
+    "ab_test_logrank",
 ]
 
 #: model-fit queries (KMeans/word2vec/SVD training dominates): timed and
@@ -444,11 +446,31 @@ def main() -> None:
     # by every run including the driver's, so a curated best/verified-idle
     # map is preserved under a round-stamped name the driver never writes
     # (SPARK_GRAFT_BENCH_STAMP=r08 -> bench_best_r08.json, committed and
-    # referenced by BASELINE.md instead of the volatile file).
+    # referenced by BASELINE.md instead of the volatile file). KEEP-BETTER
+    # (r09 verdict #3: a later contaminated run with the env var set used
+    # to clobber a better earlier stamp): only overwrite an existing stamp
+    # when this run's per-query map is better on total seconds — the
+    # stamped file must be the round's best observed figure, not the last.
     stamp = os.environ.get("SPARK_GRAFT_BENCH_STAMP")
     if stamp:
-        with open(os.path.join(here, f"bench_best_{stamp}.json"), "w") as f:
-            f.write(full + "\n")
+        path = os.path.join(here, f"bench_best_{stamp}.json")
+        prev_total = None
+        try:
+            with open(path) as f:
+                prev = json.loads(f.read())
+            if not prev.get("filtered") and prev.get("sf") == sf:
+                prev_total = float(prev["value"])
+        except (OSError, ValueError, KeyError):
+            prev_total = None
+        if only:
+            print(json.dumps({"stamp_skipped": stamp,
+                              "reason": "filtered run is not comparable"}))
+        elif prev_total is not None and prev_total <= common["value"]:
+            print(json.dumps({"stamp_kept": stamp, "prev": prev_total,
+                              "new": common["value"]}))
+        else:
+            with open(path, "w") as f:
+                f.write(full + "\n")
     top20 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     print(json.dumps({**common, "queries": top20,
                       "n_queries_total": len(timings),

@@ -315,20 +315,60 @@ def _embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       array_to_vector("embedding").alias("features"))
 
 
+#: in-row certification floor for kmeans_cluster_sizes: the best-of-n_init
+#: fit's within-cluster SS must be under this fraction of the TOTAL sum of
+#: squares around the global centroid (= the k=1 "clustering"). A broken
+#: fit (Lloyd not converging, centers collapsing onto each other) pushes
+#: the ratio to ~1.0. The fixture geometry sits at 0.9304 / 0.9312 /
+#: 0.9501 (sf0.001 / 0.01 / 0.1, measured with the fixed seed): 64-d
+#: label clusters overlap in Euclidean space, so k=10 removes only
+#: 5-7% of total SS — the floor is pinned just above the worst measured
+#: fixture value, catching collapse-to-1.0 without flaking on geometry.
+#: Empty-cluster regressions are caught separately by the k-nonempty
+#: check, which does not depend on the ratio margin.
+KMEANS_COST_FLOOR = 0.97
+
+
 @register("kmeans_cluster_sizes", oracle=None, tags=("clustering", "ml"))
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M12 + A9 ``Counter(km.labels_)``
     (``TF-IDF_K-Means_approach.ipynb:7991``): cluster sizes of the best-of-
     n_init KMeans on the fixture embeddings, reported by size rank (cluster
-    ids are not stable across implementations; sizes are the invariant)."""
+    ids are not stable across implementations; sizes are the invariant).
+
+    Certified IN-ROW (r09 verdict ask #7, the ``ann_recall_audit``
+    playbook): the row set carries the fit's cost ratio — trainingCost /
+    total-SS-around-the-global-centroid (one cheap ``Summarizer``
+    aggregate, not a second fit) — and the operator RAISES when the ratio
+    breaks the ``KMEANS_COST_FLOOR`` or any of the k clusters comes back
+    empty, so the driver's rows-only hash doubles as a clustering
+    regression gate. With the fixed base seed the whole row set is
+    deterministic."""
+    k = 10
     feats = _embedding_features(spark, sf_dir)
-    model = fit_kmeans_best(feats, k=10, n_init=3)
+    model = fit_kmeans_best(feats, k=k, n_init=3)
     out = model.transform(feats)
     sizes = out.groupBy("prediction").agg(F.count("*").alias("n"))
+    from pyspark.ml.stat import Summarizer
     from pyspark.sql import Window
+    stat = feats.agg(
+        Summarizer.variance(F.col("features")).alias("v"),
+        F.count("*").alias("n")).collect()[0]
+    tot_ss = float(sum(stat["v"])) * max(int(stat["n"]) - 1, 1)
+    cost_ratio = round(model.summary.trainingCost / max(tot_ss, 1e-12), 4)
     w = Window.orderBy(F.desc("n"), F.asc("prediction"))
-    return (sizes.withColumn("size_rank", F.row_number().over(w).cast("long"))
-                 .select("size_rank", "n"))
+    ranked = (sizes.withColumn("size_rank",
+                               F.row_number().over(w).cast("long"))
+              .select("size_rank", "n",
+                      F.lit(cost_ratio).alias("cost_ratio"),
+                      F.lit(True).alias("meets_floor")))
+    n_clusters = ranked.count()
+    if n_clusters < k or cost_ratio > KMEANS_COST_FLOOR:
+        raise AssertionError(
+            f"kmeans certification broken: {n_clusters}/{k} nonempty "
+            f"clusters, cost ratio {cost_ratio} (floor "
+            f"{KMEANS_COST_FLOOR})")
+    return ranked
 
 
 @register("kmeans_quality", oracle=None, tags=("clustering", "ml", "metrics"))

@@ -604,10 +604,23 @@ LSH_N_TABLES = 6
 LSH_AGREEMENT_FLOOR = 0.95
 
 
+def _certify_default() -> bool:
+    """In-row quality certifications (the second exact pass + its 1-row
+    agreement aggregate) default ON — the driver's rows-only hash then
+    doubles as a regression gate — and are switched off for
+    production-scale invocations with SPARK_GRAFT_CERTIFY=0, where the
+    exact twin is the thing the approximate tier exists to avoid (the r09
+    advisor finding: certification must not be an unavoidable eager
+    doubling of the operator's cost)."""
+    import os
+    return os.environ.get("SPARK_GRAFT_CERTIFY", "1") != "0"
+
+
 @register("dbscan_labels_lsh", oracle=None, tags=("clustering", "dbscan", "ml"))
 def dbscan_labels_lsh(spark: SparkSession, sf_dir: str,
                       bucket_length: float = LSH_BUCKET_LENGTH,
-                      num_tables: int = LSH_N_TABLES) -> DataFrame:
+                      num_tables: int = LSH_N_TABLES,
+                      certify: bool | None = None) -> DataFrame:
     """M18 with the 100 TB candidate generator swapped in: eps-pairs from
     ``BucketedRandomProjectionLSH.approxSimilarityJoin`` instead of the
     broadcast kernel — the SAME downstream core/propagation/border plan
@@ -619,9 +632,13 @@ def dbscan_labels_lsh(spark: SparkSession, sf_dir: str,
     corpus, and the operator RAISES below the documented 0.95 floor — so
     the driver's rows-only hash doubles as a recall regression detector
     (the exact run is the cheap side here: same fixture, broadcast-kernel
-    tier). Bucket width is sized to the unit-norm projection scale (see
-    LSH_BUCKET_LENGTH) — the parameter that decides whether the candidate
-    join is bucket-bounded or quadratic."""
+    tier). The certification is gated: default ON (driver/tests), OFF via
+    certify=False or SPARK_GRAFT_CERTIFY=0 for production-scale corpora
+    where the exact twin is exactly what this tier exists to avoid — the
+    uncertified row carries NULL agreement columns rather than a faked
+    floor check. Bucket width is sized to the unit-norm projection scale
+    (see LSH_BUCKET_LENGTH) — the parameter that decides whether the
+    candidate join is bucket-bounded or quadratic."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
     emb = table(spark, sf_dir, "embeddings")
@@ -637,6 +654,15 @@ def dbscan_labels_lsh(spark: SparkSession, sf_dir: str,
              .where(F.col("a") != F.col("b")))
     from ..plans.registry import retain_for_consumer
     labs = retain_for_consumer(dbscan_labels(spark, emb, pairs=pairs))
+    if certify is None:
+        certify = _certify_default()
+    if not certify:
+        # same schema either way (driver stability); the uncertified row
+        # says so explicitly instead of faking a floor check
+        return labs.select(
+            "vec_id", "cluster",
+            F.lit(None).cast("double").alias("agreement_vs_exact"),
+            F.lit(None).cast("boolean").alias("meets_floor"))
     exact = dbscan_labels(spark, emb).select(
         "vec_id", F.col("cluster").alias("c_exact"))
     stat = (labs.join(exact, "vec_id")

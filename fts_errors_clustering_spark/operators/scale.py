@@ -234,17 +234,31 @@ def bucket_prefix_offsets(bucketed: DataFrame, agg) -> "F.Column":
     Phase 3 at the call site adds a WITHIN-bucket window (shuffle on the
     bucket id only, all buckets in parallel) — offset + within-bucket scan
     = the exact global scan."""
-    rows = bucketed.groupBy("bucket").agg(agg.alias("v")).collect()
-    totals = {r["bucket"]: r["v"] for r in rows}
-    offsets, acc = {}, 0
-    for b in sorted(totals):
-        offsets[b] = acc
-        acc += totals[b]
-    if not offsets:
-        offsets = {0: 0}
-    return F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("bucket"))
+    return bucket_prefix_offsets_multi(bucketed, v=agg)["v"]
+
+
+def bucket_prefix_offsets_multi(bucketed: DataFrame, **aggs) -> dict:
+    """``bucket_prefix_offsets`` for SEVERAL prefix measures in ONE driver
+    round-trip: one ≤ n_buckets-row aggregate computes every ``agg`` at
+    once, and each keyword gets its own literal-map offset column keyed on
+    ``bucket``. Used when a composition needs multiple exact global prefix
+    sums over the same bucketing (e.g. the survival curves' two at-risk
+    processes) — N offset maps for the price of one tiny job."""
+    rows = bucketed.groupBy("bucket").agg(
+        *[a.alias(k) for k, a in aggs.items()]).collect()
+    out = {}
+    for k in aggs:
+        totals = {r["bucket"]: r[k] for r in rows}
+        offsets, acc = {}, 0
+        for b in sorted(totals):
+            offsets[b] = acc
+            acc += totals[b]
+        if not offsets:
+            offsets = {0: 0}
+        out[k] = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("bucket"))
+    return out
 
 
 @register(

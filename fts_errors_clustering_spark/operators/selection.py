@@ -386,18 +386,32 @@ SEM_T = 0.95
 
 
 def _semantic_cells_and_dropped(
-        spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(cell assignments, dropped vec_ids) for the SemDeDup pass — split
-    out so tests can assert on the drop SET, not just the counts."""
+        spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """(cell assignments, dropped vec_ids, plant id offset, planted count)
+    for the SemDeDup pass — split out so tests can assert on the drop SET,
+    not just the counts. The plant geometry (offset, count) is DERIVED
+    from the corpus in one tiny aggregate instead of hardcoded, so the
+    operator works on any embeddings table — a corpus with fewer than 10
+    vectors plants fewer duplicates, and a corpus whose ids reach the
+    default offset shifts the plant above its own id space (the r09
+    advisor finding: certification must not assume this fixture's exact
+    plant)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     from ..functions.vectors import cosine
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stats = emb.agg(
+        F.coalesce(F.max("vec_id"), F.lit(-1)).alias("max_id"),
+        F.coalesce(F.sum(F.when(F.col("vec_id") < 10, 1)), F.lit(0))
+         .alias("n_plant")).collect()[0]
+    offset = max(100000, int(stats["max_id"]) + 1)
+    n_planted = int(stats["n_plant"])
     aug = emb.unionByName(
         emb.where(F.col("vec_id") < 10)
-           .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+           .select((F.col("vec_id") + offset).alias("vec_id"), "embedding"))
     vecs = aug.withColumn("features", array_to_vector("embedding"))
     km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell")
     cells = (km.fit(vecs).transform(vecs)
@@ -411,7 +425,7 @@ def _semantic_cells_and_dropped(
                       (cosine("va", "vb", 64) >= SEM_T))
                .select("cell", F.col("b").alias("vec_id"))
                .distinct())
-    return cells, dropped
+    return cells, dropped, offset, n_planted
 
 
 @register("semantic_dedup_ivf", oracle=None,
@@ -438,16 +452,37 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic. (The certification side reuses the banded exact
     near-dup query — itself blocked, never all-pairs.)"""
     from .similarity import embedding_near_dup_pairs
-    cells, dropped = _semantic_cells_and_dropped(spark, sf_dir)
+    cells, dropped, offset, n_planted = _semantic_cells_and_dropped(
+        spark, sf_dir)
     from ..plans.registry import retain_for_consumer
     dropped = retain_for_consumer(dropped)
-    # in-row certification (1-row aggregates; raises on a break)
-    planted_dropped = dropped.where(F.col("vec_id") >= 100000).count()
+    # in-row certification (1-row aggregates; raises on a break). Plant
+    # geometry comes from _semantic_cells_and_dropped, never hardcoded;
+    # a plant-free corpus (no vec_id < 10) skips the recall leg instead
+    # of raising on a fixture assumption, and the exact-containment leg
+    # is gated with the dbscan certify switch for production corpora.
+    from .dbscan import _certify_default
+    if not _certify_default():
+        return (cells.join(dropped.withColumnRenamed("vec_id", "d_id")
+                           .select("d_id"),
+                           cells.vec_id == F.col("d_id"), "left")
+                .groupBy("cell")
+                .agg(F.count("*").cast("long").alias("n_vectors"),
+                     F.count("d_id").cast("long").alias("n_dropped"))
+                .select("cell", "n_vectors", "n_dropped",
+                        (F.col("n_vectors") - F.col("n_dropped"))
+                        .cast("long").alias("n_kept"),
+                        F.lit(None).cast("double").alias("planted_recall"),
+                        F.lit(None).cast("long")
+                        .alias("n_drops_outside_exact"),
+                        F.lit(None).cast("boolean").alias("meets_floor")))
+    planted_dropped = (dropped.where(F.col("vec_id") >= offset).count()
+                       if n_planted else 0)
     exact_members = (embedding_near_dup_pairs(spark, sf_dir)
                      .select(F.col("b").alias("vec_id")).distinct())
     n_outside = dropped.join(exact_members, "vec_id", "left_anti").count()
-    planted_recall = round(planted_dropped / 10.0, 4)
-    if planted_dropped < 10 or n_outside > 0:
+    planted_recall = round(planted_dropped / n_planted, 4) if n_planted else 1.0
+    if planted_dropped < n_planted or n_outside > 0:
         raise AssertionError(
             f"semantic dedup certification broken: planted recall "
             f"{planted_recall} (need 1.0), {n_outside} drops outside the "

@@ -1935,9 +1935,15 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE exchange on user_id for the first-view/first-purchase
     window (the ``funnel_counts`` stacked conditional-min shape), the
     censor time is a broadcast 1-row aggregate, and everything after the
-    per-user collapse is |users|-bounded; the curve windows run
-    single-partition over the bounded duration table (the
-    ``supplier_revenue_pareto`` precedent)."""
+    per-user collapse is |users|-bounded. The curve's two exact prefix
+    sums (at-risk counts over ALL distinct durations, cumulative hazard
+    over event durations) use the ``global_value_rank`` two-phase
+    composition — quantile buckets + literal-map offsets + WITHIN-bucket
+    windows — because distinct durations are integer microseconds and so
+    ≈ |users| on real data: a plain ``Window.orderBy`` here would be a
+    one-task global sort of a user-cardinality table (the r09 verdict
+    finding; the fixture's duration-set invariance under replication is
+    an artifact, not a bound)."""
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     w = Window.partitionBy("user_id")
     t0 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
@@ -1957,23 +1963,35 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("t_us"),
                    F.when(F.col("t_ev").isNull(), 0).otherwise(1)
                    .alias("is_event")))
-    g = (dur.groupBy("t_us")
-         .agg(F.count("*").cast("long").alias("n_all"),
-              F.sum("is_event").cast("long").alias("n_events")))
-    wall = Window.partitionBy()
-    wprev = (Window.orderBy("t_us")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    r = g.select(
-        "t_us", "n_events",
-        (F.sum("n_all").over(wall)
-         - F.coalesce(F.sum("n_all").over(wprev), F.lit(0)))
-        .cast("long").alias("n_risk"))
-    h = (r.where(F.col("n_events") > 0)
-         .select("t_us", "n_risk", "n_events",
-                 F.floor(F.col("n_events").cast("double") / F.col("n_risk")
-                         * 1000000.0 + 0.5).cast("long").alias("hz_micro")))
-    wcum = Window.orderBy("t_us").rowsBetween(Window.unboundedPreceding, 0)
-    cum = F.sum("hz_micro").over(wcum).cast("long")
+    from ..plans.registry import retain_for_consumer
+    from .scale import bucket_prefix_offsets, quantile_buckets
+    g = retain_for_consumer(
+        dur.groupBy("t_us")
+        .agg(F.count("*").cast("long").alias("n_all"),
+             F.sum("is_event").cast("long").alias("n_events")))
+    # exact exclusive prefix of n_all over t_us via the two-phase bucket
+    # composition (NO single-partition sort); the grand total is a 1-row
+    # broadcast instead of a global window
+    tot = g.agg(F.sum("n_all").cast("long").alias("n_tot"))
+    bucketed = quantile_buckets(g, "t_us")
+    off_all = bucket_prefix_offsets(bucketed, F.sum("n_all"))
+    wb = (Window.partitionBy("bucket").orderBy("t_us")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    below = off_all + F.sum("n_all").over(wb) - F.col("n_all")
+    r = (bucketed.crossJoin(F.broadcast(tot))
+         .select("t_us", "bucket", "n_events",
+                 (F.col("n_tot") - below).cast("long").alias("n_risk")))
+    h = retain_for_consumer(
+        r.where(F.col("n_events") > 0)
+        .select("t_us", "bucket", "n_risk", "n_events",
+                F.floor(F.col("n_events").cast("double") / F.col("n_risk")
+                        * 1000000.0 + 0.5).cast("long").alias("hz_micro")))
+    # cumulative hazard: same composition over the event-duration subset
+    # (g's bucket column survives the filter, so offsets recomputed on h
+    # plus the within-bucket running sum = the exact global running sum
+    # of INTEGER micro-hazards)
+    off_hz = bucket_prefix_offsets(h, F.sum("hz_micro"))
+    cum = (off_hz + F.sum("hz_micro").over(wb)).cast("long")
     return h.select("t_us", "n_risk", "n_events",
                     cum.alias("cum_hazard_micro"),
                     (cum / F.lit(1000000.0)).alias("cum_hazard"))
@@ -2141,7 +2159,7 @@ def ab_test_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.user_id, MIN(e.ts) AS t_ev
       FROM t0 f JOIN events e
         ON e.user_id = f.user_id AND e.event_type = 'purchase'
-       AND e.ts > f.t0
+       AND e.ts > f.t0 AND e.ts <= f.t0 + INTERVAL 24 HOUR
       GROUP BY 1
     ),
     dur AS (
@@ -2150,7 +2168,9 @@ def ab_test_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             1, 8)) AS BIGINT) % 2 = 0
                   THEN 1 ELSE 0 END AS in_a,
              CASE WHEN ev.t_ev IS NULL
-                  THEN epoch_us((SELECT t_end FROM obs)) - epoch_us(f.t0)
+                  THEN LEAST(86400000000,
+                             epoch_us((SELECT t_end FROM obs))
+                               - epoch_us(f.t0))
                   ELSE epoch_us(ev.t_ev) - epoch_us(f.t0) END AS t_us,
              CASE WHEN ev.t_ev IS NULL THEN 0 ELSE 1 END AS is_event
       FROM t0 f LEFT JOIN ev ON ev.user_id = f.user_id
@@ -2227,6 +2247,13 @@ def ab_test_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The SRM (sample-ratio-mismatch) chi-square on the 50/50 split rides
     along — the first thing to check before believing any A/B readout.
 
+    Follow-up design: conversion is 'first purchase within 24h of the
+    user's first view' (the ``ab_test_lift`` window), so non-converts are
+    administratively right-censored at min(24h, observation end - t0) —
+    real censoring exists at every SF (unwindowed, every fixture user
+    eventually purchases, making the survival test degenerate: the r09
+    verdict finding).
+
     Exactness design: O_A and both at-risk processes are integers by
     construction; the per-time E and V terms are quantized to INTEGER
     micro-units with the identical operand-ordered expression in both
@@ -2241,48 +2268,66 @@ def ab_test_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE exchange on user_id for the first-view/first-purchase
     window (the ``nelson_aalen_hazard`` shape, plus the md5 variant as a
     pure key function), the censor time and arm totals are broadcast
-    1-row aggregates, and the curve windows run single-partition over
-    the |distinct durations|-bounded table (the documented
-    ``supplier_revenue_pareto`` precedent); the final moment aggregate
-    is a single row."""
+    1-row aggregates, and the two exact at-risk prefix processes use the
+    ``global_value_rank`` two-phase composition (quantile buckets +
+    literal-map offsets + within-bucket windows, one shared offsets
+    collect via ``bucket_prefix_offsets_multi``) — distinct durations
+    are integer microseconds ≈ |users| on real data, so a plain
+    ``Window.orderBy`` would one-task-sort a user-cardinality table;
+    the final moment aggregate is a single row."""
     from ..functions.text import hash32
+    from ..plans.registry import retain_for_consumer
+    from .scale import bucket_prefix_offsets_multi, quantile_buckets
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     w = Window.partitionBy("user_id")
+    day = F.expr("INTERVAL 24 HOURS")
     t0 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     rows = ev.select("user_id", t0.alias("t0"), "event_type", "ts")
     t_ev = F.min(F.when((F.col("event_type") == "purchase")
-                        & (F.col("ts") > F.col("t0")), F.col("ts"))).over(w)
+                        & (F.col("ts") > F.col("t0"))
+                        & (F.col("ts") <= F.col("t0") + day),
+                        F.col("ts"))).over(w)
     per_user = (rows.where(F.col("t0").isNotNull())
                 .select("user_id", "t0", t_ev.alias("t_ev"))
                 .groupBy("user_id")
                 .agg(F.min("t0").alias("t0"), F.min("t_ev").alias("t_ev")))
     t_end = ev.agg(F.max("ts").alias("t_end"))
+    day_us = 86400000000
     dur = (per_user.crossJoin(F.broadcast(t_end))
            .select(F.when(hash32(F.col("user_id").cast("string")) % 2 == 0,
                           1).otherwise(0).alias("in_a"),
                    F.when(F.col("t_ev").isNull(),
-                          F.unix_micros("t_end") - F.unix_micros("t0"))
+                          F.least(F.lit(day_us),
+                                  F.unix_micros("t_end")
+                                  - F.unix_micros("t0")))
                    .otherwise(F.unix_micros("t_ev") - F.unix_micros("t0"))
                    .alias("t_us"),
                    F.when(F.col("t_ev").isNull(), 0).otherwise(1)
                    .alias("is_event")))
-    g = (dur.groupBy("t_us")
-         .agg(F.count("*").cast("long").alias("c_all"),
-              F.sum("in_a").cast("long").alias("c_a"),
-              F.sum("is_event").cast("long").alias("d"),
-              F.sum(F.col("is_event") * F.col("in_a")).cast("long")
-               .alias("d_a")))
-    wall = Window.partitionBy()
-    wprev = (Window.orderBy("t_us")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    r = g.select(
-        "t_us", "d", "d_a",
-        (F.sum("c_all").over(wall)
-         - F.coalesce(F.sum("c_all").over(wprev), F.lit(0)))
-        .cast("long").alias("n_risk"),
-        (F.sum("c_a").over(wall)
-         - F.coalesce(F.sum("c_a").over(wprev), F.lit(0)))
-        .cast("long").alias("n_risk_a"))
+    g = retain_for_consumer(
+        dur.groupBy("t_us")
+        .agg(F.count("*").cast("long").alias("c_all"),
+             F.sum("in_a").cast("long").alias("c_a"),
+             F.sum("is_event").cast("long").alias("d"),
+             F.sum(F.col("is_event") * F.col("in_a")).cast("long")
+              .alias("d_a")))
+    # both exact at-risk prefixes via ONE two-phase bucket composition
+    # (shared offsets collect); arm/population totals come from the same
+    # cached duration collapse as a 1-row broadcast
+    tot = g.agg(F.sum("c_all").cast("long").alias("n"),
+                F.sum("c_a").cast("long").alias("n_a_tot"))
+    bucketed = quantile_buckets(g, "t_us")
+    off = bucket_prefix_offsets_multi(
+        bucketed, all=F.sum("c_all"), a=F.sum("c_a"))
+    wb = (Window.partitionBy("bucket").orderBy("t_us")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    below_all = off["all"] + F.sum("c_all").over(wb) - F.col("c_all")
+    below_a = off["a"] + F.sum("c_a").over(wb) - F.col("c_a")
+    r = (bucketed.crossJoin(F.broadcast(tot))
+         .select("t_us", "d", "d_a",
+                 (F.col("n") - below_all).cast("long").alias("n_risk"),
+                 (F.col("n_a_tot") - below_a).cast("long")
+                 .alias("n_risk_a")))
     # per-time E and V, quantized to integer micro-units: expression order
     # mirrors the oracle SQL exactly (see docstring)
     e_term = ((F.col("d") * F.col("n_risk_a")).cast("double")
@@ -2300,8 +2345,6 @@ def ab_test_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .otherwise(F.floor(v_term * F.lit(1000000.0)
                                         + F.lit(0.5)).cast("long"))
                      .alias("v_micro")))
-    tot = dur.agg(F.count("*").cast("long").alias("n"),
-                  F.sum("in_a").cast("long").alias("n_a_tot"))
     m = (terms.agg(F.sum("d_a").cast("long").alias("o_a"),
                    F.sum("e_micro").cast("long").alias("e_a_micro"),
                    F.sum("v_micro").cast("long").alias("v_a_micro"))

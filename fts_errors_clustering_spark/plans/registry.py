@@ -185,10 +185,15 @@ def release_consumer_caches(scope: str | None = None) -> int:
             still_held = {}
             for lst in _CONSUMER_CACHES.values():
                 for f in lst:
-                    still_held.setdefault(_plan_key(f), f)
+                    # ALL frames per key, not one representative: two
+                    # distinct still-held plans colliding on the 32-bit
+                    # semanticHash must each get a sameResult shot, or the
+                    # non-representative one's storage would be freed while
+                    # its scope still holds it (r09 advisor finding)
+                    still_held.setdefault(_plan_key(f), []).append(f)
     for df in frames:
-        holder = still_held.get(_plan_key(df))
-        if holder is None or not _same_plan(df, holder):
+        holders = still_held.get(_plan_key(df), [])
+        if not any(_same_plan(df, h) for h in holders):
             unpersist_any(df)
     return len(frames)
 
@@ -245,21 +250,105 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 #: follows in registration order. tests/test_oracle_parity.py asserts every
 #: head name exists and sits inside the budget window.
 _HEAD = (
-    # ROUND-9 ROTATION (VERDICT r08 ask #1): first the NEW rank-sum A/B
-    # readout (first driver exposure), then the 5 rows whose driver
-    # evidence is r03 and 44 of the 45 r04-stale rows — after this round
-    # no oracle evidence is older than r05. The one r04 row that did not
-    # fit the ~50 budget (ann_ivfpq_topk, rows-only, its recall pinned
-    # in-row by ann_recall_audit) fronts the r10 tail below.
-    "ab_test_ranksum",
-    # r03-stale:
-    "weekly_growth_by_type", "activity_heatmap", "benford_deviation",
-    "minhash_signatures", "simhash_signatures",
-    # r04-stale (44 of 45):
-    "ann_ivf_topk", "ann_pq_topk", "cheapest_supplier_per_part",
-    "copurchase_kcore", "copurchase_triangle_count",
-    "curriculum_length_phases", "customer_order_distribution",
-    "dbscan_labels_lsh", "disjunctive_bracket_revenue", "doc_novelty_scores",
+    # ROUND-10 ROTATION (VERDICT r09 ask #2): first ab_test_logrank (its
+    # FIRST driver exposure — committed post-freeze in r09 with no
+    # CORRECTNESS row), then ann_ivfpq_topk (the one r04-stale row the r09
+    # budget could not fit; rows-only, recall pinned by ann_recall_audit),
+    # then the 48 rows whose driver evidence is r05 — exactly the 50-slot
+    # budget; after this round no oracle evidence predates r06.
+    "ab_test_logrank", "ann_ivfpq_topk", "bm25_search", "bpe_merge_table",
+    "bpe_tokens_per_lang", "bpe_vocab_tokens", "canonical_by_quality",
+    "contrastive_chunk_pairs", "dataset_fingerprint",
+    "dominant_part_suppliers", "dow_seasonality_index",
+    "embedding_norm_stats", "events_column_profile", "fd_violation_audit",
+    "flagship_top_error_users", "global_value_rank", "heavy_hitter_tokens",
+    "hourly_cusum_changepoint", "hybrid_search_rrf",
+    "incremental_agg_maintenance", "incremental_dedup_counts",
+    "nation_revenue_trend", "neardup_threshold_sweep",
+    "open_orders_backlog", "packed_sequences", "pareto_frontier_parts",
+    "part_affinity_lift", "part_copurchase_pagerank", "part_entity_matches",
+    "pii_audit_counts", "quality_retention_curve",
+    "rest_tail_category_counts", "revenue_autocorrelation",
+    "revenue_gini_by_nation", "rolling_7d_distinct_users",
+    "salted_group_members", "scd2_user_intervals", "shard_balance_audit",
+    "snapshot_publish_roundtrip", "source_overlap_matrix",
+    "split_neardup_leakage", "split_stratification_chi2",
+    "sql_api_revenue_by_priority", "stratified_hash_sample",
+    "token_weighted_quality_quantiles", "tokenizer_fertility_by_lang",
+    "twa_value_per_user", "user_interarrival_stats",
+    "value_decile_histogram", "value_mad_outliers",
+)
+
+#: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
+#: ~50-row budget), ordered stalest-evidence-first so the r11 head is a
+#: prefix slice of this list: the 47 r06 rows, then r07, r08, and the r09
+#: head (freshest driver evidence) last. Every name here already has a
+#: green driver row; the local parity sweep (tests/test_oracle_parity.py
+#: over all entries at sf0.001) remains their regression gate.
+_TAIL_AFTER_HEAD = (
+    "ann_recall_audit", "approx_distinct_and_quantiles",
+    "brand_revenue_by_nation", "cast_label_counts",
+    "cluster_stats_by_source", "cluster_stats_by_source_exact",
+    "crosstab_priority_status", "customers_without_orders",
+    "describe_event_type", "describe_event_value", "doc_token_stats",
+    "document_tokens", "event_type_counts", "events_asof_latest_order",
+    "group_members_by_lang", "histogram_quantile_rollup",
+    "interval_join_prior_events", "json_props_flatten", "k_anonymity_audit",
+    "kmeans_cluster_sizes", "kmeans_quality", "knn_knee_epsilon",
+    "knn_mean_distance", "late_shipment_orders", "length_stats_by_source",
+    "lsa_features", "lsa_features_rsvd", "mask_documents", "null_scan_fill",
+    "pricing_summary", "revenue_by_region", "rollup_event_counts",
+    "summary_all_numeric", "supplier_revenue_pareto", "term_frequency",
+    "term_idf", "tfidf_pipeline_features", "tfidf_top_terms",
+    "top_customers_per_region", "user_event_gaps", "user_funnel_conversion",
+    "user_type_group_size", "value_decile_summary",
+    "value_percentiles_by_type", "vocabulary_set_ops", "vocabulary_size",
+    "word2vec_doc_vectors", "ann_batch_topk", "ann_bruteforce_topk",
+    "count_filtered_events", "curated_corpus_stats", "dbscan_labels",
+    "dbscan_summary", "dedup_clusters", "dedup_exact", "distinct_documents",
+    "distribution_drift_psi", "doc_chunks", "doc_fingerprints",
+    "doc_quality_scores", "doc_repetition_stats",
+    "duplicate_ngram_coverage", "embedding_near_dup_pairs",
+    "external_metrics_pseudo", "funnel_counts", "funnel_step_timing",
+    "hash_split_counts", "json_sum_by_type", "knn_knee_sweep",
+    "lang_id_confusion", "last_touch_attribution", "latest_event_per_user",
+    "minhash_near_dups", "multimodal_metadata", "ngram_jaccard_pairs",
+    "pipeline_tfidf_kmeans", "pipeline_word2vec_dbscan",
+    "quality_filter_funnel", "quality_threshold_by_lang",
+    "session_windows_6h", "simhash_near_dups", "skew_join_segments",
+    "sliding_2h_windows", "streaming_cusum_tail", "streaming_funnel_tail",
+    "streaming_hq_rollup_tail", "streaming_interarrival_tail",
+    "token_budget_selection", "token_counts", "top_events_by_value",
+    "top_users_share", "topn_semijoin_events", "tumbling_hourly_by_type",
+    "unpivot_lineitem_measures", "value_histogram", "zipf_slope",
+    "ab_test_cuped", "ab_test_lift", "benchmark_contamination",
+    "bigram_logprob_scores", "boilerplate_prefix_groups",
+    "chi2_priority_status", "cohort_ltv_triangle",
+    "cube_priority_status_revenue", "daily_cumulative_events",
+    "data_quality_report", "debounced_event_counts", "decayed_user_scores",
+    "event_transition_matrix", "event_trigram_journeys",
+    "forward_fill_values", "fulfillment_lag_stats", "hourly_anomaly_scores",
+    "hourly_resampled_counts", "hourly_session_concurrency",
+    "idle_rich_customers", "importance_weights_dsir",
+    "internal_cluster_metrics", "label_centroid_cosine",
+    "lang_token_divergence", "lsa_svd_features", "mixture_weights",
+    "modal_bucket_by_type", "multimodal_audio_features",
+    "nation_revenue_share", "nation_revenue_theilsen",
+    "nelson_aalen_hazard", "pmi_top_collocations",
+    "quality_signal_correlation", "rolling_7d_user_value", "sample_events",
+    "shipping_priority_topk", "silhouette_by_label",
+    "small_quantity_revenue", "sole_late_suppliers",
+    "streaming_debounce_gate", "streaming_interval_join",
+    "streaming_neardup_gate", "streaming_stateful_dedup",
+    "streaming_tumbling_hourly", "streaming_upsert_compaction",
+    "user_event_entropy", "user_profile_similarity_topk",
+    "weekly_cohort_retention", "weighted_doc_sample",
+    "winsorized_value_stats", "ab_test_ranksum", "activity_heatmap",
+    "ann_ivf_topk", "ann_pq_topk", "benford_deviation",
+    "cheapest_supplier_per_part", "copurchase_kcore",
+    "copurchase_triangle_count", "curriculum_length_phases",
+    "customer_order_distribution", "dbscan_labels_lsh",
+    "disjunctive_bracket_revenue", "doc_novelty_scores",
     "domain_capped_docs", "embedding_quantization_error",
     "events_asof_next_order", "forecast_revenue_delta",
     "hll_rollup_daily_users", "important_part_value",
@@ -267,99 +356,15 @@ _HEAD = (
     "large_volume_customers", "late_exists_priority_counts",
     "leakage_safe_splits", "linestatus_priority_counts",
     "local_supplier_revenue", "lsh_neighbor_counts", "market_share_by_year",
-    "mixture_sampled_counts", "multimodal_features", "multimodal_framesample",
-    "nation_profit_by_year", "nation_trade_volume", "packing_efficiency",
-    "part_supplier_diversity", "promo_revenue_share", "props_variant_stats",
+    "minhash_signatures", "mixture_sampled_counts", "multimodal_features",
+    "multimodal_framesample", "nation_profit_by_year",
+    "nation_trade_volume", "packing_efficiency", "part_supplier_diversity",
+    "promo_revenue_share", "props_variant_stats",
     "quality_percentile_by_lang", "returned_item_losses",
-    "rfm_customer_segments", "semantic_dedup_ivf", "snapshot_diff_counts",
-    "split_leakage_counts", "stratified_doc_sample", "time_rollup_revenue",
-    "top_supplier_by_revenue", "treebank_tokens",
-)
-
-#: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
-#: ~50-row budget): every name here already has a green driver row
-#: (r01-r04); the local parity sweep (tests/test_oracle_parity.py over all
-#: entries at sf0.001) remains their regression gate.
-_TAIL_AFTER_HEAD = (
-    # first in line for the r10 rotation: the one r04-stale row the r09
-    # head budget could not fit
-    "ann_ivfpq_topk",
-    # then everything else in prior rotation order (r05-r07 evidence,
-    # parity-gated per commit), with the round-8 head (freshest driver
-    # evidence) at the end
-    "streaming_hq_rollup_tail", "funnel_step_timing",
-    "last_touch_attribution", "streaming_funnel_tail", "streaming_cusum_tail",
-    "streaming_interarrival_tail", "pipeline_tfidf_kmeans",
-    "pipeline_word2vec_dbscan", "knn_knee_sweep", "dbscan_labels",
-    "dbscan_summary", "minhash_near_dups", "simhash_near_dups", "dedup_exact",
-    "dedup_clusters", "count_filtered_events", "distinct_documents",
-    "top_users_share", "json_sum_by_type", "external_metrics_pseudo",
-    "top_events_by_value", "topn_semijoin_events", "funnel_counts",
-    "session_windows_6h", "sliding_2h_windows", "tumbling_hourly_by_type",
-    "latest_event_per_user", "value_histogram", "unpivot_lineitem_measures",
-    "skew_join_segments", "token_counts", "zipf_slope", "doc_chunks",
-    "doc_fingerprints", "doc_quality_scores", "doc_repetition_stats",
-    "duplicate_ngram_coverage", "quality_filter_funnel",
-    "quality_threshold_by_lang", "lang_id_confusion", "curated_corpus_stats",
-    "token_budget_selection", "distribution_drift_psi", "hash_split_counts",
-    "multimodal_metadata", "ngram_jaccard_pairs", "embedding_near_dup_pairs",
-    "ann_batch_topk", "ann_bruteforce_topk", "cluster_stats_by_source_exact",
-    "ann_recall_audit", "lsa_features_rsvd", "supplier_revenue_pareto",
-    "user_funnel_conversion", "k_anonymity_audit",
-    "histogram_quantile_rollup", "pricing_summary", "describe_event_value",
-    "describe_event_type", "summary_all_numeric", "value_percentiles_by_type",
-    "value_decile_summary", "crosstab_priority_status", "rollup_event_counts",
-    "event_type_counts", "user_type_group_size", "cast_label_counts",
-    "null_scan_fill", "json_props_flatten", "approx_distinct_and_quantiles",
-    "top_customers_per_region", "revenue_by_region",
-    "brand_revenue_by_nation", "late_shipment_orders",
-    "customers_without_orders", "events_asof_latest_order",
-    "interval_join_prior_events", "user_event_gaps", "mask_documents",
-    "document_tokens", "doc_token_stats", "length_stats_by_source",
-    "group_members_by_lang", "cluster_stats_by_source", "vocabulary_size",
-    "vocabulary_set_ops", "term_frequency", "term_idf", "tfidf_top_terms",
-    "tfidf_pipeline_features", "lsa_features", "kmeans_cluster_sizes",
-    "kmeans_quality", "word2vec_doc_vectors", "knn_mean_distance",
-    "knn_knee_epsilon", "split_neardup_leakage", "neardup_threshold_sweep",
-    "pii_audit_counts", "tokenizer_fertility_by_lang", "shard_balance_audit",
-    "source_overlap_matrix", "embedding_norm_stats", "events_column_profile",
-    "scd2_user_intervals", "split_stratification_chi2", "open_orders_backlog",
-    "part_affinity_lift", "snapshot_publish_roundtrip",
-    "rest_tail_category_counts", "part_entity_matches", "value_mad_outliers",
-    "stratified_hash_sample", "user_interarrival_stats",
-    "hourly_cusum_changepoint", "incremental_agg_maintenance",
-    "value_decile_histogram", "fd_violation_audit", "revenue_gini_by_nation",
-    "nation_revenue_trend", "pareto_frontier_parts",
-    "rolling_7d_distinct_users", "quality_retention_curve",
-    "revenue_autocorrelation", "twa_value_per_user",
-    "token_weighted_quality_quantiles", "dow_seasonality_index",
-    "flagship_top_error_users", "salted_group_members", "packed_sequences",
-    "bpe_merge_table", "bpe_vocab_tokens", "bpe_tokens_per_lang",
-    "heavy_hitter_tokens", "part_copurchase_pagerank", "dataset_fingerprint",
-    "contrastive_chunk_pairs", "sql_api_revenue_by_priority", "bm25_search",
-    "hybrid_search_rrf", "incremental_dedup_counts", "canonical_by_quality",
-    "dominant_part_suppliers", "global_value_rank", "nation_revenue_theilsen",
-    "cohort_ltv_triangle", "ab_test_lift", "streaming_neardup_gate",
-    "streaming_debounce_gate", "multimodal_audio_features",
-    "streaming_tumbling_hourly", "streaming_stateful_dedup",
-    "streaming_interval_join", "streaming_upsert_compaction", "sample_events",
-    "benchmark_contamination", "bigram_logprob_scores",
-    "importance_weights_dsir", "internal_cluster_metrics",
-    "label_centroid_cosine", "lsa_svd_features", "mixture_weights",
-    "silhouette_by_label", "sole_late_suppliers", "idle_rich_customers",
-    "cube_priority_status_revenue", "forward_fill_values",
-    "modal_bucket_by_type", "winsorized_value_stats", "chi2_priority_status",
-    "shipping_priority_topk", "nation_revenue_share",
-    "small_quantity_revenue", "user_profile_similarity_topk",
-    "fulfillment_lag_stats", "data_quality_report", "pmi_top_collocations",
-    "lang_token_divergence", "boilerplate_prefix_groups",
-    "weighted_doc_sample", "quality_signal_correlation",
-    "rolling_7d_user_value", "debounced_event_counts",
-    "event_trigram_journeys", "hourly_resampled_counts",
-    "daily_cumulative_events", "hourly_anomaly_scores",
-    "weekly_cohort_retention", "event_transition_matrix",
-    "decayed_user_scores", "user_event_entropy", "hourly_session_concurrency",
-    "ab_test_cuped", "nelson_aalen_hazard",
+    "rfm_customer_segments", "semantic_dedup_ivf", "simhash_signatures",
+    "snapshot_diff_counts", "split_leakage_counts", "stratified_doc_sample",
+    "time_rollup_revenue", "top_supplier_by_revenue", "treebank_tokens",
+    "weekly_growth_by_type",
 )
 
 

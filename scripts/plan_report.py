@@ -63,8 +63,20 @@ SHOW = [
      "final aggregate; variants derive from the key itself"),
     ("nelson_aalen_hazard",
      "survival curve: one user-keyed window exchange + broadcast 1-row "
-     "censor time; everything past the per-user collapse is bounded by "
-     "|users|, so the single-partition curve windows are O(users)"),
+     "censor time; the at-risk prefix AND the integer micro-hazard "
+     "cumulative sum run the two-phase bucket composition (within-bucket "
+     "windows + literal-map offsets) — NO single-partition window over "
+     "the user-cardinality duration table (r10 rework)"),
+    ("ab_test_ranksum",
+     "Mann-Whitney: one user-keyed decimal-sum exchange, distinct-value "
+     "collapse, WITHIN-bucket prefix-rank window (global_value_rank "
+     "composition, no single-partition rank scan), 1-row moment "
+     "aggregate from four integers"),
+    ("ab_test_logrank",
+     "log-rank: the hazard's user window + 24h-bounded conversion, both "
+     "at-risk prefix processes from ONE shared bucket-offsets collect "
+     "(bucket_prefix_offsets_multi), censor/arm totals broadcast 1-row "
+     "aggregates, 1-row O/E/V final — no single-partition duration sort"),
 ]
 
 

@@ -138,6 +138,15 @@ QUERIES = [
     "funnel_step_timing",          # events: shared min-time recurrence +
                                    # per-step percentiles over converters
     "last_touch_attribution",      # events: one user-keyed window + tiny agg
+    # round-10 additions: the experiment/survival family. Staging jitters
+    # PURCHASE timestamps per (replica, user), so the distinct-duration
+    # set genuinely scales with users — the r08 smoke's duration-set
+    # invariance was a same-delta replication artifact (r09 verdict) that
+    # hid the old single-partition curve windows' true cost shape.
+    "ab_test_lift",                # events: one user window + 1-row agg
+    "ab_test_ranksum",             # events: bucketed two-phase prefix ranks
+    "nelson_aalen_hazard",         # events: two-phase at-risk + cum hazard
+    "ab_test_logrank",             # events: shared-offsets two-phase curves
 ]
 
 
@@ -165,11 +174,23 @@ def stage(spark) -> None:
     reps = F.explode(F.array(*[F.lit(k) for k in range(REPLICAS)])).alias("k")
 
     ev = table(spark, SRC, "events").withColumn("k", reps)
+    # purchase timestamps get a deterministic per-(replica, user)
+    # microsecond jitter: replicas shifted by the SAME delta keep the
+    # duration set invariant (the r08 artifact the r09 verdict flagged),
+    # which let a single-partition duration window look flat at 10x.
+    # Jittering only purchases makes |distinct t_ev - t0| scale with
+    # users while leaving first-view anchors and windowed/session smokes
+    # essentially untouched (sub-millisecond shifts).
+    jit = (F.when(F.col("event_type") == "purchase",
+                  F.col("k") * 1009 + F.pmod(F.col("user_id"), F.lit(997)))
+           .otherwise(0).cast("long"))
     (ev.select(
         (F.col("event_id") + F.col("k") * 10_000_000).alias("event_id"),
         (F.col("user_id") + F.col("k") * 1_000_000).alias("user_id"),
         "event_type",
-        (F.col("ts") + F.make_interval(days=F.col("k"))).alias("ts"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts") + F.make_interval(days=F.col("k")))
+            + jit).alias("ts"),
         "value", "props")
      .write.mode("overwrite").parquet(os.path.join(OUT, "events.parquet")))
 

@@ -152,6 +152,24 @@ def test_kmeans_n_init_cost_convergence(spark):
         assert math.isclose(costs[n], min(seed_costs[:n]), rel_tol=1e-9)
 
 
+def test_kmeans_cluster_sizes_certified(spark):
+    """The in-row certification (r09 verdict ask #7): every row carries the
+    fit's cost ratio vs the k=1 total SS, the ratio respects the floor the
+    operator enforces, all k clusters are nonempty, and the sizes sum to
+    the corpus count — so the driver's rows-only hash is a clustering
+    regression gate."""
+    from fts_errors_clustering_spark.operators.clustering import (
+        KMEANS_COST_FLOOR, kmeans_cluster_sizes)
+    rows = kmeans_cluster_sizes(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    assert all(r.n > 0 and r.meets_floor for r in rows)
+    ratios = {r.cost_ratio for r in rows}
+    assert len(ratios) == 1
+    assert 0.0 < ratios.pop() <= KMEANS_COST_FLOOR
+    n = table(spark, SF_SMALL, "embeddings").count()
+    assert sum(r.n for r in rows) == n
+
+
 def test_external_metrics_golden_values(spark):
     """M13 golden: the contingency-table metric algebra must reproduce the
     sklearn-definition values on hand-computed assignments (the reference

@@ -153,6 +153,18 @@ def test_lsh_dbscan_agrees_with_exact(spark):
     assert agree / len(exact) >= 0.95
 
 
+def test_lsh_dbscan_certify_opt_out(spark):
+    """certify=False must skip the exact-twin pass (the production-scale
+    mode: at 100 TB the exact run is what the LSH tier exists to avoid)
+    and say so via NULL certification columns — same schema, no faked
+    floor check."""
+    from fts_errors_clustering_spark.operators.dbscan import dbscan_labels_lsh
+    rows = dbscan_labels_lsh(spark, SF_SMALL, certify=False).collect()
+    assert rows
+    assert all(r.agreement_vs_exact is None and r.meets_floor is None
+               for r in rows)
+
+
 def test_all_tiers_agree(spark):
     """The driver-kernel tier (default at fixture scale), the Arrow-pairs +
     numpy small-graph tier, and the fully distributed pointer-halving tier

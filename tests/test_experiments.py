@@ -97,12 +97,14 @@ def test_logrank_matches_pandas_reference(spark, duck):
         ev AS (
           SELECT f.user_id, MIN(e.ts) AS t_ev
           FROM t0 f JOIN events e ON e.user_id = f.user_id
-           AND e.event_type = 'purchase' AND e.ts > f.t0 GROUP BY 1
+           AND e.event_type = 'purchase' AND e.ts > f.t0
+           AND e.ts <= f.t0 + INTERVAL 24 HOUR GROUP BY 1
         )
         SELECT f.user_id,
                CASE WHEN ev.t_ev IS NULL
-                    THEN epoch_us((SELECT MAX(ts) FROM events))
-                         - epoch_us(f.t0)
+                    THEN LEAST(86400000000,
+                               epoch_us((SELECT MAX(ts) FROM events))
+                                 - epoch_us(f.t0))
                     ELSE epoch_us(ev.t_ev) - epoch_us(f.t0) END AS t_us,
                CASE WHEN ev.t_ev IS NULL THEN 0 ELSE 1 END AS is_event
         FROM t0 f LEFT JOIN ev ON ev.user_id = f.user_id

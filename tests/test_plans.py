@@ -218,6 +218,25 @@ def test_knee_curve_no_single_partition_window(spark):
     assert "Window" in plan  # the within-bucket scans are still windows
 
 
+def test_survival_curves_no_single_partition_window(spark):
+    """The survival family's at-risk/cumulative prefix processes must use
+    the two-phase bucket composition, never an unpartitioned
+    Window.orderBy over the distinct-duration table — durations are
+    integer microseconds, so |distinct durations| ≈ |users| on real data
+    and a global window is a one-task sort (the r09 verdict finding).
+    SinglePartition under the 1-row scalar aggregates (censor time, arm
+    totals) is legitimate; a Window fed by an Exchange SinglePartition is
+    banned (the knee-curve regex precedent)."""
+    import re
+    for name in ("nelson_aalen_hazard", "ab_test_logrank"):
+        plan = _plan(_DEFS[name].fn(spark, SF_SMALL))
+        bad = re.findall(
+            r"Window[^\n]*\n(?:[^\n]*(?:Sort|Project|Filter)[^\n]*\n){0,3}"
+            r"[^\n]*Exchange SinglePartition", plan)
+        assert not bad, f"{name}: window over SinglePartition\n{plan}"
+        assert "bucket" in plan, name
+
+
 def test_kernel_broadcast_cache_bounded(spark):
     """The pairwise kernel's matrix cache must stay LRU-bounded and reuse
     the SAME broadcast handle for a semantically identical side table — a
@@ -434,7 +453,6 @@ _EXCHANGE_BUDGET = {
     # hazard curve = the same user window + censor-time scalar agg +
     # bounded single-partition curve windows over <= |users| rows
     "ab_test_lift": 4,
-    "nelson_aalen_hazard": 10,
     # CUPED: user-keyed decimal-sum exchange + midpoint scalar agg +
     # 1-row moment aggregate
     "ab_test_cuped": 8,
@@ -443,9 +461,17 @@ _EXCHANGE_BUDGET = {
     # scan) + 1-row moment aggregate (4 physical shuffles; 12 prints with
     # the cached distinct-value frame's AQE/initial-plan sections)
     "ab_test_ranksum": 12,
-    # log-rank = the nelson_aalen user window + duration collapse +
-    # bounded curve windows + censor/arm-total scalar aggs + 1-row final
-    "ab_test_logrank": 14,
+    # round 10: both survival curves now run the two-phase bucket
+    # composition over TWO cached frames (duration collapse g, and for the
+    # hazard the event-terms frame h) — the cold formatted plan reprints
+    # each InMemoryRelation's full build subtree (user window + collapse)
+    # at every reference, so the print-count ceiling is high while the
+    # EXECUTED shuffles are: one user-keyed window exchange + one t_us
+    # collapse + one bucket-window exchange (+ h's for the hazard) + tiny
+    # scalar aggs (the source_overlap_matrix cold-print precedent;
+    # measured 52/44 cold at sf0.001)
+    "nelson_aalen_hazard": 52,
+    "ab_test_logrank": 44,
 }
 
 

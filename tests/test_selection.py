@@ -89,9 +89,11 @@ def test_semantic_dedup_invariants(spark):
     """Planted exact duplicates are all dropped; every dropped vector has
     a genuine near-dup partner (drop set is a subset of the exact
     cosine>=threshold pair members)."""
-    cells, dropped = selection._semantic_cells_and_dropped(spark, SF_SMALL)
+    cells, dropped, offset, n_planted = \
+        selection._semantic_cells_and_dropped(spark, SF_SMALL)
     dropped_ids = {r.vec_id for r in dropped.collect()}
-    planted = {100000 + i for i in range(10)}
+    assert (offset, n_planted) == (100000, 10)  # this fixture's geometry
+    planted = {offset + i for i in range(n_planted)}
     assert planted <= dropped_ids
     exact = _DEFS["embedding_near_dup_pairs"].fn(spark, SF_SMALL).collect()
     exact_members = {r.b for r in exact}
