@@ -52,13 +52,41 @@ def materialize_release(df: DataFrame, caches: list[DataFrame]) -> DataFrame:
     """Collect a BOUNDED result while its supporting caches are hot, then
     unpersist them and rehydrate the rows as a local-relation DataFrame
     with the identical schema. Only for results bounded by construction
-    (LIMIT k / 1-row audits) — never node- or edge-sized tables."""
+    (LIMIT k / 1-row audits) — never node- or edge-sized tables.
+    Release goes through ``registry.unpersist_any`` so checkpoint-backed
+    frames (LogicalRDD pins OUTSIDE the CacheManager) are freed too —
+    plain ``unpersist()`` is a no-op on a localCheckpoint."""
+    from ..plans.registry import unpersist_any
     try:
         rows = df.collect()
     finally:
         for c in caches:
-            c.unpersist()
+            unpersist_any(c)
     return df.sparkSession.createDataFrame(rows, df.schema)
+
+
+def copurchase_edges(li: DataFrame) -> DataFrame:
+    """Undirected distinct co-purchase edge list ``(a, b)`` with ``a < b``
+    over ``lineitem (l_orderkey, l_partkey)`` — the shared input of the
+    whole graph family, built WITHOUT the orderkey self-join (guide §2.4):
+    one groupBy(l_orderkey) collects each order's distinct part set as a
+    SORTED array (collect_set dedupes in the same exchange, so no separate
+    pre-distinct pass), in-row array algebra expands the <= C(7,2) = 21
+    ordered pairs per basket, and one distinct collapses cross-order
+    repeats. Two exchanges total (orderkey groupBy + pair distinct) vs the
+    self-join form's three-to-four, and the join operator itself — whose
+    per-order quadratic fanout the old post-join distinct had to collapse
+    — disappears. Basket width is data-bounded (TPC-H orders hold <= 7
+    parts), so the expansion is never a hot-key explosion; a corpus with
+    unbounded baskets would cap or salt the array here."""
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pairs = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS a, y AS b))))")
+    return (baskets.select(F.explode(pairs).alias("kv"))
+            .select("kv.a", "kv.b").distinct())
 
 DAMPING = 0.85
 N_ITER = 5
@@ -156,14 +184,22 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the co-purchase graph. The oracle unrolls the identical five update
     steps as SQL CTEs — a full value-hash check on an iterative graph op."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = li.select(F.col("l_orderkey").alias("o2"),
-                   F.col("l_partkey").alias("v"))
-    copairs = (li.join(l2, (li.l_orderkey == l2.o2) &
-                       (li.l_partkey != l2.v))
-               .select(F.col("l_orderkey"), F.col("l_partkey").alias("u"), "v")
-               .distinct())
-    edges = (copairs.groupBy("u", "v")
-             .agg(F.count("*").cast("double").alias("w")))
+    # per-(a<b) pair co-order counts from basket arrays (copurchase_edges
+    # shape, keeping the per-order multiplicity), then MIRRORED: the
+    # co-containment weight is symmetric by definition, so counting each
+    # unordered pair once and unioning the swap halves the pair stream the
+    # aggregate shuffles vs the old u <> v self-join (guide §2.3/§2.4)
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS a, y AS b))))")
+    half = (baskets.select(F.explode(pair_expr).alias("kv"))
+            .groupBy(F.col("kv.a").alias("u"), F.col("kv.b").alias("v"))
+            .agg(F.count("*").cast("double").alias("w")))
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
     caches: list[DataFrame] = []
     ranks = _pagerank(edges, DAMPING, N_ITER, caches=caches)
     out = (ranks.select(F.col("id").alias("part"),
@@ -227,19 +263,9 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle check is exact. The oracle replays the identical
     orientation in SQL.
     """
-    # dedupe (order, part) BEFORE the self-join: an order can hold the same
-    # part on several lines (different suppliers), and every duplicate
-    # multiplies the join output that the post-join distinct then has to
-    # collapse — the pre-aggregate is map-side combinable and strictly
-    # shrinks both join inputs
-    li = (table(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    l2 = li.select(F.col("l_orderkey").alias("o2"),
-                   F.col("l_partkey").alias("b"))
-    und = (li.join(l2, (li.l_orderkey == l2.o2) &
-                   (li.l_partkey < l2.b))
-           .select(F.col("l_partkey").alias("a"), "b")
-           .distinct().cache())  # reused by deg / orient / edge count
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # basket-array pair expansion (copurchase_edges): no orderkey self-join
+    und = copurchase_edges(li).cache()  # reused by deg / orient / edge count
     caches: list[DataFrame] = [und]
     out = triangle_stats(und, caches=caches)
     return materialize_release(out, caches)
@@ -356,37 +382,42 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     default-1g-driver session at task-serialization time. k is a 1-row
     driver materialization (the ``knee_epsilon_value`` discipline), so no
     per-round scalar subplan either."""
-    # pre-distinct (order, part) as the oracle does: shrinks both self-join
-    # inputs and the quadratic fanout the post-join distinct collapses
-    li = (table(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    l2 = li.select(F.col("l_orderkey").alias("o2"),
-                   F.col("l_partkey").alias("b"))
-    # cache: the distinct-ed self-join is the expensive input (per-order
-    # quadratic fanout before distinct) and round 1 + the k scalar would
-    # otherwise recompute it once per consuming branch
-    und = (li.join(l2, (li.l_orderkey == l2.o2) &
-                   (li.l_partkey < l2.b))
-           .select(F.col("l_partkey").alias("a"), "b")
-           .distinct().cache())
+    from ..plans.registry import unpersist_any
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # basket-array pair expansion (copurchase_edges): no orderkey self-join.
+    # cache: the k scalar, the initial-degree table, and round 1 read it
+    und = copurchase_edges(li).cache()
 
     def degrees(e: DataFrame) -> DataFrame:
         return (e.select(F.col("a").alias("x"))
                 .unionAll(e.select(F.col("b").alias("x")))
                 .groupBy("x").agg(F.count("*").alias("d")))
 
-    k = degrees(und).agg(F.ceil(F.lit(KCORE_FRAC) * F.avg("d"))
-                         .cast("long").alias("k")).collect()[0]["k"]
+    # the initial degree table feeds BOTH the k scalar and round 1's keep
+    # set — cache it so the union+groupBy over the full edge list runs
+    # once, not once per consumer (the k collect used to be an extra pass)
+    d0 = degrees(und).cache()
+    k = d0.agg(F.ceil(F.lit(KCORE_FRAC) * F.avg("d"))
+               .cast("long").alias("k")).collect()[0]["k"]
     klit = F.lit(k).cast("long")
-    edges, live = und, und  # `live` = the one cache currently pinned
-    for _ in range(KCORE_ROUNDS):
-        keep = degrees(edges).where(F.col("d") >= klit).select("x")
+    edges, live = und, und  # `live` = the one round pin currently held
+    for rnd in range(KCORE_ROUNDS):
+        keep = ((d0 if rnd == 0 else degrees(edges))
+                .where(F.col("d") >= klit).select("x"))
+        # localCheckpoint, NOT cache: a cached round keeps the whole
+        # 3-references-per-round lineage inside every downstream logical
+        # plan, so Catalyst analysis cost grows ~3^round — measured at
+        # sf0.1 as rounds of 1.4 / 5.9 / 3.2 s and 5.0 s for the trivial
+        # final top-25 (pure planning). The checkpoint flattens each round
+        # to a LogicalRDD leaf; eager=True materializes it, so no separate
+        # count() action either.
         nxt = (edges
                .join(keep.withColumnRenamed("x", "a"), "a", "left_semi")
                .join(keep.withColumnRenamed("x", "b"), "b", "left_semi")
-               .select("a", "b")).cache()
-        nxt.count()  # materialize while the previous round's cache is hot
-        live.unpersist()
+               .select("a", "b")).localCheckpoint(eager=True)
+        unpersist_any(live)
+        if rnd == 0:
+            d0.unpersist()
         edges = live = nxt
     out = (degrees(edges)
            .where(F.col("d") >= klit)
@@ -457,14 +488,23 @@ def _affinity_lift_plan(spark: SparkSession,
     """Lazy plan for ``part_affinity_lift`` plus its caches (split out so
     plan tests can assert hint discipline on the un-materialized tree)."""
     li = table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct().cache()
-    n = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    b = baskets.select(F.col("l_orderkey").alias("o2"),
-                       F.col("l_partkey").alias("v"))
-    pair = (baskets.join(b, (baskets.l_orderkey == b.o2)
-                         & (baskets.l_partkey < b.v))
-            .groupBy(F.col("l_partkey").alias("u"), "v")
+    # one orderkey groupBy builds the distinct basket ARRAYS (collect_set
+    # dedupes in the same exchange — subsumes the old pre-distinct pass);
+    # the order total, per-part supports, and per-pair supports all derive
+    # from this one cached frame, so the basket self-join — the plan's only
+    # order-keyed join — disappears (guide §2.4; copurchase_edges shape)
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+               .cache())
+    n = baskets.agg(F.count("*").alias("n_orders"))
+    item = (baskets.select(F.explode("ps").alias("l_partkey"))
+            .groupBy("l_partkey").agg(F.count("*").alias("c")))
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS u, y AS v))))")
+    pair = (baskets.select(F.explode(pair_expr).alias("kv"))
+            .groupBy(F.col("kv.u").alias("u"), F.col("kv.v").alias("v"))
             .agg(F.count("*").alias("c"))
             .where(F.col("c") >= MIN_PAIR_SUPPORT))
     ia = item.select(F.col("l_partkey").alias("u"), F.col("c").alias("ca"))

@@ -114,7 +114,7 @@ def _indexed_curve(knn: DataFrame,
     the ``bucket`` column so downstream prefix scans can reuse it. The
     internal kNN cache is appended to ``caches`` so the caller can release
     it once its bounded output materializes (graph.materialize_release)."""
-    from .scale import bucket_prefix_offsets, quantile_buckets
+    from .scale import bucket_prefix_offsets_multi, quantile_buckets
     # cache BEFORE the quantile pass: approxQuantile is an action, and the
     # upstream kNN kernel must not run once for the split points and again
     # for the offsets/window
@@ -122,15 +122,27 @@ def _indexed_curve(knn: DataFrame,
     if caches is not None:
         caches.append(knn)
     bucketed = quantile_buckets(knn, "mean_dist")
-    off = bucket_prefix_offsets(bucketed, F.count("*"))
+    # ONE <=n_buckets-row collect yields the rank offsets AND the curve
+    # scalars (n = sum of bucket counts, ymin/ymax = min/max of bucket
+    # extrema — the identical doubles): the separate 1-row scalar
+    # aggregate branch + crossJoin this replaces re-scanned the cached
+    # curve once per consumer (guide §2.4 — same-keyed work shares one
+    # pass; measured as one fewer exchange + one fewer stage in every
+    # curve consumer)
+    offm = bucket_prefix_offsets_multi(
+        bucketed, cnt=F.count("*"),
+        mn=F.min("mean_dist"), mx=F.max("mean_dist"))
+    rows = offm["rows"]
+    n = sum(r["cnt"] for r in rows)
+    ymin = min((r["mn"] for r in rows), default=None)
+    ymax = max((r["mx"] for r in rows), default=None)
     wb = Window.partitionBy("bucket").orderBy("mean_dist", "vec_id")
-    scalars = bucketed.agg(F.count("*").alias("n"),
-                           F.min("mean_dist").alias("ymin"),
-                           F.max("mean_dist").alias("ymax"))
     return (bucketed
-            .withColumn("idx", (off + F.row_number().over(wb) - 1)
+            .withColumn("idx", (offm["cnt"] + F.row_number().over(wb) - 1)
                         .cast("long"))
-            .crossJoin(F.broadcast(scalars)))
+            .withColumn("n", F.lit(n).cast("long"))
+            .withColumn("ymin", F.lit(ymin).cast("double"))
+            .withColumn("ymax", F.lit(ymax).cast("double")))
 
 
 def knee_epsilon_value(knn: DataFrame, id_col: str = "vec_id") -> float:
@@ -308,15 +320,42 @@ def knn_knee_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
           (F.col("ymax") - F.col("ymin")))).alias("d")).cache()
     caches.append(diffs)
 
-    # lag/lead over the global idx order WITHOUT a single-partition window:
-    # idx is dense, so the neighbours are idx+-1 equi-self-joins (hash
-    # shuffle on idx, fully parallel)
+    # lag/lead over the global idx order WITHOUT a single-partition window
+    # and WITHOUT the former idx+-1 equi-self-joins (two hash shuffles of
+    # the whole curve): idx is dense and bucket-contiguous, so in-bucket
+    # neighbours come from a window on the bucketing the cached diffs
+    # already carry (no new exchange), and the one cross-bucket neighbour
+    # each bucket boundary needs — last/first d of the adjacent bucket —
+    # rides a <= n_buckets-row collect folded into literal maps (the
+    # bucket_prefix_offsets discipline; guide §2.4).
     neg = F.lit(-1e18)
-    prev = diffs.select((F.col("idx") + 1).alias("idx"),
-                        F.col("d").alias("d_prev"))
-    nxt = diffs.select((F.col("idx") - 1).alias("idx"),
-                       F.col("d").alias("d_next"))
-    marked = (diffs.join(prev, "idx", "left").join(nxt, "idx", "left")
+    bounds = sorted(
+        (r["bucket"], r["fd"], r["ld"]) for r in
+        diffs.groupBy("bucket").agg(
+            F.min_by("d", "idx").alias("fd"),
+            F.max_by("d", "idx").alias("ld")).collect())
+    prev_map, next_map = {}, {}
+    for i, (b, fd, ld) in enumerate(bounds):
+        if i > 0:
+            prev_map[b] = bounds[i - 1][2]  # predecessor bucket's last d
+        if i + 1 < len(bounds):
+            next_map[b] = bounds[i + 1][1]  # successor bucket's first d
+
+    def _lit_map(m):
+        if not m:
+            return F.lit(None).cast("double")
+        return F.element_at(
+            F.create_map(*[F.lit(x) for kv in m.items() for x in kv]),
+            F.col("bucket"))
+
+    wlag = Window.partitionBy("bucket").orderBy("idx")
+    marked = (diffs
+              .withColumn("d_prev",
+                          F.coalesce(F.lag("d").over(wlag),
+                                     _lit_map(prev_map)))
+              .withColumn("d_next",
+                          F.coalesce(F.lead("d").over(wlag),
+                                     _lit_map(next_map)))
               .withColumn(
                   "is_lmx",
                   ((F.col("d") > F.coalesce(F.col("d_prev"), neg)) &

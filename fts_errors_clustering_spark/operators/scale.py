@@ -246,7 +246,9 @@ def bucket_prefix_offsets_multi(bucketed: DataFrame, **aggs) -> dict:
     processes) — N offset maps for the price of one tiny job."""
     rows = bucketed.groupBy("bucket").agg(
         *[a.alias(k) for k, a in aggs.items()]).collect()
-    out = {}
+    out = {"rows": rows}  # raw per-bucket rows, for callers that fold
+    # additional whole-table scalars (sum/min/max of the bucket aggs) out
+    # of the same collect instead of running a second aggregate branch
     for k in aggs:
         totals = {r["bucket"]: r[k] for r in rows}
         offsets, acc = {}, 0
