@@ -182,6 +182,50 @@ _MINHASH_SQL = f"""
 """
 
 
+def _minhash_mins(df: DataFrame) -> DataFrame:
+    """WIDE MinHash signatures over 3-token shingles: one row per doc with
+    the {N_HASHES} double-hashed minima as COLUMNS ``m0..m{N_HASHES-1}``
+    (one md5 per shingle, one map-side-combinable groupBy — the shuffle
+    carries n_docs x {N_HASHES} integers, nothing proportional to corpus
+    size). The wide form is the working representation for the whole LSH
+    family: banding keys and signature-agreement estimates are in-row
+    column algebra over it, so no consumer ever re-aggregates or seed-
+    explodes the signature stream (guide §2.3/§2.4)."""
+    hashed = _shingles(df).select(
+        "doc_id", hash32("sh").alias("h1"), hash32_hi("sh").alias("h2"))
+    return hashed.groupBy("doc_id").agg(*[
+        F.min((F.col("h1") + s * F.col("h2")) % F.lit(4294967296))
+         .alias(f"m{s}")
+        for s in range(N_HASHES)])
+
+
+def _band_keys(mins: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) from the wide signature frame: per band the
+    md5 of the comma-joined minima — the identical string the oracle's
+    ``string_agg(... ORDER BY seed)`` builds — via in-row concat, no
+    (doc_id, band) re-aggregation shuffle."""
+    n_bands = N_HASHES // BAND_SIZE
+    structs = [
+        F.struct(F.lit(b).cast("long").alias("band"),
+                 F.md5(F.concat_ws(",", *[
+                     F.col(f"m{s}").cast("string")
+                     for s in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]))
+                 .alias("bucket"))
+        for b in range(n_bands)]
+    return (mins.select("doc_id", F.explode(F.array(*structs)).alias("kv"))
+            .select("doc_id", "kv.band", "kv.bucket"))
+
+
+def _sig_agreement(n_hashes: int = N_HASHES) -> "F.Column":
+    """Signature-agreement Jaccard estimate between two wide signatures
+    joined side by side as ``m{s}_a`` / ``m{s}_b``: the fraction of equal
+    minima — same integers, same single division as the seed-exploded
+    groupBy form it replaces."""
+    agree = sum((F.when(F.col(f"m{s}_a") == F.col(f"m{s}_b"), 1).otherwise(0)
+                 for s in range(n_hashes)), F.lit(0))
+    return agree / F.lit(float(n_hashes))
+
+
 @register(
     "minhash_signatures",
     oracle=f"""
@@ -191,19 +235,11 @@ _MINHASH_SQL = f"""
     tags=("dedup", "minhash"),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures over 3-token shingles: one (doc, seed) row with
-    the double-hashed minimum. One md5 per shingle, then the {N_HASHES}
-    per-seed minima as COLUMNS of a single groupBy (map-side combinable, no
-    seed-explode of the shingle stream) unpivoted at the end — the shuffle
-    carries n_docs x {N_HASHES} integers, nothing proportional to corpus
-    size."""
+    """MinHash signatures over 3-token shingles, one (doc, seed) row with
+    the double-hashed minimum: the wide ``_minhash_mins`` frame unpivoted
+    at the end."""
     aug = _augmented(spark, sf_dir)
-    hashed = _shingles(aug).select(
-        "doc_id", hash32("sh").alias("h1"), hash32_hi("sh").alias("h2"))
-    mins = hashed.groupBy("doc_id").agg(*[
-        F.min((F.col("h1") + s * F.col("h2")) % F.lit(4294967296))
-         .alias(f"m{s}")
-        for s in range(N_HASHES)])
+    mins = _minhash_mins(aug)
     sig = F.explode(F.array(*[
         F.struct(F.lit(s).cast("long").alias("seed"),
                  F.col(f"m{s}").alias("minhash"))
@@ -252,26 +288,25 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.5. Shingle->minhash->band->bucket-join, the canonical LLM-corpus
     dedup shape."""
     from ..plans.registry import retain_for_consumer
-    sigs = retain_for_consumer(minhash_signatures(spark, sf_dir))
-    bands = (sigs.withColumn("band", (F.col("seed") / BAND_SIZE).cast("long"))
-             .groupBy("doc_id", "band")
-             .agg(F.md5(F.concat_ws(",", F.transform(
-                 F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                 lambda s: s.getField("minhash").cast("string"))))
-                  .alias("bucket")))
+    # wide signatures: banding keys AND the per-pair agreement estimate
+    # are in-row column algebra over this one cached frame — no band
+    # re-aggregation shuffle, no 16x seed-explode join, no groupBy(a, b)
+    # (guide §2.3: the verify shuffle moves one candidate row, not 16)
+    mins = retain_for_consumer(_minhash_mins(_augmented(spark, sf_dir)))
+    bands = _band_keys(mins)
     b1 = bands.select(F.col("doc_id").alias("a"), "band", "bucket")
     b2 = bands.select(F.col("doc_id").alias("b"), "band", "bucket")
     cand = (b1.join(b2, ["band", "bucket"])
             .where(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
-    s1 = sigs.select(F.col("doc_id").alias("a"), "seed",
-                     F.col("minhash").alias("m1"))
-    s2 = sigs.select(F.col("doc_id").alias("b"), "seed",
-                     F.col("minhash").alias("m2"))
-    est = (cand.join(s1, "a").join(s2, ["b", "seed"])
-           .groupBy("a", "b")
-           .agg((F.sum(F.when(F.col("m1") == F.col("m2"), 1).otherwise(0))
-                 / F.lit(float(N_HASHES))).alias("est_jaccard")))
+    s1 = mins.select(F.col("doc_id").alias("a"),
+                     *[F.col(f"m{s}").alias(f"m{s}_a")
+                       for s in range(N_HASHES)])
+    s2 = mins.select(F.col("doc_id").alias("b"),
+                     *[F.col(f"m{s}").alias(f"m{s}_b")
+                       for s in range(N_HASHES)])
+    est = (cand.join(s1, "a").join(s2, "b")
+           .select("a", "b", _sig_agreement().alias("est_jaccard")))
     return est.where(F.col("est_jaccard") >= 0.5)
 
 

@@ -406,8 +406,7 @@ def incremental_neardup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     history band table is the persisted LSH index an ingest pipeline
     maintains incrementally; only the batch side is recomputed per run.
     """
-    from .dedup import BAND_SIZE, N_HASHES, _shingles
-    from ..functions.text import hash32, hash32_hi
+    from .dedup import N_HASHES, _band_keys, _minhash_mins, _sig_agreement
 
     docs = (table(spark, sf_dir, "documents").select("doc_id", "text")
             .where(F.length(F.trim("text")) > 0))
@@ -419,43 +418,24 @@ def incremental_neardup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     combo = docs.select("doc_id", "text", role.alias("role")).unionByName(planted)
     roles = combo.select("doc_id", "role").cache()
 
-    hashed = _shingles(combo).select(
-        "doc_id", hash32("sh").alias("h1"), hash32_hi("sh").alias("h2"))
-    mins = (hashed.groupBy("doc_id").agg(*[
-        F.min((F.col("h1") + s * F.col("h2")) % F.lit(4294967296))
-         .alias(f"m{s}") for s in range(N_HASHES)])
-        .cache())
-    n_bands = N_HASHES // BAND_SIZE
-    band_structs = [
-        F.struct(F.lit(b).cast("long").alias("band"),
-                 F.md5(F.concat_ws(",", *[
-                     F.col(f"m{s}").cast("string")
-                     for s in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]))
-                 .alias("bucket"))
-        for b in range(n_bands)]
-    bands = (mins.select("doc_id",
-                         F.explode(F.array(*band_structs)).alias("kv"))
-             .select("doc_id", "kv.band", "kv.bucket")
-             .join(roles, "doc_id"))
+    mins = _minhash_mins(combo).cache()
+    bands = _band_keys(mins).join(roles, "doc_id")
     bb = (bands.where(F.col("role") == "batch")
           .select(F.col("doc_id").alias("bid"), "band", "bucket"))
     hb = (bands.where(F.col("role") == "hist")
           .select(F.col("doc_id").alias("hid"), "band", "bucket"))
     cand = bb.join(hb, ["band", "bucket"]).select("bid", "hid").distinct()
 
-    sig = F.explode(F.array(*[
-        F.struct(F.lit(s).cast("long").alias("seed"),
-                 F.col(f"m{s}").alias("minhash")) for s in range(N_HASHES)]))
-    sigs = (mins.select("doc_id", sig.alias("kv"))
-            .select("doc_id", "kv.seed", "kv.minhash"))
-    s1 = sigs.select(F.col("doc_id").alias("bid"), "seed",
-                     F.col("minhash").alias("mh1"))
-    s2 = sigs.select(F.col("doc_id").alias("hid"), "seed",
-                     F.col("minhash").alias("mh2"))
-    est = (cand.join(s1, "bid").join(s2, ["hid", "seed"])
-           .groupBy("bid", "hid")
-           .agg((F.sum(F.when(F.col("mh1") == F.col("mh2"), 1).otherwise(0))
-                 / F.lit(float(N_HASHES))).alias("ej")))
+    # wide signature compare (dedup._sig_agreement): one row per candidate
+    # through the verify joins instead of 16 seed rows + a groupBy
+    s1 = mins.select(F.col("doc_id").alias("bid"),
+                     *[F.col(f"m{s}").alias(f"m{s}_a")
+                       for s in range(N_HASHES)])
+    s2 = mins.select(F.col("doc_id").alias("hid"),
+                     *[F.col(f"m{s}").alias(f"m{s}_b")
+                       for s in range(N_HASHES)])
+    est = (cand.join(s1, "bid").join(s2, "hid")
+           .select("bid", "hid", _sig_agreement().alias("ej")))
     flagged = est.where(F.col("ej") >= 0.5).select("bid").distinct()
 
     nb = roles.where(F.col("role") == "batch").agg(
