@@ -222,9 +222,18 @@ def quantile_buckets(df: DataFrame, col: str, n_buckets: int = 32) -> DataFrame:
     scale-killer."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(df.stat.approxQuantile(col, qs, 0.001)))
-    bucket = sum((F.when(F.col(col) > F.lit(b), 1).otherwise(0)
-                  for b in bounds), F.lit(0))
-    return df.withColumn("bucket", bucket)
+    return df.withColumn("bucket", bucket_expr(col, bounds))
+
+
+def bucket_expr(col: str, bounds: list) -> "F.Column":
+    """The order-preserving bucket assignment of :func:`quantile_buckets`
+    as a bare expression over pre-collected split points — for callers
+    that bucket SEVERAL columns from one multi-column ``approxQuantile``
+    driver round-trip (e.g. the three RFM rank axes) instead of one
+    action per column. Ties at split points stay within one bucket
+    (strictly-greater-than on the value), exactly as quantile_buckets."""
+    return sum((F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+                for b in sorted(set(bounds))), F.lit(0))
 
 
 def bucket_prefix_offsets(bucketed: DataFrame, agg) -> "F.Column":
@@ -574,15 +583,46 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n_orders"),
                 dec_sum("o_totalprice", 2).alias("spend"))
            .cache())
-    ranked = global_rank_column(per, "r_days", "o_custkey", "r_rk")
-    ranked = global_rank_column(ranked, "n_orders", "o_custkey", "f_rk")
-    ranked = global_rank_column(ranked, "spend", "o_custkey", "m_rk")
-    n = per.agg(F.count("*").alias("n"))
+    # all three rank axes share ONE multi-column approxQuantile round-trip
+    # and ONE per-bucket-counts collect (explode each customer row into its
+    # three (metric, bucket) memberships -> one tiny groupBy job) — down
+    # from the six driver actions of three sequential global_rank_column
+    # calls (guide §1.2/§2.4: fewer full passes over the aggregate). The
+    # three rank windows themselves remain, one exchange each: three
+    # different total orders genuinely need three shuffles.
+    axes = (("r_days", "rb", "r_rk"), ("n_orders", "fb", "f_rk"),
+            ("spend", "mb", "m_rk"))
+    qs = [i / 32 for i in range(1, 32)]
+    bounds = per.stat.approxQuantile([c for c, _, _ in axes], qs, 0.001)
+    ranked = (per.withColumn("rb", bucket_expr("r_days", bounds[0]))
+              .withColumn("fb", bucket_expr("n_orders", bounds[1]))
+              .withColumn("mb", bucket_expr("spend", bounds[2])))
+    cnts = (ranked.select(F.explode(F.array(
+        F.struct(F.lit("r").alias("ax"), F.col("rb").alias("bucket")),
+        F.struct(F.lit("f").alias("ax"), F.col("fb").alias("bucket")),
+        F.struct(F.lit("m").alias("ax"), F.col("mb").alias("bucket"))))
+        .alias("kv"))
+        .groupBy("kv.ax", "kv.bucket").agg(F.count("*").alias("c"))
+        .collect())
+    n = sum(r["c"] for r in cnts) // 3
+    for (col, bcol, out_rk), ax in zip(axes, ("r", "f", "m")):
+        totals = {r["bucket"]: r["c"] for r in cnts if r["ax"] == ax}
+        acc, m = 0, {}
+        for bkt in sorted(totals):
+            m[bkt] = acc
+            acc += totals[bkt]
+        off = (F.element_at(
+            F.create_map(*[F.lit(x) for kv in m.items() for x in kv]),
+            F.col(bcol)) if m else F.lit(0))
+        w = Window.partitionBy(bcol).orderBy(F.asc(col), F.asc("o_custkey"))
+        ranked = ranked.withColumn(
+            out_rk, (off + F.row_number().over(w)).cast("long"))
     # `div`, not `/`: both engines float-divide integers with `/`, and a
     # truncating cast of 0.9999999 vs 1.0 is exactly the cross-engine
-    # boundary bug the integer form rules out
-    q = lambda rk: F.expr(f"(4 * ({rk} - 1)) div n").cast("long")
-    out = (ranked.crossJoin(F.broadcast(n))
+    # boundary bug the integer form rules out; n rides as a literal from
+    # the shared counts collect instead of a broadcast 1-row crossJoin
+    q = lambda rk: F.expr(f"(4 * ({rk} - 1)) div {max(n, 1)}").cast("long")
+    out = (ranked
            .groupBy(q("r_rk").alias("recency_q"),
                     q("f_rk").alias("frequency_q"),
                     q("m_rk").alias("monetary_q"))
@@ -844,34 +884,41 @@ def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum((cents * bp).cast("decimal(27,0)"))
                 .cast("long").alias("rev_e4"))
            .cache())
-    # DESC order as an ASC rank on the negated value (two-phase, exact)
-    ranked = global_rank_column(rev.withColumn("neg", -F.col("rev_e4")),
-                                "neg", "l_suppkey", "rk").drop("neg")
-    # cumulative revenue in rank order, again two-phase over rk
-    b = quantile_buckets(ranked, "rk")
-    off = bucket_prefix_offsets(b, F.sum("rev_e4"))
-    wb = (Window.partitionBy("bucket").orderBy("rk")
+    # the cumulative-revenue prefix runs DIRECTLY over the (revenue DESC,
+    # suppkey) total order: buckets on the negated revenue, ONE <=32-row
+    # collect yields the per-bucket revenue prefix offsets AND the table
+    # totals (t, n) as exact Python scalars, and one within-bucket window
+    # computes the running sum. The former two-stage composition (a
+    # global_rank_column pass materializing an explicit rank, then a
+    # SECOND bucket composition over that rank) spent four driver actions
+    # and two extra shuffles building a rank column the query never
+    # outputs (guide §1.2: don't compute things you throw away).
+    b = quantile_buckets(rev.withColumn("neg", -F.col("rev_e4")), "neg")
+    offm = bucket_prefix_offsets_multi(b, s=F.sum("rev_e4"),
+                                       cnt=F.count("*"))
+    n = sum(r["cnt"] for r in offm["rows"])
+    t = sum(r["s"] for r in offm["rows"])  # exact: Python ints of e4 units
+    t_lit = F.lit(str(t)).cast("decimal(27,0)")
+    # str -> double is the correctly-rounded decimal parse — identical to
+    # the oracle's CAST(CAST(t AS VARCHAR) AS DOUBLE)
+    t_dbl = float(str(t))
+    wb = (Window.partitionBy("bucket").orderBy("neg", "l_suppkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = b.withColumn(
-        "cum", (off + F.sum("rev_e4").over(wb)).cast("decimal(27,0)"))
-    tot = rev.agg(F.sum(F.col("rev_e4").cast("decimal(27,0)")).alias("t"),
-                  F.count("*").alias("n"))
-    sel = (cum.crossJoin(F.broadcast(tot))
-           .where(5 * (F.col("cum") - F.col("rev_e4")) < 4 * F.col("t")))
-    # n_suppliers comes from the broadcast TOTALS frame, mirroring the
-    # oracle's scalar subquery: deriving it as first('n') over sel would
-    # report 0 on any input where sel is empty but suppliers exist
-    # (all-zero revenue) — an engine-parity break on degenerate data
+        "cum", (offm["s"] + F.sum("rev_e4").over(wb)).cast("decimal(27,0)"))
+    sel = cum.where(5 * (F.col("cum") - F.col("rev_e4")) < 4 * t_lit)
+    # n_suppliers comes from the totals literals, mirroring the oracle's
+    # scalar subquery: deriving it as first('n') over sel would report 0
+    # on any input where sel is empty but suppliers exist (all-zero
+    # revenue) — an engine-parity break on degenerate data
     top = sel.agg(
         F.count("*").cast("long").alias("n_top"),
         F.sum(F.col("rev_e4").cast("decimal(27,0)"))
         .cast("string").cast("double").alias("sel_rev"))
-    out = (top.crossJoin(F.broadcast(tot))
-           .select(F.col("n").cast("long").alias("n_suppliers"),
-                   "n_top",
-                   F.round(F.col("sel_rev")
-                           / F.col("t").cast("string").cast("double"),
-                           6).alias("top_share")))
+    out = top.select(F.lit(n).cast("long").alias("n_suppliers"),
+                     "n_top",
+                     F.round(F.col("sel_rev") / F.lit(t_dbl), 6)
+                     .alias("top_share"))
     return materialize_release(out, [rev])
 
 
