@@ -956,15 +956,18 @@ def curriculum_length_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets ``n//k + 1`` rows and the rest ``n//k``, reproduced exactly
     below. The driver only ever sees <= n_buckets numbers plus one
     count-star (metadata-only on parquet)."""
-    from .scale import bucket_prefix_offsets, quantile_buckets
+    from .scale import bucket_prefix_offsets_multi, quantile_buckets
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    n = docs.count()
+    bucketed = quantile_buckets(docs, "n_chars")
+    # n folds out of the same per-bucket collect as the rank offsets —
+    # no separate count() action (guide §1.2)
+    offm = bucket_prefix_offsets_multi(bucketed, cnt=F.count("*"))
+    off = offm["cnt"]
+    n = sum(row["cnt"] for row in offm["rows"])
     k = N_PHASES
     q, r = divmod(n, k)
     size1 = q + 1                       # rows in each of the first r phases
     qq = max(q, 1)                      # div guard; unused branch when q == 0
-    bucketed = quantile_buckets(docs, "n_chars")
-    off = bucket_prefix_offsets(bucketed, F.count("*"))
     w = Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
     rk = (off + F.row_number().over(w)).cast("long")
     phase = (F.when(rk <= F.lit(r * size1),

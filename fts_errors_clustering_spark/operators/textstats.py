@@ -918,7 +918,12 @@ def quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     row), a 10x bounded expansion of the scored docs (compile-time
     constant, like the rolling-distinct explode), one 10-group aggregate.
     The at-scale percentile caveat of value_decile_histogram applies."""
-    q = doc_quality_scores(spark, sf_dir).select("n_tokens", "quality")
+    from ..plans.registry import retain_for_consumer
+    # consumer-scoped cache: the returned plan reads the scored frame
+    # twice (the percentile-cuts branch and the main 10x expansion) —
+    # uncached, the tokenize/score scan ran once per branch
+    q = retain_for_consumer(
+        doc_quality_scores(spark, sf_dir).select("n_tokens", "quality"))
     cuts = q.agg(F.expr(
         "percentile(quality, array(0.0, 0.1, 0.2, 0.3, 0.4, "
         "0.5, 0.6, 0.7, 0.8, 0.9))").alias("qs"))
@@ -973,21 +978,24 @@ def token_weighted_quality_quantiles(spark: SparkSession,
     is a 3-row literal join + MIN, valid because cumulative weight is
     monotone in the (quality, doc_id) order.
 
-    Cost note: the scalar total, the bucket cuts, and the main plan each
-    re-derive doc_quality_scores, so the tokenize/score scan runs ~4x.
-    Registered queries keep no session caches (hygiene rule), so at
-    100 TB feed this op from a MATERIALIZED scores table instead — e.g.
-    publish doc_quality_scores through sinks.publish_versioned_parquet
-    and point the three consumers at the snapshot."""
+    Cost note: the scored frame is CACHED for the op's two driver
+    round-trips (bucket cuts + offsets), so the tokenize/score scan runs
+    once — the bounded 3-row result materializes while the cache is hot
+    and releases it (graph.materialize_release); the token total folds
+    out of the same per-bucket collect as the prefix offsets (guide §1.2:
+    one pass, no throwaway recomputation — this op used to re-derive
+    doc_quality_scores four times)."""
+    from .scale import bucket_prefix_offsets_multi
+    from .graph import materialize_release
     q = (doc_quality_scores(spark, sf_dir)
-         .select("doc_id", "quality", "n_tokens"))
-    total = F.lit(float(q.agg(F.sum("n_tokens")).collect()[0][0] or 0))
+         .select("doc_id", "quality", "n_tokens").cache())
     bucketed = quantile_buckets(q, "quality")
-    off = bucket_prefix_offsets(bucketed, F.sum("n_tokens"))
+    offm = bucket_prefix_offsets_multi(bucketed, s=F.sum("n_tokens"))
+    total = F.lit(float(sum(r["s"] for r in offm["rows"]) or 0))
     wb = (Window.partitionBy("bucket").orderBy("quality", "doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = bucketed.withColumn(
-        "cw", (off + F.sum("n_tokens").over(wb)).cast("long"))
+        "cw", (offm["s"] + F.sum("n_tokens").over(wb)).cast("long"))
     ps = None
     for p in _WQ_PS:
         one = (cum.where(F.col("cw").cast("double") >= F.lit(p) * total)
@@ -997,4 +1005,5 @@ def token_weighted_quality_quantiles(spark: SparkSession,
     # Degenerate-input parity: on an empty/all-filtered corpus the oracle's
     # join yields 0 rows, but agg(min) over an empty frame yields one NULL
     # row per p — drop those so both engines emit 0 rows.
-    return ps.where(F.col("weighted_quality").isNotNull())
+    return materialize_release(
+        ps.where(F.col("weighted_quality").isNotNull()), [q])
