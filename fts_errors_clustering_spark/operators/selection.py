@@ -233,13 +233,22 @@ def importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = (docs.where(F.length(F.trim("text")) > 0)
             .select("doc_id", "lang", whitespace_tokens("text").alias("ts")))
-    feats = (toks.where(F.size("ts") >= 2)
-             .select("doc_id", "lang", F.explode(F.transform(
-                 F.sequence(F.lit(0), F.size("ts") - 2),
-                 lambda i: F.concat_ws(
-                     " ", F.col("ts").getItem(i),
-                     F.col("ts").getItem(i + 1)))).alias("bg"))
-             .select("doc_id", "lang", _bucket(F.col("bg")).alias("bucket")))
+    from ..plans.registry import retain_for_consumer
+    # consumer-scoped cache of the REDUCED (doc_id, lang, bucket) stream:
+    # the returned plan reads it twice (the bucket-count model branch and
+    # the per-doc weighting branch), and uncached each branch re-ran the
+    # tokenize + bigram explode + md5 — the query's dominant expression
+    # chain. Three narrow columns, so the cache is the md5 output, not
+    # text (disk-spillable at scale; the 100 TB shape materializes this
+    # feature table once and feeds both passes from it).
+    feats = retain_for_consumer(
+        toks.where(F.size("ts") >= 2)
+        .select("doc_id", "lang", F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("ts") - 2),
+            lambda i: F.concat_ws(
+                " ", F.col("ts").getItem(i),
+                F.col("ts").getItem(i + 1)))).alias("bg"))
+        .select("doc_id", "lang", _bucket(F.col("bg")).alias("bucket")))
     model = feats.groupBy("bucket").agg(
         F.count("*").alias("c_src"),
         F.count_if(F.col("lang") == TARGET_LANG).alias("c_tgt"))
