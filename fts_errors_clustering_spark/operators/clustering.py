@@ -469,10 +469,17 @@ def word2vec_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M14+M15 surface (rows-only): per-doc embedding norm and dimension
     from the word2vec path (masked -> tokenized -> trained -> mean-pooled)."""
     from ..functions.text import mask_error_text, whitespace_tokens
+    from ..plans.registry import retain_for_consumer
     docs = table(spark, sf_dir, "documents")
-    toks = (docs.where(F.length(F.trim("text")) > 0)
-                .select("doc_id",
-                        whitespace_tokens(mask_error_text("text")).alias("tokens")))
+    # consumer-scoped cache: the fit consumes this stream THREE times
+    # (token-count partition sizing, vocab pass, sentence build) and the
+    # returned transform plan a fourth — uncached, each pays the full
+    # regex-mask + tokenize chain (guide §5.1). The cached frame is the
+    # narrow (doc_id, tokens) projection, released by the consumer.
+    toks = retain_for_consumer(
+        docs.where(F.length(F.trim("text")) > 0)
+            .select("doc_id",
+                    whitespace_tokens(mask_error_text("text")).alias("tokens")))
     model = fit_word2vec(toks, cache_key=sf_dir)
     out = model.transform(toks)
     from pyspark.ml.functions import vector_to_array

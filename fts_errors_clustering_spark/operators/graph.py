@@ -293,25 +293,36 @@ def triangle_stats(und: DataFrame,
               .cache())  # feeds both wedge sides, the closer, and n_w
     if caches is not None:
         caches.append(orient)
-    o1 = orient.select(F.col("lo"), F.col("hi").alias("v"),
-                       F.col("hi_r").alias("vr"))
-    o2 = orient.select(F.col("lo").alias("lo2"), F.col("hi").alias("w"),
-                       F.col("hi_r").alias("wr"))
-    wedge = (o1.join(o2, (o1.lo == o2.lo2) & (o1.vr < o2.wr))
-             .select("v", "w"))
-    closing = orient.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
-    tri = wedge.join(closing, ["v", "w"], "left_semi")
+    # adjacency-array edge iterator: a wedge (v, w) at lo closes iff the
+    # oriented edge (v, w) exists, so the triangle total is
+    # sum over oriented edges (lo, hi) of |N+(lo) INTERSECT N+(hi)| —
+    # each triangle a<b<c (by rank) counted exactly once at its (a, b)
+    # edge. Attaching each endpoint's out-neighbor array and intersecting
+    # IN-ROW keeps the plan edge-sized end to end: the old formulation
+    # materialized the full wedge set (sum_lo C(out_deg, 2) rows — 25M at
+    # sf0.1, superlinear in m) through a join + semi-join probe, while the
+    # arrays carry the same information in O(m) total entries, each
+    # bounded O(sqrt m) by the orientation.
+    adj = orient.groupBy("lo").agg(F.collect_list("hi").alias("nb"))
+    a_nb = adj.select("lo", F.col("nb").alias("nb_lo"))
+    b_nb = adj.select(F.col("lo").alias("hi"), F.col("nb").alias("nb_hi"))
+    # inner joins: a lo always has out-neighbors (it sourced this edge);
+    # a hi without any contributes 0 triangles and may drop
+    per_edge = (orient.select("lo", "hi")
+                .join(a_nb, "lo").join(b_nb, "hi")
+                .select(F.size(F.array_intersect("nb_lo", "nb_hi"))
+                        .alias("c")))
     # three scalar counts stitched as 1-row aggregates (cross join of
     # literal-sized sides — the sanctioned bounded-BNLJ shape). The wedge
     # COUNT uses the closed form sum_lo C(out_deg, 2) — definitionally
-    # equal to counting the materialized wedge rows (out-neighbors of a
-    # node have distinct hi_r), one full pass over the wedge set cheaper;
-    # the wedge SET itself is still built for the triangle semi-join.
+    # equal to counting the wedge rows the old plan materialized
+    # (out-neighbors of a node have distinct hi_r).
     n_e = und.agg(F.count("*").cast("long").alias("n_edges"))
     n_w = (orient.groupBy("lo").agg(F.count("*").alias("d"))
            .agg(F.sum(F.expr("(d * (d - 1)) div 2")).cast("long")
                 .alias("n_wedges")))
-    n_t = tri.agg(F.count("*").cast("long").alias("n_triangles"))
+    n_t = per_edge.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                       .alias("n_triangles"))
     return n_e.crossJoin(n_w).crossJoin(n_t)
 
 

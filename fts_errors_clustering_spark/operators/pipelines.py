@@ -67,10 +67,16 @@ def pipeline_word2vec_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flow B on ``documents``: the full mask -> tokenize -> word2vec ->
     kNN-knee epsilon -> DBSCAN -> cluster_stats chain. Returns the M20
     summary table (cluster, size, mean/std similarity-to-first)."""
+    from ..plans.registry import retain_for_consumer
     docs = table(spark, sf_dir, "documents")
-    toks = (docs.where(F.length(F.trim("text")) > 0)
-            .select("doc_id", "text",
-                    whitespace_tokens(mask_error_text("text")).alias("tokens")))
+    # consumer-scoped cache: the w2v fit reads this stream three times
+    # (partition sizing, vocab pass, sentence build) and the transform
+    # into emb a fourth — cached, the regex-mask + tokenize chain runs
+    # once (guide §5.1); the consumer's release drops it after the trial
+    toks = retain_for_consumer(
+        docs.where(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text",
+                whitespace_tokens(mask_error_text("text")).alias("tokens")))
     w2v = fit_word2vec(toks, vector_size=32, cache_key=sf_dir)
     from pyspark.ml.functions import vector_to_array
     emb = (w2v.transform(toks)
@@ -122,13 +128,15 @@ def pipeline_word2vec_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.stddev("sim"), 4).alias("std_similarity"))
            .orderBy("cluster"))
     # the emb cache served this fn's EAGER phases (count, candidate kNN,
-    # knee epsilon, the DBSCAN tier's own materialization); the returned
-    # plan references emb exactly once (the `joined` scan), so release the
-    # cache now — the final materialization pays one w2v.transform pass
-    # instead of pinning a corpus-sized block for the session's lifetime.
-    # (The output itself is per-cluster, up to n/min_pts rows — too large
-    # to localize via materialize_release at 100 TB.)
-    emb.unpersist()
+    # knee epsilon, the DBSCAN tier's own materialization) and the returned
+    # plan references it once more (the `joined` scan) — hand it to the
+    # consumer-release protocol instead of unpersisting here, so the final
+    # materialization reads the cached block instead of re-paying a full
+    # w2v.transform pass; the consumer's acknowledgement drops it, so
+    # nothing stays pinned for the session's lifetime. (The output itself
+    # is per-cluster, up to n/min_pts rows — too large to localize via
+    # materialize_release at 100 TB.)
+    retain_for_consumer(emb)
     return out
 
 
