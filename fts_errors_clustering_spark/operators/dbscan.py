@@ -79,87 +79,35 @@ DRIVER_KERNEL_ROWS = 20_000
 _DENSE_SWITCH_DEG = 32
 
 
-def _dbscan_driver_kernel(spark: SparkSession, emb: DataFrame, id_col: str,
-                          vec_col: str, eps: float, min_pts: int,
-                          edge_cap: int) -> DataFrame | None:
+def _dbscan_driver_tier(spark: SparkSession, emb: DataFrame, id_col: str,
+                        vec_col: str, eps: float, min_pts: int,
+                        edge_cap: int) -> DataFrame:
     """Exact DBSCAN for driver-sized inputs: collect the (id, vector) matrix
-    once (shared ``pairwise._MATRIX_CACHE``), enumerate eps-pairs with the
-    same GEMM-prune + difference-form-recheck contract as
-    ``eps_pairs_broadcast`` (pairwise.py header), then label via
-    ``_dbscan_numpy``. Returns None when the edge list overflows ``edge_cap``
-    (caller falls through to the distributed plan)."""
+    once (shared ``pairwise._MATRIX_CACHE``), then ONE chunked-GEMM degree
+    pass (the same GEMM-prune + difference-form-recheck contract as
+    ``eps_pairs_broadcast``) yields the core mask, the total edge count —
+    the sparse/dense regime decision — and doubles as the dense kernel's
+    own first pass. The pre-r11 flow ran the edge-EXTRACTION scan
+    speculatively and threw its pair arrays away on cap overflow, so the
+    dense regime (degenerate knee eps, the pipeline-B graph) paid the
+    nonzero-extraction scan twice (measured: 0.67 s of a 1.75 s warm
+    pipeline DBSCAN was the discarded abort scan).
+
+    - edge count <= ``edge_cap`` (sparse): one more scan extracts the pair
+      arrays, ``_dbscan_numpy`` labels them — the old edge-list kernel.
+    - over cap (dense): min-label relaxation over chunked-GEMM re-scans,
+      no edge list ever materialized — each round takes the min
+      core-neighbor label per core row then pointer-doubles, O(log n)
+      rounds worst case and 2-3 in practice (an over-cap graph at
+      n <= 20k has average degree > 32, so diameter is tiny); a final
+      scan labels borders (min core-neighbor cluster) and noise (-1).
+
+    Labeling is identical across regimes and to the distributed plan
+    (min core id per component)."""
     from .pairwise import _CHUNK_BUDGET, _broadcast_matrix
     # .value on a driver-created broadcast is the local object (no fetch);
     # sharing the broadcast handle keeps ONE cache entry serving both this
     # driver kernel and the distributed eps-pair kernel
-    ids, M = _broadcast_matrix(emb, id_col, vec_col).value
-    n = len(ids)
-    if n == 0:
-        return spark.createDataFrame([], f"{id_col} long, cluster long")
-    eps2 = float(eps) * float(eps)
-    band = 1e-6 * max(eps2, 1.0)
-    guard = eps2 + band
-    n2 = np.einsum("ij,ij->i", M, M)
-    out_a: list[np.ndarray] = []
-    out_b: list[np.ndarray] = []
-    total = 0
-    step = max(1, _CHUNK_BUDGET // n)
-    buf = np.empty((min(step, n), n))  # reused (pairwise.py _reuse_note)
-    for s in range(0, n, step):
-        Mc = M[s:s + step]
-        g = buf[:len(Mc)]
-        np.dot(Mc, M.T, out=g)
-        g *= -2.0
-        g += n2[s:s + step][:, None]
-        g += n2[None, :]
-        ai, bi = np.nonzero(g <= guard)
-        if ai.size:
-            # band re-check (pairwise.py eps_pairs_broadcast note): only
-            # guard-band pairs pay the difference-form gather
-            gv = g[ai, bi]
-            keep = gv <= eps2 - band
-            borderline = ~keep & (gv <= guard)
-            if borderline.any():
-                ab, bb = ai[borderline], bi[borderline]
-                d2 = np.einsum("ij,ij->i", Mc[ab] - M[bb], Mc[ab] - M[bb])
-                keep[borderline] = d2 <= eps2
-            keep &= s + ai != bi
-            out_a.append(ids[s + ai[keep]])
-            out_b.append(ids[bi[keep]])
-            total += int(keep.sum())
-            if total > edge_cap:
-                return None
-    all_ids = np.sort(ids)
-    a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
-    b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
-    lab = _dbscan_numpy(all_ids, a, b, min_pts)
-    return spark.createDataFrame(
-        pd.DataFrame({id_col: all_ids, "cluster": lab}),
-        f"{id_col} long, cluster long")
-
-
-def _dbscan_driver_dense(spark: SparkSession, emb: DataFrame, id_col: str,
-                         vec_col: str, eps: float, min_pts: int) -> DataFrame:
-    """Driver-tier DBSCAN for DENSE eps-graphs: when the edge list overflows
-    the driver-kernel cap at driver-sized n (degenerate knee eps — the
-    pipeline-B regime the reference notebook hit too), no edge list is ever
-    materialized. Instead:
-
-    1. one chunked-GEMM scan for neighbor DEGREES -> core mask;
-    2. min-label relaxation rounds for core components — each round is a
-       chunked-GEMM re-scan taking the min core-neighbor label per core
-       row, followed by pointer doubling (label-of-label), so rounds are
-       O(log n) worst case and 2-3 in practice on a dense graph (an
-       over-cap graph at n <= 20k has average degree > 500, so diameter is
-       tiny);
-    3. a final scan labels border rows (min core-neighbor cluster) and
-       noise (-1).
-
-    Trades edge memory (the cap) for GEMM re-scans (<1 s each at 5k x 32)
-    — measured 35-58 s (cap-abort + distributed tier on 25M+ edges) -> ~3 s
-    on the degenerate pipeline-B graph. Labeling is identical to
-    ``_dbscan_numpy``/the distributed plan (min core id per component)."""
-    from .pairwise import _CHUNK_BUDGET, _broadcast_matrix
     ids, M = _broadcast_matrix(emb, id_col, vec_col).value
     n = len(ids)
     if n == 0:
@@ -172,11 +120,11 @@ def _dbscan_driver_dense(spark: SparkSession, emb: DataFrame, id_col: str,
     guard = eps2 + band
     n2 = np.einsum("ij,ij->i", Ms, Ms)
     step = max(1, _CHUNK_BUDGET // n)
-    buf = np.empty((min(step, n), n))
+    buf = np.empty((min(step, n), n))  # reused (pairwise.py _reuse_note)
 
     def adj_chunk(s: int) -> np.ndarray:
         """Boolean adjacency (within-eps, self excluded) for rows s:s+step,
-        with the guard-band exact recheck of the edge-list kernel."""
+        with the guard-band exact recheck of eps_pairs_broadcast."""
         Mc = Ms[s:s + step]
         g = buf[:len(Mc)]
         np.dot(Mc, Ms.T, out=g)
@@ -192,12 +140,29 @@ def _dbscan_driver_dense(spark: SparkSession, emb: DataFrame, id_col: str,
         adj[np.arange(len(Mc)), s + np.arange(len(Mc))] = False
         return adj
 
-    # pass 1: degrees -> core mask (neighborhood size counts self: +1)
+    # pass 1 (shared): degrees -> core mask, total edges -> regime
     deg = np.empty(n, dtype=np.int64)
     for s in range(0, n, step):
         a = adj_chunk(s)
         deg[s:s + a.shape[0]] = a.sum(axis=1)
     core = deg + 1 >= min_pts
+    if int(deg.sum()) <= edge_cap:
+        # sparse regime: extract the pair arrays in one more scan
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s in range(0, n, step):
+            ai, bi = np.nonzero(adj_chunk(s))
+            out_a.append(ids_s[s + ai])
+            out_b.append(ids_s[bi])
+        a_arr = (np.concatenate(out_a) if out_a
+                 else np.empty(0, dtype=np.int64))
+        b_arr = (np.concatenate(out_b) if out_b
+                 else np.empty(0, dtype=np.int64))
+        lab = _dbscan_numpy(ids_s, a_arr, b_arr, min_pts)
+        return spark.createDataFrame(
+            pd.DataFrame({id_col: ids_s, "cluster": lab}),
+            f"{id_col} long, cluster long")
+
     labels = np.full(n, -1, dtype=np.int64)
     if not core.any():
         return spark.createDataFrame(
@@ -342,16 +307,11 @@ def dbscan_labels(spark: SparkSession, emb: DataFrame, id_col: str = "vec_id",
         # neighbors/point its accumulated edge arrays and edge-keyed
         # temporaries hit this class of host hard (fresh-allocation page
         # faults; 6.3M edges measured 60 s vs 3 s dense), while the dense
-        # relaxation's cost is flat in edge count.
-        out = _dbscan_driver_kernel(
+        # relaxation's cost is flat in edge count. One shared degree pass
+        # decides the regime (see _dbscan_driver_tier).
+        return _dbscan_driver_tier(
             spark, emb, id_col, vec_col, eps, min_pts,
             edge_cap=min(small_graph_edges, _DENSE_SWITCH_DEG * n_rows))
-        if out is not None:
-            return out
-        # over-cap at driver-sized n = the DENSE regime (degenerate eps):
-        # relaxation over chunked GEMM re-scans, no edge list at all
-        return _dbscan_driver_dense(spark, emb, id_col, vec_col, eps,
-                                    min_pts)
     # Cache lifecycle (registry-wide persistent-RDD gate): the pairs/core/
     # edges caches exist for this function's EAGER phases — tier-deciding
     # counts, the toPandas driver solves, the propagation loop. Each tier
