@@ -303,7 +303,13 @@ def triangle_stats(und: DataFrame,
     # sf0.1, superlinear in m) through a join + semi-join probe, while the
     # arrays carry the same information in O(m) total entries, each
     # bounded O(sqrt m) by the orientation.
-    adj = orient.groupBy("lo").agg(F.collect_list("hi").alias("nb"))
+    # cached: a_nb and b_nb both read this aggregate — uncached, the plan
+    # carries two full groupBy+collect_list passes over orient unless AQE
+    # exchange reuse happens to dedupe them (r10 advisor note)
+    adj = (orient.groupBy("lo").agg(F.collect_list("hi").alias("nb"))
+           .cache())
+    if caches is not None:
+        caches.append(adj)
     a_nb = adj.select("lo", F.col("nb").alias("nb_lo"))
     b_nb = adj.select(F.col("lo").alias("hi"), F.col("nb").alias("nb_hi"))
     # inner joins: a lo always has out-neighbors (it sourced this edge);
@@ -318,9 +324,9 @@ def triangle_stats(und: DataFrame,
     # equal to counting the wedge rows the old plan materialized
     # (out-neighbors of a node have distinct hi_r).
     n_e = und.agg(F.count("*").cast("long").alias("n_edges"))
-    n_w = (orient.groupBy("lo").agg(F.count("*").alias("d"))
-           .agg(F.sum(F.expr("(d * (d - 1)) div 2")).cast("long")
-                .alias("n_wedges")))
+    n_w = (adj.select(F.size("nb").alias("d"))
+           .agg(F.coalesce(F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0))
+                .cast("long").alias("n_wedges")))
     n_t = per_edge.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
                        .alias("n_triangles"))
     return n_e.crossJoin(n_w).crossJoin(n_t)
