@@ -299,8 +299,14 @@ def _gram_svd(features_df: DataFrame, k: int, id_col: str, input_col: str,
     import numpy as np
     import pandas as pd
 
+    from ..plans.registry import retain_for_consumer
+
     sc = features_df.sparkSession.sparkContext
-    rows = features_df.select(id_col, input_col).rdd
+    # consumer-scoped cache of the narrow (id, vector) projection: the
+    # gram pass and the final projection pass both read it — uncached,
+    # each re-paid the full tokenize+cv+idf transform lineage (guide §5.1)
+    proj = retain_for_consumer(features_df.select(id_col, input_col))
+    rows = proj.rdd
 
     def part_gram(it):
         G = np.zeros((d, d))
@@ -325,7 +331,7 @@ def _gram_svd(features_df: DataFrame, k: int, id_col: str, input_col: str,
 
     bV = sc.broadcast(V)
     from pyspark.ml.functions import vector_to_array
-    arr_df = features_df.select(id_col, vector_to_array(input_col).alias("x"))
+    arr_df = proj.select(id_col, vector_to_array(input_col).alias("x"))
 
     def project(batches):
         Vk = bV.value
@@ -342,7 +348,7 @@ def _gram_svd(features_df: DataFrame, k: int, id_col: str, input_col: str,
 
 
 def fit_lsa_svd(features_df: DataFrame, k: int, id_col: str = "doc_id",
-                input_col: str = "features"):
+                input_col: str = "features", dim: int | None = None):
     """M11 as a REAL truncated SVD — the reference's ``TruncatedSVD(25)``
     (``TF-IDF_K-Means_approach.ipynb:7840-7844``), via the
     ``IndexedRowMatrix.computeSVD`` bridge (SURVEY.md section 7 step 6).
@@ -359,12 +365,17 @@ def fit_lsa_svd(features_df: DataFrame, k: int, id_col: str = "doc_id",
     ``sum(s_i^2) / ||X||_F^2`` — the uncentered analogue of sklearn's
     explained-variance ratio (the notebook's 83%-at-k=25 anchor; asserted on
     a reference-shaped fixture in tests/test_tfidf.py).
+
+    ``dim`` (when the caller already knows the feature dimension, e.g.
+    from the CountVectorizer vocabulary that built the features) skips
+    the one-row probe action the fit otherwise pays to learn it.
     """
     from pyspark.mllib.linalg import Vectors as OldVectors
     from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
 
     spark = features_df.sparkSession
-    d = features_df.select(input_col).first()[0].size
+    d = dim if dim is not None else (
+        features_df.select(input_col).first()[0].size)
     if k <= d <= GRAM_SVD_MAX_DIM:
         # bounded-dim fast tier: gram eigendecomposition (see _gram_svd) —
         # measured 10.6 s -> ~1 s at sf0.1 vs the IndexedRowMatrix bridge
@@ -397,8 +408,11 @@ def lsa_svd_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio (constant column — one fit, reported in-row so the driver check
     sees it)."""
     docs = table(spark, sf_dir, "documents")
-    _, feats = fit_tfidf(docs, cache_key=sf_dir)
-    reduced, explained = fit_lsa_svd(feats, k=10)
+    model, feats = fit_tfidf(docs, cache_key=sf_dir)
+    # the fitted CountVectorizer already holds the vocabulary driver-side,
+    # so the feature dim is free — no one-row probe action inside the fit
+    reduced, explained = fit_lsa_svd(
+        feats, k=10, dim=len(model.stages[2].vocabulary))
     norm = F.sqrt(F.aggregate("lsa_svd", F.lit(0.0), lambda a, x: a + x * x))
     return reduced.select(
         "doc_id", F.size("lsa_svd").cast("long").alias("dim"),
@@ -427,7 +441,8 @@ RSVD_POWER_ITERS = 1
 
 
 def fit_lsa_rsvd(features_df: DataFrame, k: int, id_col: str = "doc_id",
-                 input_col: str = "features", seed: int = RSVD_SEED):
+                 input_col: str = "features", seed: int = RSVD_SEED,
+                 dim: int | None = None):
     """M11's beyond-gram tier: RANDOMIZED truncated SVD (the successor
     SCALE.md's M11 section names for web-scale vocabularies, where the
     gram tier's d x d partials blow the executor budget past
@@ -466,13 +481,24 @@ def fit_lsa_rsvd(features_df: DataFrame, k: int, id_col: str = "doc_id",
     over X. tests/test_tfidf.py pins the captured energy against the
     exact tier and determinism under the fixed seed.
 
-    Returns (reduced_df(id_col, lsa_rsvd array<double>), explained)."""
+    Returns (reduced_df(id_col, lsa_rsvd array<double>), explained).
+
+    ``dim`` (when the caller already knows the feature dimension) skips
+    the one-row probe action. The narrow (id, vector) projection is
+    consumer-scope cached: the (2 + power_iters) accumulation passes and
+    the final projection pass all read it — uncached, EVERY pass re-paid
+    the full upstream transform lineage (guide §5.1). Partitioning is
+    untouched, so per-partition float-summation order — and therefore the
+    output — is byte-identical to the uncached form."""
     import numpy as np
 
+    from ..plans.registry import retain_for_consumer
+
     sc = features_df.sparkSession.sparkContext
-    d = features_df.select(input_col).first()[0].size
+    d = dim if dim is not None else (
+        features_df.select(input_col).first()[0].size)
     l = min(k + RSVD_OVERSAMPLE, d)
-    rows = features_df.select(id_col, input_col).rdd
+    rows = retain_for_consumer(features_df.select(id_col, input_col)).rdd
 
     def one_pass(bOm):
         """Accumulate (G_Y, T, ||X||_F^2) for Omega = bOm.value.
@@ -597,8 +623,9 @@ def lsa_features_rsvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape as ``lsa_svd_features`` so the two tiers are directly
     comparable row-for-row."""
     docs = table(spark, sf_dir, "documents")
-    _, feats = fit_tfidf(docs, cache_key=sf_dir)
-    reduced, explained = fit_lsa_rsvd(feats, k=10)
+    model, feats = fit_tfidf(docs, cache_key=sf_dir)
+    reduced, explained = fit_lsa_rsvd(
+        feats, k=10, dim=len(model.stages[2].vocabulary))
     norm = F.sqrt(F.aggregate("lsa_rsvd", F.lit(0.0), lambda a, x: a + x * x))
     return reduced.select(
         "doc_id", F.size("lsa_rsvd").cast("long").alias("dim"),
