@@ -34,7 +34,8 @@ def _dec_term_sum(c: Column, scale: int = 18) -> Column:
 # ---------------------------------------------------------------------------
 
 def external_cluster_metrics(assigned: DataFrame, label_col: str,
-                             pred_col: str) -> DataFrame:
+                             pred_col: str,
+                             include_pred_count: bool = False) -> DataFrame:
     """Homogeneity, completeness, V-measure, ARI of ``pred_col`` against
     ``label_col`` — one output row.
 
@@ -42,6 +43,12 @@ def external_cluster_metrics(assigned: DataFrame, label_col: str,
     every ln-term is decimal-rounded before summing so the result is exactly
     reproducible cross-engine. ARI's pair counts are pure integer sums
     (n*(n-1) in BIGINT), exact by construction.
+
+    ``include_pred_count`` appends ``n_clusters`` (distinct ``pred_col``
+    values) folded out of the SAME contingency aggregate — every
+    prediction appears in some contingency cell, so counting the rn_k==1
+    rows equals ``select(pred).distinct().count()`` without the separate
+    corpus-scan action that count used to cost (guide §5.1).
     """
     from pyspark.sql import Window
 
@@ -76,7 +83,8 @@ def external_cluster_metrics(assigned: DataFrame, label_col: str,
         F.sum(comb(F.col("nij"))).alias("sij"),
         F.sum(F.when(F.col("rn_c") == 1, comb(F.col("ai")))).alias("sa"),
         F.sum(F.when(F.col("rn_k") == 1, comb(F.col("bj")))).alias("sb"),
-        comb(F.max("n")).alias("sn"))
+        comb(F.max("n")).alias("sn"),
+        F.sum(F.when(F.col("rn_k") == 1, 1).otherwise(0)).alias("nk"))
 
     h = F.when(F.col("hc") > 0, F.lit(1.0) - F.col("hck") / F.col("hc")).otherwise(F.lit(1.0))
     c = F.when(F.col("hk") > 0, F.lit(1.0) - F.col("hkc") / F.col("hk")).otherwise(F.lit(1.0))
@@ -85,10 +93,13 @@ def external_cluster_metrics(assigned: DataFrame, label_col: str,
     maxi = (F.col("sa") + F.col("sb")) / F.lit(2.0)
     ari = (F.col("sij") - expected) / (maxi - expected)
 
-    return row.select(F.round(h, 6).alias("homogeneity"),
-                      F.round(c, 6).alias("completeness"),
-                      F.round(v, 6).alias("v_measure"),
-                      F.round(ari, 6).alias("ari"))
+    cols = [F.round(h, 6).alias("homogeneity"),
+            F.round(c, 6).alias("completeness"),
+            F.round(v, 6).alias("v_measure"),
+            F.round(ari, 6).alias("ari")]
+    if include_pred_count:
+        cols.append(F.col("nk").cast("long").alias("n_clusters"))
+    return row.select(*cols)
 
 
 _METRICS_ORACLE = """

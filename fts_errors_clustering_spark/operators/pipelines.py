@@ -37,10 +37,11 @@ def pipeline_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's ``category``): returns the evaluation row — cluster count,
     homogeneity/completeness/V/ARI — the shape of the reference's cell 45."""
     docs = table(spark, sf_dir, "documents")
-    _, feats = fit_tfidf(docs, cache_key=sf_dir)
+    model_tfidf, feats = fit_tfidf(docs, cache_key=sf_dir)
     # reference-faithful reduction: truncated SVD (no mean-centering), then
     # L2 re-normalization — fit_lsa (PCA) remains the documented fallback
-    svd_out, _ = fit_lsa_svd(feats, k=10)
+    svd_out, _ = fit_lsa_svd(
+        feats, k=10, dim=len(model_tfidf.stages[2].vocabulary))
     from pyspark.ml.functions import array_to_vector
     nrm = F.sqrt(F.aggregate("lsa_svd", F.lit(0.0), lambda a, x: a + x * x))
     reduced = (svd_out
@@ -52,14 +53,15 @@ def pipeline_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = fit_kmeans_best(reduced, k=10, n_init=2,
                             features_col="lsa_features")
     out = model.transform(reduced).cache()
-    metrics = external_cluster_metrics(out, "lang", "prediction")
-    n_clusters = out.select("prediction").distinct().count()
+    # n_clusters rides the metrics' own contingency aggregate — the
+    # separate select(prediction).distinct().count() action this replaces
+    # re-scanned the labeled frame once per call (guide §5.1)
+    metrics = external_cluster_metrics(out, "lang", "prediction",
+                                       include_pred_count=True)
     # both caches are scoped to this call: the evaluation row is bounded
     # (1 row), so materialize it while they are hot and release
     from .graph import materialize_release
-    return materialize_release(
-        metrics.withColumn("n_clusters", F.lit(n_clusters).cast("long")),
-        [reduced, out])
+    return materialize_release(metrics, [reduced, out])
 
 
 @register("pipeline_word2vec_dbscan", oracle=None, tags=("pipeline", "ml"))
@@ -69,17 +71,21 @@ def pipeline_word2vec_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary table (cluster, size, mean/std similarity-to-first)."""
     from ..plans.registry import retain_for_consumer
     docs = table(spark, sf_dir, "documents")
-    # consumer-scoped cache: the w2v fit reads this stream three times
-    # (partition sizing, vocab pass, sentence build) and the transform
-    # into emb a fourth — cached, the regex-mask + tokenize chain runs
-    # once (guide §5.1); the consumer's release drops it after the trial
-    toks = retain_for_consumer(
-        docs.where(F.length(F.trim("text")) > 0)
-        .select("doc_id", "text",
-                whitespace_tokens(mask_error_text("text")).alias("tokens")))
+    kept = docs.where(F.length(F.trim("text")) > 0)
+    tokens = whitespace_tokens(mask_error_text("text")).alias("tokens")
+    # consumer-scoped cache of the NARROW (doc_id, tokens) projection: the
+    # w2v fit reads this stream three times (partition sizing, vocab pass,
+    # sentence build) — cached, the regex-mask + tokenize chain runs once
+    # for the fit (guide §5.1). Narrow on purpose (r10 advisor note): the
+    # old cache carried the raw `text` column too, and with `emb` below
+    # also caching text the session pinned ~two raw-corpus copies until
+    # consumer release. The transform into emb tokenizes once more from
+    # the wide frame instead — one extra map-side pass at emb's single
+    # materialization, vs a second corpus-sized cache copy at 100 TB.
+    toks = retain_for_consumer(kept.select("doc_id", tokens))
     w2v = fit_word2vec(toks, vector_size=32, cache_key=sf_dir)
     from pyspark.ml.functions import vector_to_array
-    emb = (w2v.transform(toks)
+    emb = (w2v.transform(kept.select("doc_id", "text", tokens))
            .select("doc_id", "text",
                    vector_to_array("doc_vec").cast("array<float>")
                     .alias("embedding"))
