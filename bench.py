@@ -206,6 +206,20 @@ ML_FIT = [
     "lsa_features_rsvd",
 ]
 
+#: cold-scan tier (r10 verdict ask #7): scan-shaped queries timed ONCE,
+#: cold — before the table cache is enabled and before any warm-up — so
+#: §6 regressions (lost column pruning / predicate pushdown, scan-layer
+#: slowdowns) are visible round over round. Reported as a separate
+#: `cold` block in bench_out.json and on the stdout line; never part of
+#: the contract-3 headline total (see BASELINE.md).
+COLD_SCAN = [
+    "count_filtered_events",
+    "pricing_summary",
+    "flagship_top_error_users",
+    "latest_event_per_user",
+    "doc_quality_scores",
+]
+
 #: queries measured best-of-3 unconditionally: the ML fits above plus the
 #: graph family — both showed ±40% host-noise swings between same-round
 #: runs in r03/r04 (triangle 4.3 s vs 7.0 s on the same tree), wide enough
@@ -258,6 +272,28 @@ def main() -> None:
 
     # absorb session/JVM startup with one tiny action before timing
     spark.range(1).count()
+
+    # COLD-SCAN tier (r10 verdict ask #7): the headline tier below pins
+    # the base tables in the session cache and warms every plan, which
+    # makes it blind to scan-layer regressions (guide §6 — an unpruned
+    # scan or lost predicate pushdown would never show). This tier runs
+    # FIRST — table cache off, no warm-up, one pass per query — so the
+    # parquet scan + decode path is measured once per round. Reported
+    # separately (`cold` block); it does NOT feed the contract-3
+    # comparable headline total. Skipped on filtered runs.
+    cold: dict[str, float] = {}
+    if not only:
+        for name in COLD_SCAN:
+            if name not in defs:
+                continue
+            t0 = time.perf_counter()
+            defs[name].fn(spark, sf_dir).count()
+            cold[name] = round(time.perf_counter() - t0, 4)
+            from fts_errors_clustering_spark.plans.registry import \
+                release_consumer_caches as _rcc
+            _rcc(name)
+        print(f"# cold tier: {sum(cold.values()):.3f}s over "
+              f"{len(cold)} queries", file=sys.stderr)
 
     # pin the base tables in the session cache for the whole run: a
     # repeated-analysis session re-scans the same tables dozens of times;
@@ -401,6 +437,8 @@ def main() -> None:
         #   up once at r6; the r6 number is what a fresh session pays.
         "contract": 3,
         "ml_fit_total": ml_total,
+        # cold-scan tier (see COLD_SCAN): separate block, not in `value`
+        "cold_total": round(sum(cold.values()), 4) if cold else None,
         # ambient-load telemetry: this container sees EXTERNAL load spikes
         # (load1 7-10 with zero user processes observed); identical runs
         # vary up to 2x when one lands in a spike. Compare rounds with
@@ -439,7 +477,8 @@ def main() -> None:
     # tail capture in r02 AND r03 (BENCH_r0{2,3}.json parsed: null) — the
     # file carries every number; stdout gets a COMPACT line (headline total
     # + the 20 most expensive queries) that always fits the capture window.
-    full = json.dumps({**common, "queries": timings, "load1": loads})
+    full = json.dumps({**common, "queries": timings, "load1": loads,
+                       "cold": cold})
     with open(os.path.join(here, "bench_out.json"), "w") as f:
         f.write(full + "\n")
     # canonical-run stamping (r07 verdict #5): bench_out.json is clobbered

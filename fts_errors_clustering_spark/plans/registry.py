@@ -250,24 +250,107 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 #: follows in registration order. tests/test_oracle_parity.py asserts every
 #: head name exists and sits inside the budget window.
 _HEAD = (
-    # ROUND-10 ROTATION (VERDICT r09 ask #2): first ab_test_logrank (its
-    # FIRST driver exposure — committed post-freeze in r09 with no
-    # CORRECTNESS row), then ann_ivfpq_topk (the one r04-stale row the r09
-    # budget could not fit; rows-only, recall pinned by ann_recall_audit),
-    # then the 48 rows whose driver evidence is r05 — exactly the 50-slot
-    # budget; after this round no oracle evidence predates r06.
-    "ab_test_logrank", "ann_ivfpq_topk", "bm25_search", "bpe_merge_table",
-    "bpe_tokens_per_lang", "bpe_vocab_tokens", "canonical_by_quality",
-    "contrastive_chunk_pairs", "dataset_fingerprint",
-    "dominant_part_suppliers", "dow_seasonality_index",
+    # ROUND-11 ROTATION (VERDICT r10 ask #6): first the 14 r10-optimized
+    # queries whose post-change driver oracle evidence is missing (they
+    # rotated out of the r10 sample head), then the 4 oracle-backed
+    # queries this round's optimizations touched (dbscan driver-tier
+    # restructure; external_cluster_metrics aggregate gained the folded
+    # n_clusters column; part_affinity_lift rides the graph-family
+    # edits), then the stalest-evidence r06 rows up to the 50-slot
+    # budget.
+    "copurchase_kcore", "copurchase_triangle_count", "rfm_customer_segments",
+    "supplier_revenue_pareto", "importance_weights_dsir",
+    "curriculum_length_phases", "leakage_safe_splits", "minhash_near_dups",
+    "incremental_neardup_counts", "dedup_clusters", "knn_knee_epsilon",
+    "knn_knee_sweep", "ab_test_ranksum", "nelson_aalen_hazard",
+    "dbscan_labels", "dbscan_summary", "external_metrics_pseudo",
+    "part_affinity_lift", "ann_recall_audit", "approx_distinct_and_quantiles",
+    "brand_revenue_by_nation", "cast_label_counts", "cluster_stats_by_source",
+    "cluster_stats_by_source_exact", "crosstab_priority_status",
+    "customers_without_orders", "describe_event_type", "describe_event_value",
+    "doc_token_stats", "document_tokens", "event_type_counts",
+    "events_asof_latest_order", "group_members_by_lang",
+    "histogram_quantile_rollup", "interval_join_prior_events",
+    "json_props_flatten", "k_anonymity_audit", "kmeans_cluster_sizes",
+    "kmeans_quality", "knn_mean_distance", "late_shipment_orders",
+    "length_stats_by_source", "lsa_features", "lsa_features_rsvd",
+    "mask_documents", "null_scan_fill", "pricing_summary", "revenue_by_region",
+    "rollup_event_counts", "summary_all_numeric",
+)
+
+#: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
+#: ~50-row budget), ordered stalest-evidence-first: the remaining r06/r07/
+#: r08 rows in their prior order, then the r09 head, then the r10 head
+#: (freshest driver evidence) last. Every name here already has a green
+#: driver row; the local parity sweep (tests/test_oracle_parity.py over
+#: all entries at sf0.001) remains their regression gate.
+_TAIL_AFTER_HEAD = (
+    "term_frequency", "term_idf", "tfidf_pipeline_features", "tfidf_top_terms",
+    "top_customers_per_region", "user_event_gaps", "user_funnel_conversion",
+    "user_type_group_size", "value_decile_summary",
+    "value_percentiles_by_type", "vocabulary_set_ops", "vocabulary_size",
+    "word2vec_doc_vectors", "ann_batch_topk", "ann_bruteforce_topk",
+    "count_filtered_events", "curated_corpus_stats", "dedup_exact",
+    "distinct_documents", "distribution_drift_psi", "doc_chunks",
+    "doc_fingerprints", "doc_quality_scores", "doc_repetition_stats",
+    "duplicate_ngram_coverage", "embedding_near_dup_pairs", "funnel_counts",
+    "funnel_step_timing", "hash_split_counts", "json_sum_by_type",
+    "lang_id_confusion", "last_touch_attribution", "latest_event_per_user",
+    "multimodal_metadata", "ngram_jaccard_pairs", "pipeline_tfidf_kmeans",
+    "pipeline_word2vec_dbscan", "quality_filter_funnel",
+    "quality_threshold_by_lang", "session_windows_6h", "simhash_near_dups",
+    "skew_join_segments", "sliding_2h_windows", "streaming_cusum_tail",
+    "streaming_funnel_tail", "streaming_hq_rollup_tail",
+    "streaming_interarrival_tail", "token_budget_selection", "token_counts",
+    "top_events_by_value", "top_users_share", "topn_semijoin_events",
+    "tumbling_hourly_by_type", "unpivot_lineitem_measures", "value_histogram",
+    "zipf_slope", "ab_test_cuped", "ab_test_lift", "benchmark_contamination",
+    "bigram_logprob_scores", "boilerplate_prefix_groups",
+    "chi2_priority_status", "cohort_ltv_triangle",
+    "cube_priority_status_revenue", "daily_cumulative_events",
+    "data_quality_report", "debounced_event_counts", "decayed_user_scores",
+    "event_transition_matrix", "event_trigram_journeys", "forward_fill_values",
+    "fulfillment_lag_stats", "hourly_anomaly_scores",
+    "hourly_resampled_counts", "hourly_session_concurrency",
+    "idle_rich_customers", "internal_cluster_metrics", "label_centroid_cosine",
+    "lang_token_divergence", "lsa_svd_features", "mixture_weights",
+    "modal_bucket_by_type", "multimodal_audio_features",
+    "nation_revenue_share", "nation_revenue_theilsen", "pmi_top_collocations",
+    "quality_signal_correlation", "rolling_7d_user_value", "sample_events",
+    "shipping_priority_topk", "silhouette_by_label", "small_quantity_revenue",
+    "sole_late_suppliers", "streaming_debounce_gate",
+    "streaming_interval_join", "streaming_neardup_gate",
+    "streaming_stateful_dedup", "streaming_tumbling_hourly",
+    "streaming_upsert_compaction", "user_event_entropy",
+    "user_profile_similarity_topk", "weekly_cohort_retention",
+    "weighted_doc_sample", "winsorized_value_stats", "activity_heatmap",
+    "ann_ivf_topk", "ann_pq_topk", "benford_deviation",
+    "cheapest_supplier_per_part", "customer_order_distribution",
+    "dbscan_labels_lsh", "disjunctive_bracket_revenue", "doc_novelty_scores",
+    "domain_capped_docs", "embedding_quantization_error",
+    "events_asof_next_order", "forecast_revenue_delta",
+    "hll_rollup_daily_users", "important_part_value",
+    "lang_temperature_weights", "large_volume_customers",
+    "late_exists_priority_counts", "linestatus_priority_counts",
+    "local_supplier_revenue", "lsh_neighbor_counts", "market_share_by_year",
+    "minhash_signatures", "mixture_sampled_counts", "multimodal_features",
+    "multimodal_framesample", "nation_profit_by_year", "nation_trade_volume",
+    "packing_efficiency", "part_supplier_diversity", "promo_revenue_share",
+    "props_variant_stats", "quality_percentile_by_lang",
+    "returned_item_losses", "semantic_dedup_ivf", "simhash_signatures",
+    "snapshot_diff_counts", "split_leakage_counts", "stratified_doc_sample",
+    "time_rollup_revenue", "top_supplier_by_revenue", "treebank_tokens",
+    "weekly_growth_by_type", "ab_test_logrank", "ann_ivfpq_topk",
+    "bm25_search", "bpe_merge_table", "bpe_tokens_per_lang",
+    "bpe_vocab_tokens", "canonical_by_quality", "contrastive_chunk_pairs",
+    "dataset_fingerprint", "dominant_part_suppliers", "dow_seasonality_index",
     "embedding_norm_stats", "events_column_profile", "fd_violation_audit",
     "flagship_top_error_users", "global_value_rank", "heavy_hitter_tokens",
     "hourly_cusum_changepoint", "hybrid_search_rrf",
     "incremental_agg_maintenance", "incremental_dedup_counts",
-    "nation_revenue_trend", "neardup_threshold_sweep",
-    "open_orders_backlog", "packed_sequences", "pareto_frontier_parts",
-    "part_affinity_lift", "part_copurchase_pagerank", "part_entity_matches",
-    "pii_audit_counts", "quality_retention_curve",
+    "nation_revenue_trend", "neardup_threshold_sweep", "open_orders_backlog",
+    "packed_sequences", "pareto_frontier_parts", "part_copurchase_pagerank",
+    "part_entity_matches", "pii_audit_counts", "quality_retention_curve",
     "rest_tail_category_counts", "revenue_autocorrelation",
     "revenue_gini_by_nation", "rolling_7d_distinct_users",
     "salted_group_members", "scd2_user_intervals", "shard_balance_audit",
@@ -275,96 +358,8 @@ _HEAD = (
     "split_neardup_leakage", "split_stratification_chi2",
     "sql_api_revenue_by_priority", "stratified_hash_sample",
     "token_weighted_quality_quantiles", "tokenizer_fertility_by_lang",
-    "twa_value_per_user", "user_interarrival_stats",
-    "value_decile_histogram", "value_mad_outliers",
-)
-
-#: entries rotated DIRECTLY AFTER the head (i.e. first past the driver's
-#: ~50-row budget), ordered stalest-evidence-first so the r11 head is a
-#: prefix slice of this list: the 47 r06 rows, then r07, r08, and the r09
-#: head (freshest driver evidence) last. Every name here already has a
-#: green driver row; the local parity sweep (tests/test_oracle_parity.py
-#: over all entries at sf0.001) remains their regression gate.
-_TAIL_AFTER_HEAD = (
-    "ann_recall_audit", "approx_distinct_and_quantiles",
-    "brand_revenue_by_nation", "cast_label_counts",
-    "cluster_stats_by_source", "cluster_stats_by_source_exact",
-    "crosstab_priority_status", "customers_without_orders",
-    "describe_event_type", "describe_event_value", "doc_token_stats",
-    "document_tokens", "event_type_counts", "events_asof_latest_order",
-    "group_members_by_lang", "histogram_quantile_rollup",
-    "interval_join_prior_events", "json_props_flatten", "k_anonymity_audit",
-    "kmeans_cluster_sizes", "kmeans_quality", "knn_knee_epsilon",
-    "knn_mean_distance", "late_shipment_orders", "length_stats_by_source",
-    "lsa_features", "lsa_features_rsvd", "mask_documents", "null_scan_fill",
-    "pricing_summary", "revenue_by_region", "rollup_event_counts",
-    "summary_all_numeric", "supplier_revenue_pareto", "term_frequency",
-    "term_idf", "tfidf_pipeline_features", "tfidf_top_terms",
-    "top_customers_per_region", "user_event_gaps", "user_funnel_conversion",
-    "user_type_group_size", "value_decile_summary",
-    "value_percentiles_by_type", "vocabulary_set_ops", "vocabulary_size",
-    "word2vec_doc_vectors", "ann_batch_topk", "ann_bruteforce_topk",
-    "count_filtered_events", "curated_corpus_stats", "dbscan_labels",
-    "dbscan_summary", "dedup_clusters", "dedup_exact", "distinct_documents",
-    "distribution_drift_psi", "doc_chunks", "doc_fingerprints",
-    "doc_quality_scores", "doc_repetition_stats",
-    "duplicate_ngram_coverage", "embedding_near_dup_pairs",
-    "external_metrics_pseudo", "funnel_counts", "funnel_step_timing",
-    "hash_split_counts", "json_sum_by_type", "knn_knee_sweep",
-    "lang_id_confusion", "last_touch_attribution", "latest_event_per_user",
-    "minhash_near_dups", "multimodal_metadata", "ngram_jaccard_pairs",
-    "pipeline_tfidf_kmeans", "pipeline_word2vec_dbscan",
-    "quality_filter_funnel", "quality_threshold_by_lang",
-    "session_windows_6h", "simhash_near_dups", "skew_join_segments",
-    "sliding_2h_windows", "streaming_cusum_tail", "streaming_funnel_tail",
-    "streaming_hq_rollup_tail", "streaming_interarrival_tail",
-    "token_budget_selection", "token_counts", "top_events_by_value",
-    "top_users_share", "topn_semijoin_events", "tumbling_hourly_by_type",
-    "unpivot_lineitem_measures", "value_histogram", "zipf_slope",
-    "ab_test_cuped", "ab_test_lift", "benchmark_contamination",
-    "bigram_logprob_scores", "boilerplate_prefix_groups",
-    "chi2_priority_status", "cohort_ltv_triangle",
-    "cube_priority_status_revenue", "daily_cumulative_events",
-    "data_quality_report", "debounced_event_counts", "decayed_user_scores",
-    "event_transition_matrix", "event_trigram_journeys",
-    "forward_fill_values", "fulfillment_lag_stats", "hourly_anomaly_scores",
-    "hourly_resampled_counts", "hourly_session_concurrency",
-    "idle_rich_customers", "importance_weights_dsir",
-    "internal_cluster_metrics", "label_centroid_cosine",
-    "lang_token_divergence", "lsa_svd_features", "mixture_weights",
-    "modal_bucket_by_type", "multimodal_audio_features",
-    "nation_revenue_share", "nation_revenue_theilsen",
-    "nelson_aalen_hazard", "pmi_top_collocations",
-    "quality_signal_correlation", "rolling_7d_user_value", "sample_events",
-    "shipping_priority_topk", "silhouette_by_label",
-    "small_quantity_revenue", "sole_late_suppliers",
-    "streaming_debounce_gate", "streaming_interval_join",
-    "streaming_neardup_gate", "streaming_stateful_dedup",
-    "streaming_tumbling_hourly", "streaming_upsert_compaction",
-    "user_event_entropy", "user_profile_similarity_topk",
-    "weekly_cohort_retention", "weighted_doc_sample",
-    "winsorized_value_stats", "ab_test_ranksum", "activity_heatmap",
-    "ann_ivf_topk", "ann_pq_topk", "benford_deviation",
-    "cheapest_supplier_per_part", "copurchase_kcore",
-    "copurchase_triangle_count", "curriculum_length_phases",
-    "customer_order_distribution", "dbscan_labels_lsh",
-    "disjunctive_bracket_revenue", "doc_novelty_scores",
-    "domain_capped_docs", "embedding_quantization_error",
-    "events_asof_next_order", "forecast_revenue_delta",
-    "hll_rollup_daily_users", "important_part_value",
-    "incremental_neardup_counts", "lang_temperature_weights",
-    "large_volume_customers", "late_exists_priority_counts",
-    "leakage_safe_splits", "linestatus_priority_counts",
-    "local_supplier_revenue", "lsh_neighbor_counts", "market_share_by_year",
-    "minhash_signatures", "mixture_sampled_counts", "multimodal_features",
-    "multimodal_framesample", "nation_profit_by_year",
-    "nation_trade_volume", "packing_efficiency", "part_supplier_diversity",
-    "promo_revenue_share", "props_variant_stats",
-    "quality_percentile_by_lang", "returned_item_losses",
-    "rfm_customer_segments", "semantic_dedup_ivf", "simhash_signatures",
-    "snapshot_diff_counts", "split_leakage_counts", "stratified_doc_sample",
-    "time_rollup_revenue", "top_supplier_by_revenue", "treebank_tokens",
-    "weekly_growth_by_type",
+    "twa_value_per_user", "user_interarrival_stats", "value_decile_histogram",
+    "value_mad_outliers",
 )
 
 

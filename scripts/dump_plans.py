@@ -23,7 +23,8 @@ from fts_errors_clustering_spark.session import get_spark
 
 SF = "/root/testdata/sf0.001"
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r10")
+    os.path.abspath(__file__))), "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"))
 
 
 def _explain(df, mode: str = "formatted") -> str:
