@@ -106,14 +106,20 @@ def knn_mean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _indexed_curve(knn: DataFrame,
-                   caches: list[DataFrame] | None = None) -> DataFrame:
+                   caches: list[DataFrame] | None = None):
     """The sorted kNN-mean curve with a global 0-based position ``idx`` and
     the curve scalars (n, ymin, ymax) attached — built WITHOUT a
     single-partition window: quantile-bucketed rank (scale.py two-phase
     pattern) for idx, a broadcast 1-row aggregate for the scalars. Keeps
     the ``bucket`` column so downstream prefix scans can reuse it. The
     internal kNN cache is appended to ``caches`` so the caller can release
-    it once its bounded output materializes (graph.materialize_release)."""
+    it once its bounded output materializes (graph.materialize_release).
+
+    Returns ``(curve, meta)`` where meta carries the raw per-bucket rows
+    of the offsets collect (bucket, cnt, mn, mx), the derived offsets map,
+    and the folded scalars — so consumers needing per-bucket boundary
+    facts (the sweep's cross-bucket lag/lead values) derive them from THIS
+    collect instead of running their own (guide §2.4)."""
     from .scale import bucket_prefix_offsets_multi, quantile_buckets
     # cache BEFORE the quantile pass: approxQuantile is an action, and the
     # upstream kNN kernel must not run once for the split points and again
@@ -136,13 +142,20 @@ def _indexed_curve(knn: DataFrame,
     n = sum(r["cnt"] for r in rows)
     ymin = min((r["mn"] for r in rows), default=None)
     ymax = max((r["mx"] for r in rows), default=None)
+    offsets, acc = {}, 0
+    for r in sorted(rows, key=lambda r: r["bucket"]):
+        offsets[r["bucket"]] = acc
+        acc += r["cnt"]
+    meta = {"rows": rows, "offsets": offsets,
+            "n": n, "ymin": ymin, "ymax": ymax}
     wb = Window.partitionBy("bucket").orderBy("mean_dist", "vec_id")
-    return (bucketed
-            .withColumn("idx", (offm["cnt"] + F.row_number().over(wb) - 1)
-                        .cast("long"))
-            .withColumn("n", F.lit(n).cast("long"))
-            .withColumn("ymin", F.lit(ymin).cast("double"))
-            .withColumn("ymax", F.lit(ymax).cast("double")))
+    curve = (bucketed
+             .withColumn("idx", (offm["cnt"] + F.row_number().over(wb) - 1)
+                         .cast("long"))
+             .withColumn("n", F.lit(n).cast("long"))
+             .withColumn("ymin", F.lit(ymin).cast("double"))
+             .withColumn("ymax", F.lit(ymax).cast("double")))
+    return curve, meta
 
 
 def knee_epsilon_value(knn: DataFrame, id_col: str = "vec_id") -> float:
@@ -162,7 +175,7 @@ def knee_epsilon_value(knn: DataFrame, id_col: str = "vec_id") -> float:
     degenerate clustering should pass eps explicitly, exactly as the
     reference did."""
     caches: list[DataFrame] = []
-    curve = _indexed_curve(
+    curve, _meta = _indexed_curve(
         knn.select(F.col(id_col).alias("vec_id"), "mean_dist"), caches)
     span = F.col("ymax") - F.col("ymin")
     diffs = curve.select(
@@ -212,7 +225,7 @@ def knn_knee_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import materialize_release
     knn = knn_mean_distances(spark, sf_dir)
     caches: list[DataFrame] = []
-    curve = _indexed_curve(knn, caches)
+    curve, _meta = _indexed_curve(knn, caches)
     diffs = curve.select(
         "idx", "mean_dist",
         ((F.col("idx").cast("double") / (F.col("n") - 1)) -
@@ -312,7 +325,7 @@ def knn_knee_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import materialize_release
     knn = knn_mean_distances(spark, sf_dir)
     caches: list[DataFrame] = []
-    curve = _indexed_curve(knn, caches)
+    curve, meta = _indexed_curve(knn, caches)
     diffs = curve.select(
         "bucket", "idx", "n", "mean_dist",
         ((F.col("idx").cast("double") / (F.col("n") - 1)) -
@@ -326,14 +339,28 @@ def knn_knee_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # neighbours come from a window on the bucketing the cached diffs
     # already carry (no new exchange), and the one cross-bucket neighbour
     # each bucket boundary needs — last/first d of the adjacent bucket —
-    # rides a <= n_buckets-row collect folded into literal maps (the
-    # bucket_prefix_offsets discipline; guide §2.4).
+    # is DERIVED from _indexed_curve's own offsets collect (r11, guide
+    # §2.4): the bucket's first row (by idx) carries its min mean_dist at
+    # idx = offset, its last row the max at idx = offset + cnt - 1, so
+    # fd/ld are driver float algebra over the already-collected
+    # (cnt, mn, mx) rows — the same IEEE op sequence as the d column
+    # (np.float64 division mirrors the JVM double bit-for-bit), replacing
+    # the separate per-bucket min_by/max_by collect the sweep used to run.
+    import numpy as np
     neg = F.lit(-1e18)
-    bounds = sorted(
-        (r["bucket"], r["fd"], r["ld"]) for r in
-        diffs.groupBy("bucket").agg(
-            F.min_by("d", "idx").alias("fd"),
-            F.max_by("d", "idx").alias("ld")).collect())
+    n_f = np.float64(meta["n"])
+    ymin_f = np.float64(meta["ymin"] if meta["ymin"] is not None else np.nan)
+    ymax_f = np.float64(meta["ymax"] if meta["ymax"] is not None else np.nan)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        span = ymax_f - ymin_f
+        bounds = []
+        for r in sorted(meta["rows"], key=lambda r: r["bucket"]):
+            off = meta["offsets"][r["bucket"]]
+            fd = float(np.float64(off) / (n_f - 1.0)
+                       - (np.float64(r["mn"]) - ymin_f) / span)
+            ld = float(np.float64(off + r["cnt"] - 1) / (n_f - 1.0)
+                       - (np.float64(r["mx"]) - ymin_f) / span)
+            bounds.append((r["bucket"], fd, ld))
     prev_map, next_map = {}, {}
     for i, (b, fd, ld) in enumerate(bounds):
         if i > 0:
