@@ -202,7 +202,7 @@ def test_knee_curve_no_single_partition_window(spark):
     # (materialize_release), so lint the lazy curve plan they build from
     knn = knn_mean_distances(spark, SF_SMALL)
     caches = []
-    curve = _indexed_curve(knn, caches)
+    curve, _meta = _indexed_curve(knn, caches)
     diffs = curve.select(
         "idx", "mean_dist",
         ((F.col("idx").cast("double") / (F.col("n") - 1)) -
